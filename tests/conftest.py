@@ -1,10 +1,14 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh so sharding
-paths are exercised without TPU hardware, and with x64 for parity checks."""
+paths are exercised without TPU hardware, and with x64 for parity checks.
+
+NOTE: on this image the axon TPU plugin ignores the ``JAX_PLATFORMS`` env
+var, so the config flag must be set explicitly — otherwise tests silently
+run on the tunneled TPU where float64 is range-limited emulation.
+"""
 
 import os
 
-# Must be set before jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initializes backends.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu"
