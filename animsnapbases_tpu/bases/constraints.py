@@ -1,0 +1,615 @@
+"""Constraint-projection components: POD / blockwise-PCA bases and
+DEIM / block-DEIM / geometric interpolation-point selection.
+
+Pipeline mirror of ``snapbases/constraintsComponents.py`` redesigned for TPU:
+
+* ``pod_vectorized`` — one snapshot-POD (Gram matmul + small eigh) instead of
+  a LAPACK SVD of the (e*p*3, F) matrix (ref :297-320)
+* ``pod`` — vmapped snapshot-POD over the (p, d) slices (ref :273-295,
+  which used torch)
+* ``pca_blocks`` — greedy block deflation as a device-side ``lax.scan``
+  (ref :323-412)
+* ``pca_blocks_with_St`` — tolerance-driven greedy deflation whose argmax is
+  taken in position space through the differential operator St; host loop
+  (data-dependent adjacency) around jitted tensor kernels (ref :155-271)
+* interpolation selection (``deim`` :797-860, ``deim_blocksForm`` :733-795,
+  ``geom_block_form_utilizing_differential_operator`` :618-731) — sequential
+  tiny-lstsq greedy loops; these run on host numpy by design (growing k x k
+  solves, one-time selection cost, no batched structure to exploit)
+* ``geom_constructed`` — reconstruction solves batched over frames: one
+  normal-equation factorization per dim, all frames solved in a single
+  triangular solve (the reference loops frames :489-521)
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from animsnapbases_tpu.bases.greedy import signed_nonneg_weight
+from animsnapbases_tpu.geometry.mesh import (
+    elements_per_vertex,
+    tet_edges,
+    unique_edges,
+    vertex_star_vertices,
+)
+from animsnapbases_tpu.io.binfmt import write_components, write_points_vector
+from animsnapbases_tpu.io.meshes import load_medit_mesh, load_obj
+from animsnapbases_tpu.ops.podlinalg import snapshot_pod
+from animsnapbases_tpu.ops.svd3 import top_mode_rows
+from animsnapbases_tpu.snapshots.nonlinear import NonlinearSnapshots
+from animsnapbases_tpu.utils.checks import (
+    is_linear_independent,
+    sparsity_fractions,
+    utmu_orthogonality_error,
+)
+from animsnapbases_tpu.utils.timing import log_time
+
+
+# ---------------------------------------------------------------------------
+# jitted kernels
+# ---------------------------------------------------------------------------
+
+def _select_block(R: jnp.ndarray, p: int, e: int) -> jnp.ndarray:
+    """Element with the largest residual block energy.  R (F, e*p, d)."""
+    row_energy = (R ** 2).sum(axis=(0, 2))
+    return jnp.argmax(row_energy.reshape(e, p).sum(axis=1))
+
+
+def _deflate_row(R: jnp.ndarray, row: jnp.ndarray, use_signed: bool):
+    """Dominant mode of one (3, F) row trajectory + rank-1 deflation of the
+    whole tensor.  Returns (sigma0, wk, ck, R')."""
+    sigma0, wk = top_mode_rows(R[:, row, :].T)
+    if use_signed:
+        wk = signed_nonneg_weight(wk)
+    denom = wk @ wk
+    ck = jnp.einsum("f,fnd->nd", wk, R) / denom
+    return sigma0, wk, ck, R - wk[:, None, None] * ck[None]
+
+
+def _make_extract_blocks(p: int, e: int, num_components: int):
+    """Device-side greedy block extraction (pca_blocks) as a lax.scan."""
+    @jax.jit
+    def run(R0: jnp.ndarray):
+        def step(R, _):
+            idx = _select_block(R, p, e)
+            cks, wks, sigmas, rows = [], [], [], []
+            for i in range(p):  # p is 1..3, unrolled
+                sigma0, wk, ck, R = _deflate_row(R, idx * p + i, False)
+                cks.append(ck)
+                wks.append(wk)
+                sigmas.append(sigma0)
+                rows.append(idx * p + i)
+            out = (jnp.stack(cks), jnp.stack(wks), jnp.stack(sigmas),
+                   jnp.stack(rows), idx, jnp.linalg.norm(R))
+            return R, out
+
+        R_final, (C, W, sig, rows, idxs, res) = jax.lax.scan(
+            step, R0, None, length=num_components)
+        return C, W, sig, rows, idxs, res, R_final
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+
+
+class ConstraintComponents:
+    def __init__(self, param, snapshots: NonlinearSnapshots | None = None):
+        self.param = param
+        if snapshots is None:
+            snapshots = NonlinearSnapshots(param)
+        self.nonlinearSnapshots = snapshots
+
+        self.basesType = ""
+        self.numComp = 0
+        self.support = param.constProj_support
+        self.storeSingVal = False
+        self.comps: np.ndarray | None = None   # (Kp, ep, 3)
+        self.weigs: np.ndarray | None = None
+        self.largeDeforPoints = None
+        self.largeDeforBlocks = None
+        self.measures_at_largeDeforVerts = None
+        self.St = None
+
+        self.geom_interpol_verts: list[int] = []
+        self.geom_alpha = None
+        self.geom_Pt = None
+        self.geom_alpha_ranges = None
+
+        self.fileNameBases = "p_nl_"
+        self.fileName_geom_points = "p_nl_interpol_points_"
+        self.file_name_sing = "_constrprojBases_pcaExtraction_singValues"
+
+    # ------------------------------------------------------------------
+    def config(self, fileNameBases="p_nl_",
+               fileName_geom_points="p_nl_interpol_points_",
+               file_name_sing="_constrprojBases_pcaExtraction_singValues"):
+        p = self.param
+        self.basesType = p.constProj_bases_interpolation_type
+        self.support = p.constProj_support
+        self.storeSingVal = p.constProj_store_sing_val
+        self.fileNameBases = fileNameBases
+        self.fileName_geom_points = fileName_geom_points
+        self.file_name_sing = file_name_sing
+        st = np.load(p.constProj_weightedSt, allow_pickle=True)[p.costProj_St_key]
+        if isinstance(st, np.ndarray) and st.dtype == object:
+            st = st.item()
+        self.St = st  # scipy sparse (N, e*p)
+
+    # ------------------------------------------------------------------
+    # basis computation dispatch
+    # ------------------------------------------------------------------
+
+    @log_time
+    def compute_components_store_singvalues(self):
+        btype = self.param.constProj_basis_type
+        dispatch = {
+            "pod": self.compute_pod,
+            "pod_vectorized": self.compute_pod_vectorized,
+            "pca_blocks": self.compute_pca_blocks,
+            "pca_blocks_with_St": self.compute_pca_blocks_with_st,
+        }
+        if btype not in dispatch:
+            raise ValueError(f"Unknown basis type: {btype}")
+
+        if self.storeSingVal:
+            p = self.nonlinearSnapshots.constraintsSize
+            if btype in ("pca_blocks", "pca_blocks_with_St"):
+                header = (["component", "idx", "residual_matrix_norm"]
+                          + [f"singVal{i}" for i in range(p)])
+            else:
+                header = ["component", "singVal"]
+            file_name = os.path.join(
+                self.param.constProj_output_directory,
+                self.param.name + "_" + self.param.constProj_name
+                + self.file_name_sing)
+            with open(file_name + ".csv", "w", encoding="UTF8") as f:
+                writer = csv.writer(f)
+                writer.writerow(header)
+                dispatch[btype](writer)
+        else:
+            dispatch[btype](None)
+
+    # ------------------------------------------------------------------
+    @log_time
+    def compute_pod_vectorized(self, writer=None):
+        """One snapshot-POD of the flattened (e*p*3, F) matrix."""
+        R = self.nonlinearSnapshots.snapTensor
+        F = R.shape[0]
+        e = self.nonlinearSnapshots.num_constained_elements
+        p = self.nonlinearSnapshots.constraintsSize
+
+        X = jnp.asarray(R.reshape(F, -1).T)        # (e*p*3, F)
+        U, S, _ = snapshot_pod(X)
+        S = np.asarray(S)
+        if writer is not None:
+            for i, s in enumerate(S):
+                writer.writerow([i + 1, s])
+        C = np.asarray(U).T.reshape(F, e * p, -1)   # (F, ep, 3)
+        k = self.param.deim_desired_num_components
+        self.comps = C[:k] if k < C.shape[0] else C
+        self.numComp = self.comps.shape[0]
+
+    @log_time
+    def compute_pod(self, writer=None):
+        """Per-(p, d)-slice POD over (e, F) matrices, vmapped."""
+        R = self.nonlinearSnapshots.snapTensor
+        F = R.shape[0]
+        e = self.nonlinearSnapshots.num_constained_elements
+        p = self.nonlinearSnapshots.constraintsSize
+        d = R.shape[-1]
+
+        # (F, e, p, d) -> (p, d, e, F)
+        X = jnp.asarray(np.moveaxis(R.reshape(F, e, p, d),
+                                    [0, 1, 2, 3], [3, 2, 0, 1]))
+        U, S, _ = jax.vmap(jax.vmap(snapshot_pod))(X)   # U: (p, d, e, F)
+        # -> (F, e, p, d) -> (F, e*p, d)
+        C = np.moveaxis(np.asarray(U), [0, 1, 2, 3], [2, 3, 1, 0])
+        C = C.reshape(C.shape[0], e * p, d)
+        k = self.param.deim_desired_num_components
+        self.comps = C[:k] if k < C.shape[0] else C
+        self.numComp = self.comps.shape[0]
+
+    @log_time
+    def compute_pca_blocks(self, writer=None):
+        """Greedy block deflation, fully on device as a scan."""
+        snaps = self.nonlinearSnapshots
+        p = snaps.constraintsSize
+        e = snaps.num_constained_elements
+        K = self.param.deim_desired_num_components
+
+        run = _make_extract_blocks(p, e, K)
+        C, W, sig, rows, idxs, res, _ = run(jnp.asarray(snaps.snapTensor))
+        # C: (K, p, ep, 3) -> (Kp, ep, 3); W: (K, p, F) -> (F, Kp)
+        self.comps = np.asarray(C).reshape(K * p, -1, 3)
+        self.weigs = np.asarray(W).reshape(K * p, -1).T
+        self.largeDeforPoints = np.asarray(idxs)
+        self.largeDeforBlocks = np.asarray(rows).reshape(-1)
+        self.numComp = K
+        measures = []
+        for k in range(K):
+            row = [k, int(idxs[k]), float(res[k])] + [float(s) for s in
+                                                      np.asarray(sig[k])]
+            measures.append(row)
+            if writer is not None:
+                writer.writerow(row)
+        self.measures_at_largeDeforVerts = np.array(measures)
+
+    @log_time
+    def compute_pca_blocks_with_st(self, writer=None):
+        """Greedy deflation driven by the position-space residual through St,
+        expanding all elements adjacent to the worst vertex; runs until
+        ||R|| < tol.  Host loop (adjacency is data-dependent), jitted
+        deflation."""
+        snaps = self.nonlinearSnapshots
+        p = snaps.constraintsSize
+        tol = self.param.bases_R_tol
+        St = self.St.tocsr()
+        if self.support == "local":
+            raise ValueError("Local support maps are not available for "
+                             "nonlinear-term components")
+
+        R = jnp.asarray(snaps.snapTensor)
+        C, W, measures = [], [], []
+        S_v_idx: list[int] = []
+        bases_count = 0
+
+        def pos_space_vertex(R):
+            # (F, ep, d) -> (ep, F*d); St @ . -> (N, F*d); argmax row energy
+            Rm = np.swapaxes(np.asarray(R), 0, 1).reshape(R.shape[1], -1)
+            return int(np.argmax(((St @ Rm) ** 2).sum(axis=1)))
+
+        while float(jnp.linalg.norm(R)) > tol:
+            v = pos_space_vertex(R)
+            elems = self._adjacent_elements(v)
+            S_v_idx.append(v)
+            for idx in elems:
+                sigma = []
+                for i in range(p):
+                    sigma0, wk, ck, R = _deflate_row(R, idx * p + i, False)
+                    sigma.append(float(sigma0))
+                    C.append(np.asarray(ck))
+                    W.append(np.asarray(wk))
+                bases_count += 1
+                res = float(jnp.linalg.norm(R))
+                row = [bases_count, idx, res] + sigma
+                measures.append(row)
+                if writer is not None:
+                    writer.writerow(row)
+                if res < tol:
+                    break
+
+        self.comps = np.array(C)
+        self.weigs = np.array(W).T
+        self.numComp = self.comps.shape[0] // p
+        self.largeDeforPoints = np.array(S_v_idx)
+        self.measures_at_largeDeforVerts = measures
+
+    # ------------------------------------------------------------------
+    def _ensure_elements(self):
+        snaps = self.nonlinearSnapshots
+        if snaps.ele_type == "_tets" and snaps.tets is None:
+            snaps.verts, snaps.tets, snaps.tris = load_medit_mesh(
+                self.param.tet_mesh_file)
+        elif snaps.ele_type in ("_tris", "_verts") and snaps.tris is None:
+            snaps.verts, snaps.tris = load_obj(self.param.tri_mesh_file)
+        elif snaps.ele_type == "_edges" and snaps.edges is None:
+            if self.param.volumetric_mesh:
+                if snaps.tets is None:
+                    snaps.verts, snaps.tets, snaps.tris = load_medit_mesh(
+                        self.param.tet_mesh_file)
+                snaps.edges = tet_edges(snaps.tets)
+            else:
+                if snaps.tris is None:
+                    snaps.verts, snaps.tris = load_obj(self.param.tri_mesh_file)
+                snaps.edges = unique_edges(snaps.tris)
+
+    def _adjacent_elements(self, v: int) -> list[int]:
+        """Constrained elements adjacent to vertex v, per element type."""
+        self._ensure_elements()
+        snaps = self.nonlinearSnapshots
+        if snaps.ele_type == "_tets":
+            return elements_per_vertex([v], snaps.tets)
+        if snaps.ele_type == "_tris":
+            return elements_per_vertex([v], snaps.tris)
+        if snaps.ele_type == "_edges":
+            return elements_per_vertex([v], snaps.edges)
+        if snaps.ele_type == "_verts":
+            return vertex_star_vertices(v, snaps.tris)
+        raise ValueError(f"unknown element type {snaps.ele_type}")
+
+    # ------------------------------------------------------------------
+    # post-processing
+    # ------------------------------------------------------------------
+
+    @log_time
+    def post_process_components(self):
+        snaps = self.nonlinearSnapshots
+        if self.param.constProj_standarize:
+            self.comps = self.comps / snaps.pre_scale_factor
+            self.comps = self.comps + snaps.mean[np.newaxis]
+            # the snapshot tensor is un-standardized too, for later error
+            # measures (ref :424-428)
+            snaps.snapTensor = snaps.snapTensor / snaps.pre_scale_factor
+            snaps.snapTensor = snaps.snapTensor + snaps.mean[np.newaxis]
+
+        if self.param.constProj_orthogonal:
+            for l in range(self.comps.shape[2]):
+                q, _ = np.linalg.qr(self.comps[:, :, l].T)
+                self.comps[:, :, l] = q.T
+
+        if self.param.constProj_massWeight:
+            assert self.comps.shape[1] == snaps.invMassL.shape[0]
+            self.comps = self.comps * snaps.invMassL[:, None]
+            assert snaps.snapTensor.shape[1] == snaps.invMassL.shape[0]
+            snaps.snapTensor = snaps.snapTensor * snaps.invMassL[:, None]
+
+    def is_utmu_orthogonal(self, atol: float = 1e-8) -> bool:
+        err = utmu_orthogonality_error(self.comps,
+                                       self.nonlinearSnapshots.mass)
+        return err < atol
+
+    def sparsity(self):
+        return sparsity_fractions(self.comps)
+
+    def linear_independent(self) -> bool:
+        p = self.nonlinearSnapshots.constraintsSize
+        return is_linear_independent(self.comps, self.numComp * p)
+
+    # ------------------------------------------------------------------
+    # interpolation point selection (host greedy loops)
+    # ------------------------------------------------------------------
+
+    @log_time
+    def deim(self):
+        """Classic row-wise DEIM on (ep, K, d) bases."""
+        p = self.nonlinearSnapshots.constraintsSize
+        d = self.nonlinearSnapshots.dim
+        K = self.numComp
+        bases = self.comps.swapaxes(0, 1)     # (ep, K, d)
+
+        Pt: list[int] = []
+        e_points: list[int] = []
+        e_range: list[int] = []
+        V = None
+        for k in range(K):
+            vk = bases[:, k, :]               # (ep, d)
+            if k == 0:
+                r = vk
+            else:
+                c = np.empty(vk.shape)
+                for i in range(d):
+                    sol = np.linalg.lstsq(V[Pt, :, i], vk[Pt, i], rcond=None)[0]
+                    c[:, i] = V[:, :, i] @ sol
+                r = c - vk
+                if np.allclose(r, 0):
+                    raise RuntimeError("zero residual in DEIM selection")
+            idx = int(np.argmax((r ** 2).sum(axis=1)))
+            e_points.append(idx // p)
+            Pt.append(idx)
+            e_range.append(len(e_points))
+            V = (vk[:, None, :] if V is None
+                 else np.concatenate((V, vk[:, None, :]), axis=1))
+
+        self.geom_Pt = np.array(Pt)
+        self.geom_alpha = np.array(e_points)
+        self.geom_alpha_ranges = np.array(e_range)
+        self.geom_interpol_verts = np.array(self.geom_interpol_verts)
+
+    @log_time
+    def deim_blocksForm(self):
+        """Block-DEIM: selects whole p-row blocks."""
+        p = self.nonlinearSnapshots.constraintsSize
+        d = self.nonlinearSnapshots.dim
+        K = self.numComp
+        bases = self.comps.swapaxes(0, 1)     # (ep, Kp, d)
+
+        Pt: list[int] = []
+        e_points: list[int] = []
+        e_range: list[int] = []
+        V = None
+        for k in range(K):
+            vk = bases[:, k * p:(k + 1) * p, :]  # (ep, p, d)
+            if k == 0:
+                r = vk
+            else:
+                c = np.empty(vk.shape)
+                for i in range(d):
+                    sol = np.linalg.lstsq(V[Pt, :, i], vk[Pt, :, i],
+                                          rcond=None)[0]
+                    c[:, :, i] = V[:, :, i] @ sol
+                r = c - vk
+                if np.allclose(r, 0):
+                    raise RuntimeError("zero residual in block-DEIM selection")
+            idx = int(np.argmax((r ** 2).sum(axis=(1, 2))))
+            alpha = idx // p
+            e_points.append(alpha)
+            Pt.extend(alpha * p + m for m in range(p))
+            e_range.append(len(e_points))
+            V = vk if V is None else np.concatenate((V, vk), axis=1)
+
+        self.geom_Pt = np.array(Pt)
+        self.geom_alpha = np.array(e_points)
+        self.geom_alpha_ranges = np.array(e_range)
+        self.geom_interpol_verts = np.array(self.geom_interpol_verts)
+
+    @log_time
+    def geom_block_form_utilizing_differential_operator(
+            self, error_in_pos_space: bool = False):
+        """Geometric selection: the interpolation set grows by the elements
+        adjacent to the vertex with the largest (position-space) residual,
+        capped at ``geom_ele_per_vert`` new elements per step."""
+        snaps = self.nonlinearSnapshots
+        p = snaps.constraintsSize
+        d = snaps.dim
+        K = self.numComp
+        bases = self.comps.swapaxes(0, 1)     # (ep, Kp, d)
+
+        constrained_verts = None
+        if error_in_pos_space and (
+                self.param.constProj_snapshots_type == "verts_bending"):
+            constrained_verts = np.load(
+                self.param.constProj_input_snaps_constrained_elements
+            )["indices"]
+
+        Pt: list[int] = []
+        e_points: list[int] = []
+        e_jump: list[int] = []
+        e_range: list[int] = []
+        self.geom_interpol_verts = []
+        V = None
+        for k in range(K):
+            vk = bases[:, k * p:(k + 1) * p, :]
+            if k == 0:
+                r = (self.St @ vk.reshape(vk.shape[0], -1)
+                     if error_in_pos_space else vk)
+            else:
+                c = np.empty(vk.shape)
+                for i in range(d):
+                    sol = np.linalg.lstsq(V[Pt, :, i], vk[Pt, :, i],
+                                          rcond=None)[0]
+                    c[:, :, i] = V[:, :, i] @ sol
+                r = c - vk
+                if error_in_pos_space:
+                    r = self.St @ r.reshape(r.shape[0], -1)
+                if np.allclose(r, 0):
+                    raise RuntimeError("zero residual in geom selection")
+
+            if error_in_pos_space:
+                v = int(np.argmax((np.asarray(r) ** 2).sum(axis=1)))
+                self.geom_interpol_verts.append(v)
+                alpha_list = self._adjacent_elements(v)
+                mapped = None
+                if constrained_verts is not None:
+                    alpha_list, mapped, _ = np.intersect1d(
+                        constrained_verts, alpha_list, return_indices=True)
+                jump = 0
+                for al, alpha in enumerate(alpha_list):
+                    if alpha not in e_points and jump < self.param.geom_ele_per_vert:
+                        jump += 1
+                        e_points.append(int(alpha))
+                        if mapped is not None:
+                            Pt.append(int(mapped[al]))   # p == 1 here
+                        else:
+                            Pt.extend(int(alpha) * p + m for m in range(p))
+                e_jump.append(jump)
+                e_range.append(int(np.sum(e_jump)))
+            else:
+                # element with the largest residual block energy
+                row_energy = (r ** 2).sum(axis=(1, 2))
+                alpha = int(np.argmax(row_energy.reshape(-1, p).sum(axis=1)))
+                assert alpha not in e_points
+                e_points.append(alpha)
+                Pt.extend(alpha * p + m for m in range(p))
+                e_jump.append(1)
+                e_range.append(int(np.sum(e_jump)))
+
+            V = vk if k == 0 else np.concatenate((V, vk), axis=1)
+
+        self.geom_Pt = np.array(Pt)
+        self.geom_alpha = np.array(e_points)
+        self.geom_alpha_ranges = np.array(e_range)
+        self.geom_interpol_verts = np.array(self.geom_interpol_verts)
+
+    # ------------------------------------------------------------------
+    # reconstruction / errors
+    # ------------------------------------------------------------------
+
+    def geom_constructed(self, r: int, case: str = "train") -> np.ndarray:
+        """Hyper-reduced reconstruction using the first r components and their
+        interpolation rows; all frames solved in one batched normal-equation
+        solve per dim."""
+        snaps = self.nonlinearSnapshots
+        itype = self.param.constProj_bases_interpolation_type
+        p = (snaps.constraintsSize
+             if itype in ("geom", "deim_block_form") else 1)
+
+        frames = (snaps.snapTensor if case == "train"
+                  else snaps.test_snapTensor)
+        if frames is None:
+            raise ValueError(f"no {case} snapshots available")
+        F, ep, _ = frames.shape
+        V_r = self.comps.swapaxes(0, 1)[:, :r * p, :]   # (ep, rp, 3)
+
+        # Reference quirk preserved (constraintsComponents.py:507-512): for
+        # non-verts_bending types the *element* indices geom_alpha are used
+        # directly as row indices of the (ep, rp) basis slice.
+        if self.param.constProj_snapshots_type == "verts_bending":
+            Pt = self.geom_Pt[:self.geom_alpha_ranges[r - 1]]
+        else:
+            Pt = self.geom_alpha[:self.geom_alpha_ranges[r - 1]]
+
+        reconstructed = np.zeros((F, ep, 3))
+        for l in range(3):
+            A = V_r[Pt, :, l]                       # (m, rp)
+            G = A.T @ A
+            rhs = A.T @ frames[:, Pt, l].T          # (rp, F)
+            X = np.linalg.solve(G, rhs)             # (rp, F)
+            reconstructed[:, :, l] = (V_r[:, :, l] @ X).T
+        return reconstructed
+
+    @staticmethod
+    def frobenius_error(f, f_rec):
+        return float(np.linalg.norm(f - f_rec))
+
+    @staticmethod
+    def relative_error_per_component(f, f_rec):
+        return [float(np.linalg.norm(f[:, :, i] - f_rec[:, :, i])
+                      / np.linalg.norm(f[:, :, i])) for i in range(3)]
+
+    @staticmethod
+    def max_pointwise_error(f, f_rec):
+        return float(np.max(np.abs(f - f_rec)) / np.max(f))
+
+    def test_basesSingVals(self) -> np.ndarray:
+        s = np.empty((self.comps.shape[0], 3))
+        for i in range(3):
+            sv = np.linalg.svd(self.comps[:, :, i], compute_uv=False)
+            s[:, i] = sv / sv.max()
+        return s
+
+    # ------------------------------------------------------------------
+    # storage
+    # ------------------------------------------------------------------
+
+    @log_time
+    def store_components_n_interpol_points(self):
+        """Single-.npz schema consumed by the reduced solver (ref :595-613)."""
+        data = {
+            "components": self.comps,
+            "interpol_alphas": self.geom_alpha,
+            "Pt": self.geom_Pt,
+            "interpol_verts": self.geom_interpol_verts,
+            "interpol_alpha_ranges": self.geom_alpha_ranges,
+        }
+        out = os.path.join(
+            self.param.constProj_output_directory,
+            "components_interpol_alphas_interpol_verts_interpol_alpha_ranges.npz")
+        np.savez(out, **data)
+        return out
+
+    @log_time
+    def store_components_gradually_to_files(self, start, end, step, file_type):
+        snaps = self.nonlinearSnapshots
+        p = snaps.constraintsSize
+        n = snaps.num_constained_elements * p
+        base = os.path.join(self.param.constProj_output_directory,
+                            self.fileNameBases)
+        points_base = os.path.join(self.param.constProj_output_directory,
+                                   self.fileName_geom_points)
+        verts_base = os.path.join(self.param.constProj_output_directory,
+                                  "corrVerts")
+        for k in range(start, end + 1, step):
+            write_components(base, snaps.frs, k * p, n, 3,
+                             self.comps[:k * p], file_type, "Kp")
+            write_points_vector(
+                points_base, snaps.frs, k,
+                self.geom_alpha[:self.geom_alpha_ranges[k - 1]], file_type)
+            if len(self.geom_interpol_verts):
+                write_points_vector(verts_base, snaps.frs, k,
+                                    self.geom_interpol_verts[:k], file_type)
