@@ -2,7 +2,7 @@
 optional position-space reduction).
 
 Mirror of the reference ``animSnapBasesSolver`` (``Simulators.py:28-534``)
-with two TPU-first upgrades:
+with three TPU-first upgrades:
 
 1. The per-group runtime chain
        rhs_d = (S^T V)_d  @ lu_solve(AtA_d, (PtV^T)_d @ p_d)
@@ -15,11 +15,15 @@ with two TPU-first upgrades:
    :144-155) is implemented: the global matrix decouples per dim (every
    constraint couples equal dims only), so with per-dim position bases
    U_d (N, r) the global solve becomes three r x r Cholesky solves
-       (U_d^T A_d U_d) z_d = U_d^T b_d,   q_d = U_d z_d
-   and the whole step is dense linear algebra on device.
+       (U_d^T A_d U_d) z_d = U_d^T b_d,   q_d = U_d z_d.
+   When every constraint group is hyper-reduced, the local-global iteration
+   runs entirely in reduced coordinates: positions are lifted only at the
+   vertices touched by the selected elements (q_sel = U_sel z), and the full
+   lift happens once per step.
 
-The full step (predictor, floor clamp, iteration loop, velocity update) is
-one jitted function when the global solve lives on device.
+3. ``run_steps(n)`` scans the whole step on device, so long simulations pay
+   one dispatch instead of one per step — essential when the host-TPU link
+   has latency (production serving, axon tunnels).
 """
 
 from __future__ import annotations
@@ -37,6 +41,7 @@ import jax.numpy as jnp
 from animsnapbases_tpu.sim import collisions, projections
 from animsnapbases_tpu.sim.model import DeformableModel
 from animsnapbases_tpu.sim.solver import (
+    Solver as _FullSolver,
     build_global_matrix,
     make_local_stage,
     unflatten,
@@ -49,6 +54,14 @@ GROUP_ARG_NAMES = {
     "tets_strain": ("tet_strain_reduced", "tet_strain_num_components"),
     "tets_deformation_gradient": ("tet_deformation_reduced",
                                   "tet_deformation_num_components"),
+}
+
+_VERTEX_KEYS = {
+    "verts_bending": ("indices", "neighbors"),
+    "edge_spring": ("edges",),
+    "tris_strain": ("faces",),
+    "tets_strain": ("elements",),
+    "tets_deformation_gradient": ("elements",),
 }
 
 
@@ -89,13 +102,6 @@ class ReducedGroup:
         self.row_select = row_select  # None (block form) or (m,) row gather
         self.p = p
         self.num_selected = num_selected
-
-    def evaluate_p(self, q):
-        """Stacked selected projections (n_pt, 3)."""
-        out = projections.PROJECTION_KERNELS[self.name](q, self.subset_data)
-        if self.row_select is not None:
-            out = out[self.row_select]
-        return out
 
 
 def prepare_reduced_group(g, reduction_type: str, num_components: int,
@@ -141,16 +147,24 @@ def prepare_reduced_group(g, reduction_type: str, num_components: int,
         W.append(base)
     W = np.stack(W, axis=0)
 
+    subset = _subset_group_data(g, alphas)
     if reduction_type in ("deim_pod", "deim_pod_vectorized"):
         # evaluate one row (Pt % p) of each selected element's projection
-        subset = _subset_group_data(g, alphas)
         m = len(alphas)
         row_select = np.arange(m) * g.p + (Pt % g.p)
     else:
-        subset = _subset_group_data(g, alphas)
         row_select = None
     return ReducedGroup(g.name, W, subset, row_select, g.p, len(alphas)), \
         alphas, Pt
+
+
+class _GroupView:
+    """Lightweight model facade exposing a subset of groups to
+    make_local_stage."""
+
+    def __init__(self, model, groups):
+        self.groups = groups
+        self.n_verts = model.n_verts
 
 
 class AnimSnapBasesSolver:
@@ -158,8 +172,9 @@ class AnimSnapBasesSolver:
 
     DENSE_LIMIT = 2400
 
-    def __init__(self, args):
+    def __init__(self, args, dtype=None):
         self.args = args
+        self.dtype = dtype   # None: float64 under x64, else float32
         self.model: DeformableModel | None = None
         self.dirty = True
         self.dt = None
@@ -187,14 +202,21 @@ class AnimSnapBasesSolver:
         self.max_p_snapshots_num = getattr(args, "max_p_snapshots_num", 200)
 
         self._reduced_groups: dict[str, ReducedGroup] = {}
-        self._local_full = None
         self._step_jit = None
+        self._run_jit = None
+        self._local_terms = None
         self._solve = None
-        self._chols = None
         self._recorded: dict[str, dict[str, np.ndarray]] = {}
         self.enable_self_collision = False
 
     # ------------------------------------------------------------------
+    def _cast(self, x):
+        if self.dtype is None:
+            return jnp.asarray(x)
+        if np.issubdtype(np.asarray(x).dtype, np.floating):
+            return jnp.asarray(x, dtype=self.dtype)
+        return jnp.asarray(x)
+
     def set_model(self, model):
         self.model = model
         self.set_dirty()
@@ -213,6 +235,8 @@ class AnimSnapBasesSolver:
 
     def set_store_p(self, value):
         self.store_stacked_projections = value
+
+    store_assembly_matrices = _FullSolver.store_assembly_matrices
 
     # ------------------------------------------------------------------
     # prepare
@@ -236,14 +260,14 @@ class AnimSnapBasesSolver:
                 Ud = self.U[:, :, d]
                 Ar = Ud.T @ (A_d @ Ud)
                 chols.append(np.linalg.cholesky(Ar))
-            self._chols = jnp.asarray(np.stack(chols))   # (3, r, r)
-            self._solve = None
+            self._chols_np = np.stack(chols)            # (3, r, r)
             self._use_dense = True
+            self._solve = None
         else:
             n3 = A.shape[0]
             self._use_dense = n3 <= self.DENSE_LIMIT
             if self._use_dense:
-                self._chol_full = jnp.linalg.cholesky(jnp.asarray(A.toarray()))
+                self._chol_full_np = np.linalg.cholesky(A.toarray())
             else:
                 self._solve = scipy.sparse.linalg.factorized(A)
 
@@ -268,8 +292,7 @@ class AnimSnapBasesSolver:
     def prepare(self, args, store_fom_info=False, record_path=None):
         if store_fom_info:
             assert record_path is not None
-            from animsnapbases_tpu.sim.solver import Solver
-            Solver.store_assembly_matrices(self, record_path)
+            self.store_assembly_matrices(record_path)
             self.record_path = record_path
 
         if self.dirty:
@@ -281,49 +304,66 @@ class AnimSnapBasesSolver:
         self._build_step()
         self.set_clean()
 
-    # expose the Solver exporter on this class too
-    store_assembly_matrices = None  # replaced below
-
     # ------------------------------------------------------------------
     # step construction
     # ------------------------------------------------------------------
 
+    def _remapped_subsets(self):
+        """Union of vertices the reduced kernels touch + subset data with
+        vertex indices remapped into the compact union ordering."""
+        union = []
+        for rg in self._reduced_groups.values():
+            for key in _VERTEX_KEYS[rg.name]:
+                union.append(np.asarray(rg.subset_data[key]).reshape(-1))
+        union = np.unique(np.concatenate(union)) if union else np.empty(
+            0, np.int64)
+        lookup = np.zeros(self.model.n_verts, dtype=np.int64)
+        lookup[union] = np.arange(len(union))
+        remapped = {}
+        for name, rg in self._reduced_groups.items():
+            sub = dict(rg.subset_data)
+            for key in _VERTEX_KEYS[name]:
+                sub[key] = lookup[np.asarray(sub[key])]
+            remapped[name] = sub
+        return union, remapped
+
     def _build_step(self):
         model = self.model
+        cast = self._cast
         n = model.n_verts
-        mass = jnp.asarray(model.mass)
+        mass = cast(model.mass)
         dt = self.dt
         dt2 = dt * dt
         floor = model.floor_collision
         floor_h = model.floor_height
 
-        # full (non-reduced) groups -> jitted local stage
         full_groups = {name: g for name, g in model.groups.items()
                        if name not in self._reduced_groups}
-        full_model = _GroupView(model, full_groups)
-        local_full = make_local_stage(full_model)
+        only_positional_full = set(full_groups) <= {"positional"}
+        local_full = make_local_stage(_GroupView(model, full_groups))
 
         reduced = []
         for name, rg in self._reduced_groups.items():
-            dev_data = {k: (jnp.asarray(v) if isinstance(v, np.ndarray)
-                            else v) for k, v in rg.subset_data.items()}
-            W = jnp.asarray(rg.W)
+            dev = {k: (cast(v) if isinstance(v, np.ndarray)
+                       and np.issubdtype(v.dtype, np.floating)
+                       else (jnp.asarray(v) if isinstance(v, np.ndarray)
+                             else v))
+                   for k, v in rg.subset_data.items()}
+            W = cast(rg.W)
             rs = (jnp.asarray(rg.row_select)
                   if rg.row_select is not None else None)
-            reduced.append((name, dev_data, W, rs))
+            reduced.append((name, dev, W, rs))
 
-        U = jnp.asarray(self.U) if self.U is not None else None
-        chols = self._chols
-        use_dense = self._use_dense
-        chol_full = getattr(self, "_chol_full", None)
+        U = cast(self.U) if self.U is not None else None
+        chols = cast(self._chols_np) if self.reduced_position else None
+        chol_full = (cast(self._chol_full_np)
+                     if getattr(self, "_chol_full_np", None) is not None
+                     and not self.reduced_position else None)
         reduced_position = self.reduced_position
 
-        def reduced_terms(q):
-            """Hyper-reduced group contributions.  Without position reduction
-            these are full-space (N, 3); with it they are already in reduced
-            coordinates (r, 3) because W includes U^T."""
+        def reduced_terms(q, dev_groups):
             terms = []
-            for name, data, W, rs in reduced:
+            for name, data, W, rs in dev_groups:
                 p = projections.PROJECTION_KERNELS[name](q, data)
                 if rs is not None:
                     p = p[rs]
@@ -332,16 +372,80 @@ class AnimSnapBasesSolver:
             return terms
 
         def local_terms(q, targets):
-            """Full-space rhs for the non-position-reduced path."""
+            """Full-space rhs (non-position-reduced path) + stacked p for
+            recording."""
             b, stacked = local_full(q, targets)
-            for term in reduced_terms(q):
+            for term in reduced_terms(q, reduced):
                 b = b + term
             return b, stacked
 
-        if reduced_position:
-            @partial(jax.jit, static_argnames=("num_iterations",))
-            def step_fn(positions, velocities, fext, targets,
-                        num_iterations=10):
+        self._local_terms = jax.jit(local_terms)
+
+        if reduced_position and only_positional_full:
+            # ---- fully reduced fast path ----
+            union, remapped = self._remapped_subsets()
+            U_sel = cast(self.U[union])                  # (n_sel, r, 3)
+            reduced_sel = []
+            for (name, _, W, rs), sub in zip(reduced,
+                                             remapped.values()):
+                dev = {k: (cast(v) if isinstance(v, np.ndarray)
+                           and np.issubdtype(v.dtype, np.floating)
+                           else (jnp.asarray(v) if isinstance(v, np.ndarray)
+                                 else v))
+                       for k, v in sub.items()}
+                reduced_sel.append((name, dev, W, rs))
+            union_j = jnp.asarray(union)
+
+            pos_group = model.groups.get("positional")
+            if pos_group is not None:
+                # precompute U^T S^T per dim: (3, r, e_pos)
+                ST = pos_group.assembly_scipy(n)
+                UtSt = np.stack([self.U[:, :, d].T @ ST.toarray()
+                                 for d in range(3)])
+                UtSt_j = cast(UtSt)
+            else:
+                UtSt_j = None
+
+            def step_core(positions, velocities, fext, targets,
+                          num_iterations):
+                a = fext / mass[:, None]
+                sn = positions + dt * velocities + dt2 * a
+                if floor:
+                    sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
+                masses_term = (mass / dt2)[:, None] * sn
+                # constant-per-step reduced rhs pieces
+                rb_const = jnp.stack(
+                    [U[:, :, d].T @ masses_term[:, d] for d in range(3)],
+                    axis=1)                               # (r, 3)
+                if UtSt_j is not None:
+                    rb_const = rb_const + jnp.stack(
+                        [UtSt_j[d] @ targets[:, d] for d in range(3)], axis=1)
+
+                def body(_, carry):
+                    q_sel, z = carry
+                    terms = reduced_terms(q_sel, reduced_sel)
+                    rb = rb_const
+                    for t in terms:
+                        rb = rb + t
+                    z_new = jnp.stack(
+                        [jax.scipy.linalg.cho_solve((chols[d], True),
+                                                    rb[:, d])
+                         for d in range(3)], axis=1)      # (r, 3)
+                    q_sel_new = jnp.einsum("nrd,rd->nd", U_sel, z_new)
+                    return q_sel_new, z_new
+
+                r = U.shape[1]
+                z0 = jnp.zeros((r, 3), dtype=sn.dtype)
+                q_sel0 = sn[union_j]
+                _, z = jax.lax.fori_loop(0, num_iterations, body,
+                                         (q_sel0, z0))
+                q = jnp.einsum("nrd,rd->nd", U, z)
+                v = (q - positions) / dt
+                return q, v
+
+        elif reduced_position:
+            def step_core(positions, velocities, fext, targets,
+                          num_iterations):
                 a = fext / mass[:, None]
                 sn = positions + dt * velocities + dt2 * a
                 if floor:
@@ -351,7 +455,7 @@ class AnimSnapBasesSolver:
                 def body(_, q):
                     b_full, _ = local_full(q, targets)
                     b_full = b_full + masses_term
-                    r_terms = reduced_terms(q)
+                    r_terms = reduced_terms(q, reduced)
                     qd = []
                     for d in range(3):
                         rb = U[:, :, d].T @ b_full[:, d]
@@ -365,46 +469,62 @@ class AnimSnapBasesSolver:
                 v = (q - positions) / dt
                 return q, v
 
-            self._step_jit = step_fn
-            self._local_terms = jax.jit(local_terms)
+        elif self._use_dense:
+            def step_core(positions, velocities, fext, targets,
+                          num_iterations):
+                a = fext / mass[:, None]
+                sn = positions + dt * velocities + dt2 * a
+                if floor:
+                    sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
+                masses_term = (mass / dt2)[:, None] * sn
+
+                def body(_, q):
+                    b, _ = local_terms(q, targets)
+                    b = b + masses_term
+                    return jax.scipy.linalg.cho_solve(
+                        (chol_full, True), b.reshape(-1)).reshape(-1, 3)
+
+                q = jax.lax.fori_loop(0, num_iterations, body, sn)
+                v = (q - positions) / dt
+                return q, v
         else:
-            if use_dense:
-                @partial(jax.jit, static_argnames=("num_iterations",))
-                def step_fn(positions, velocities, fext, targets,
-                            num_iterations=10):
-                    a = fext / mass[:, None]
-                    sn = positions + dt * velocities + dt2 * a
-                    if floor:
-                        sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
-                    masses_term = (mass / dt2)[:, None] * sn
+            step_core = None
 
-                    def body(_, q):
-                        b, _ = local_terms(q, targets)
-                        b = b + masses_term
-                        return jax.scipy.linalg.cho_solve(
-                            (chol_full, True), b.reshape(-1)).reshape(-1, 3)
+        if step_core is not None:
+            self._step_jit = jax.jit(step_core,
+                                     static_argnames=("num_iterations",))
 
-                    q = jax.lax.fori_loop(0, num_iterations, body, sn)
-                    v = (q - positions) / dt
-                    return q, v
+            @partial(jax.jit, static_argnames=("num_steps", "num_iterations"))
+            def run_fn(positions, velocities, fext, targets, num_steps,
+                       num_iterations):
+                def body(carry, _):
+                    p, v = carry
+                    return step_core(p, v, fext, targets, num_iterations), None
 
-                self._step_jit = step_fn
-            else:
-                self._step_jit = None
-            self._local_terms = jax.jit(local_terms)
+                (p, v), _ = jax.lax.scan(body, (positions, velocities), None,
+                                         length=num_steps)
+                return p, v
+
+            self._run_jit = run_fn
+        else:
+            self._step_jit = None
+            self._run_jit = None
 
     # ------------------------------------------------------------------
+    # stepping
+    # ------------------------------------------------------------------
+
     def step(self, fext, num_iterations=10):
         model = self.model
         dt = self.dt
-        targets = jnp.asarray(model.positional_targets(self.frame))
-        fext = jnp.asarray(fext)
+        targets = self._cast(model.positional_targets(self.frame))
+        fext = self._cast(fext)
 
         use_jit = self._step_jit is not None and (
-            not self.store_stacked_projections or self.reduced_position)
+            not self.store_stacked_projections)
         if use_jit:
-            q, v = self._step_jit(jnp.asarray(model.positions),
-                                  jnp.asarray(model.velocities), fext,
+            q, v = self._step_jit(self._cast(model.positions),
+                                  self._cast(model.velocities), fext,
                                   targets, num_iterations=num_iterations)
             q_next = np.asarray(q)
             if self.enable_self_collision:
@@ -427,15 +547,19 @@ class AnimSnapBasesSolver:
             explicit, corr = collisions.resolve_floor_collision(
                 explicit, model.floor_height)
             model.positions_corrections = corr
-        masses_term = jnp.asarray((model.mass / dt2)[:, None] * explicit)
-        q = jnp.asarray(explicit)
+        masses_term = self._cast((model.mass / dt2)[:, None] * explicit)
+        q = self._cast(explicit)
         stacked = {}
         for _ in range(num_iterations):
             b, stacked = self._local_terms(q, targets)
             b = b + masses_term
             if self._use_dense and not self.reduced_position:
+                chol = self._cast(self._chol_full_np)
                 q = jax.scipy.linalg.cho_solve(
-                    (self._chol_full, True), b.reshape(-1)).reshape(-1, 3)
+                    (chol, True), b.reshape(-1)).reshape(-1, 3)
+            elif self.reduced_position:
+                raise RuntimeError(
+                    "recording is not supported with position reduction")
             else:
                 q = jnp.asarray(unflatten(
                     self._solve(np.asarray(b).flatten())))
@@ -453,9 +577,26 @@ class AnimSnapBasesSolver:
         model.positions = q_next
         self.frame += 1
 
+    def run_steps(self, fext, num_steps, num_iterations=10):
+        """Advance ``num_steps`` steps fully on device (single dispatch).
+        Positional targets are held at the current frame's values."""
+        if self._run_jit is None:
+            for _ in range(num_steps):
+                self.step(fext, num_iterations)
+            return
+        model = self.model
+        targets = self._cast(model.positional_targets(self.frame))
+        p, v = self._run_jit(self._cast(model.positions),
+                             self._cast(model.velocities), self._cast(fext),
+                             targets, num_steps=num_steps,
+                             num_iterations=num_iterations)
+        model.positions = np.asarray(p)
+        model.velocities = np.asarray(v)
+        self.frame += num_steps
+
     def _record_frame(self, stacked):
         for name, p in stacked.items():
-            if name == "positional" or name.endswith("__reduced"):
+            if name == "positional":
                 continue
             self._recorded.setdefault(name, {})[str(self.frame)] = (
                 np.asarray(p))
@@ -464,17 +605,3 @@ class AnimSnapBasesSolver:
             for name, frames in self._recorded.items():
                 np.savez(os.path.join(self.record_path, name + "_p.npz"),
                          **frames)
-
-
-class _GroupView:
-    """Lightweight model facade exposing a subset of groups to
-    make_local_stage."""
-
-    def __init__(self, model, groups):
-        self.groups = groups
-        self.n_verts = model.n_verts
-
-
-from animsnapbases_tpu.sim.solver import Solver as _Solver  # noqa: E402
-
-AnimSnapBasesSolver.store_assembly_matrices = _Solver.store_assembly_matrices
