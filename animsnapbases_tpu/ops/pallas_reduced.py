@@ -1,0 +1,209 @@
+"""Pallas TPU kernel: the fully-reduced PD local-global iteration loop.
+
+The fully-reduced step's per-iteration work (selected-element constraint
+projections, W-matrix rhs accumulation, r x r inverse solve, lift to the
+selected vertices) is a few dozen tiny ops — launched as separate XLA
+kernels they cost ~20 us/iteration in launch overhead alone.  This module
+fuses the entire ``num_iterations`` loop into ONE ``pallas_call``: all
+operands (a few hundred KB) live in VMEM, gathers are expressed as one-hot
+matmuls, and the 2x2 strain SVD clamp uses the closed-form rotation-angle
+formula (:mod:`animsnapbases_tpu.ops.strain2d`).
+
+Data layout is dims-leading / elements-last so the element axis maps to VPU
+lanes: positions are (3, n_sel), per-element scalars are (1, m).
+
+Currently fused group kinds: ``tris_strain`` and ``edge_spring`` (DEIM row
+form).  Other group kinds fall back to the XLA path in the reduced solver.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from animsnapbases_tpu.ops.strain2d import clamped_fhat_2x2
+
+FUSIBLE_KINDS = ("tris_strain", "edge_spring")
+
+
+def _onehot(rows: np.ndarray, n_cols: int, dtype) -> np.ndarray:
+    m = len(rows)
+    g = np.zeros((m, n_cols), dtype=dtype)
+    g[np.arange(m), rows] = 1
+    return g
+
+
+def pack_tris_strain(subset_data: dict, lookup: np.ndarray, W: np.ndarray,
+                     row_select: np.ndarray, dtype) -> dict:
+    """Host-side packing of a DEIM-selected tri-strain group.
+
+    subset_data: sliced SoA rest data (global vertex ids); lookup maps global
+    vertex id -> selected-union index; W (3, r, m); row_select (m,) picks one
+    of the 2 projection rows per element."""
+    faces = lookup[np.asarray(subset_data["faces"])]
+    m = faces.shape[0]
+    n_sel = int(lookup.max()) + 1 if len(lookup) else 0
+    P = np.asarray(subset_data["P"])          # (m, 3, 2)
+    D = np.asarray(subset_data["DmInv"])      # (m, 2, 2)
+    row_is0 = (row_select % 2 == 0).astype(dtype)
+    return {
+        "kind": "tris_strain",
+        "arrays": [
+            _onehot(faces[:, 0], n_sel, dtype),
+            _onehot(faces[:, 1], n_sel, dtype),
+            _onehot(faces[:, 2], n_sel, dtype),
+            P[:, :, 0].T.astype(dtype),                    # P0T (3, m)
+            P[:, :, 1].T.astype(dtype),                    # P1T (3, m)
+            np.stack([D[:, 0, 0], D[:, 0, 1],
+                      D[:, 1, 0], D[:, 1, 1]]).astype(dtype),   # (4, m)
+            row_is0[None, :],                              # (1, m)
+            np.ascontiguousarray(W.transpose(0, 2, 1)).astype(dtype),  # WT (3, m, r)
+        ],
+        "smin": float(subset_data["sigma_min"]),
+        "smax": float(subset_data["sigma_max"]),
+    }
+
+
+def pack_edge_spring(subset_data: dict, lookup: np.ndarray, W: np.ndarray,
+                     dtype) -> dict:
+    edges = lookup[np.asarray(subset_data["edges"])]
+    n_sel = int(lookup.max()) + 1 if len(lookup) else 0
+    rest = np.asarray(subset_data["rest_length"]).astype(dtype)
+    return {
+        "kind": "edge_spring",
+        "arrays": [
+            _onehot(edges[:, 0], n_sel, dtype),
+            _onehot(edges[:, 1], n_sel, dtype),
+            rest[None, :],                                 # (1, m)
+            np.ascontiguousarray(W.transpose(0, 2, 1)).astype(dtype),  # WT (3, m, r)
+        ],
+    }
+
+
+def _dot(a, b):
+    # accumulate in the operand precision (f32 on TPU, f64 in x64 tests)
+    return jnp.dot(a, b, preferred_element_type=a.dtype)
+
+
+def _tri_term(qT, arrays, smin, smax):
+    """(3, n_sel) -> rhs contribution (3, r) of a fused tri-strain group."""
+    G1, G2, G3, P0T, P1T, Dm, row_is0, WT = arrays
+    V1 = _dot(qT, G1.T)       # (3, m)
+    V2 = _dot(qT, G2.T)
+    V3 = _dot(qT, G3.T)
+    e1 = V2 - V1
+    e2 = V3 - V1
+    # Ds2d = P^T [e1 e2]  (per element 2x2), F = Ds2d @ DmInv
+    a_ = jnp.sum(P0T * e1, axis=0, keepdims=True)          # (1, m)
+    b_ = jnp.sum(P0T * e2, axis=0, keepdims=True)
+    c_ = jnp.sum(P1T * e1, axis=0, keepdims=True)
+    d_ = jnp.sum(P1T * e2, axis=0, keepdims=True)
+    D00, D01, D10, D11 = Dm[0:1], Dm[1:2], Dm[2:3], Dm[3:4]
+    F00 = a_ * D00 + b_ * D10
+    F01 = a_ * D01 + b_ * D11
+    F10 = c_ * D00 + d_ * D10
+    F11 = c_ * D01 + d_ * D11
+    f00, f01, f10, f11 = clamped_fhat_2x2(F00, F01, F10, F11, smin, smax)
+    # pi row j of element: (P @ Fhat)[:, j]; select row 0 or 1 per element
+    fh0 = jnp.where(row_is0 > 0, f00, f01)                 # (1, m)
+    fh1 = jnp.where(row_is0 > 0, f10, f11)
+    p_sel = P0T * fh0 + P1T * fh1                          # (3, m)
+    # rhs rows: p_sel[d] (1, m) @ WT[d] (m, r) -> (1, r); keep 2-D for Mosaic
+    return jnp.concatenate(
+        [_dot(p_sel[d:d + 1], WT[d]) for d in range(3)], axis=0)
+
+
+def _spring_term(qT, arrays):
+    E0, E1, rest, WT = arrays
+    V0 = _dot(qT, E0.T)
+    V1 = _dot(qT, E1.T)
+    spring = V1 - V0                                       # (3, m)
+    length = jnp.sqrt(jnp.sum(spring * spring, axis=0, keepdims=True))
+    inv_len = jnp.where(length > 0, 1.0 / jnp.maximum(length, 1e-30), 0.0)
+    n = spring * inv_len
+    delta = 0.5 * (length - rest)
+    p = 0.5 * spring - delta * n                           # (3, m)
+    p = jnp.where(length > 0, p, 0.0)
+    return jnp.concatenate(
+        [_dot(p[d:d + 1], WT[d]) for d in range(3)], axis=0)
+
+
+def build_fused_reduced_iterations(groups: list[dict], U_selT: np.ndarray,
+                                   inv3: np.ndarray,
+                                   interpret: bool = False):
+    """Returns jitted fn(snT_sel (3, n_sel), rb_const (3, r),
+    num_iterations) -> u (3, r) running the full iteration loop in one
+    pallas_call (num_iterations is static).
+
+    groups: packed dicts from pack_tris_strain / pack_edge_spring.
+    U_selT: (3, r, n_sel); inv3: (3, r, r).
+    """
+    dtype = U_selT.dtype
+    flat_arrays = []
+    layout = []
+    for g in groups:
+        layout.append((g["kind"], len(g["arrays"]),
+                       g.get("smin"), g.get("smax")))
+        flat_arrays.extend(g["arrays"])
+
+    n_inputs = 4 + len(flat_arrays)
+    r = inv3.shape[1]
+    out_shape = jax.ShapeDtypeStruct((3, r), dtype)
+    specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_inputs)]
+    const_inputs = [jnp.asarray(U_selT), jnp.asarray(inv3)] + [
+        jnp.asarray(a) for a in flat_arrays]
+
+    @partial(jax.jit, static_argnames=("num_iterations",))
+    def run(snT_sel, rb_const, num_iterations):
+        def kernel(*refs):
+            snT_ref, rbc_ref, usel_ref, inv_ref = refs[:4]
+            garrs = [ref[:] for ref in refs[4:n_inputs]]
+            out_ref = refs[n_inputs]
+
+            snT = snT_ref[:]
+            rbc = rbc_ref[:]
+            usel = usel_ref[:]
+            inv = inv_ref[:]
+
+            def body(i, carry):
+                qT, _ = carry
+                rb = rbc
+                off = 0
+                for kind, cnt, smin, smax in layout:
+                    arrs = garrs[off:off + cnt]
+                    off += cnt
+                    if kind == "tris_strain":
+                        rb = rb + _tri_term(qT, arrs, smin, smax)
+                    elif kind == "edge_spring":
+                        rb = rb + _spring_term(qT, arrs)
+                    else:
+                        raise ValueError(kind)
+                # inv(Ar) is symmetric, so the row form rb_d @ inv[d]
+                # equals inv[d] @ rb_d — keeps all dots 2-D for Mosaic
+                u = jnp.concatenate(
+                    [_dot(rb[d:d + 1], inv[d]) for d in range(3)],
+                    axis=0)                                   # (3, r)
+                qT_new = snT + jnp.concatenate(
+                    [_dot(u[d:d + 1], usel[d]) for d in range(3)],
+                    axis=0)                                   # (3, n_sel)
+                return qT_new, u
+
+            u0 = jnp.zeros((3, r), dtype=snT.dtype)
+            _, u = jax.lax.fori_loop(0, num_iterations, body, (snT, u0))
+            out_ref[:] = u
+
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            in_specs=specs,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(snT_sel, rb_const, *const_inputs)
+
+    return run

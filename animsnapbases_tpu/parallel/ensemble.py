@@ -1,0 +1,224 @@
+"""Sharded PD stepping over a jax.sharding.Mesh.
+
+Two composable strategies:
+
+* :func:`make_ensemble_step` — data parallelism over a batch of independent
+  simulations: state arrays (B, N, 3) are sharded on the batch axis; the
+  single-sim step is vmapped; XLA partitions everything with no collectives.
+
+* :func:`make_element_sharded_step` — model parallelism inside one
+  simulation: every constraint group's element axis is split across the mesh
+  axis with ``shard_map``; each shard assembles its partial S^T p and the
+  full rhs is one ``psum`` over ICI; the prefactored dense solve runs
+  replicated (it is tiny next to the projection work at scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from animsnapbases_tpu.sim import projections
+from animsnapbases_tpu.sim.solver import build_global_matrix
+
+
+def build_device_mesh(shape: tuple[int, ...], axis_names: tuple[str, ...],
+                      devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = int(np.prod(shape))
+    if len(devices) < n:
+        raise ValueError(f"mesh {shape} needs {n} devices, "
+                         f"have {len(devices)}")
+    dev = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev, axis_names)
+
+
+def _single_sim_step_core(model, dt, dtype=None):
+    """Pure single-sim full-order step (dense Cholesky path) suitable for
+    vmap/shard_map composition."""
+    from animsnapbases_tpu.sim.solver import make_local_stage
+
+    cast = (lambda x: jnp.asarray(x, dtype=dtype)) if dtype else jnp.asarray
+    n = model.n_verts
+    mass = cast(model.mass)
+    dt2 = dt * dt
+    floor = model.floor_collision
+    floor_h = model.floor_height
+    A = build_global_matrix(model, dt).toarray()
+    chol = cast(np.linalg.cholesky(A))
+    local = make_local_stage(model)
+    targets0 = cast(model.positional_targets(0))
+
+    def step_core(positions, velocities, fext, num_iterations=4):
+        a = fext / mass[:, None]
+        sn = positions + dt * velocities + dt2 * a
+        if floor:
+            sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
+        masses_term = (mass / dt2)[:, None] * sn
+
+        def body(_, q):
+            b, _ = local(q, targets0)
+            b = b + masses_term
+            return jax.scipy.linalg.cho_solve(
+                (chol, True), b.reshape(-1)).reshape(-1, 3)
+
+        q = jax.lax.fori_loop(0, num_iterations, body, sn)
+        return q, (q - positions) / dt
+
+    return step_core
+
+
+def make_ensemble_step(model, dt, mesh: Mesh, batch_axis: str = "data",
+                       dtype=None):
+    """Batched step over B independent sims, sharded on ``batch_axis``.
+
+    Returns (step(positions (B,N,3), velocities, fext) -> (pos', vel'),
+    shard(x) placing a batch array with the right sharding).
+    """
+    core = _single_sim_step_core(model, dt, dtype)
+    spec = NamedSharding(mesh, P(batch_axis))
+
+    @jax.jit
+    def step(positions, velocities, fext):
+        positions = jax.lax.with_sharding_constraint(positions, spec)
+        velocities = jax.lax.with_sharding_constraint(velocities, spec)
+        q, v = jax.vmap(lambda p, vl, f: core(p, vl, f))(positions,
+                                                         velocities, fext)
+        return q, v
+
+    def shard(x):
+        return jax.device_put(jnp.asarray(x, dtype=dtype), spec)
+
+    return step, shard
+
+
+def _pad_to(x: np.ndarray, size: int, fill=0):
+    pad = size - x.shape[0]
+    if pad == 0:
+        return x
+    pad_block = np.full((pad,) + x.shape[1:], fill, dtype=x.dtype)
+    return np.concatenate([x, pad_block], axis=0)
+
+
+def make_element_sharded_step(model, dt, mesh: Mesh,
+                              elem_axis: str = "model", dtype=None,
+                              num_iterations: int = 4):
+    """One simulation with every constraint group's elements sharded over
+    ``elem_axis``.  q is replicated; each shard computes its elements'
+    projections and partial S^T p; the rhs is psum'ed; the dense solve runs
+    replicated.
+
+    Padding: element counts are padded to a multiple of the axis size with
+    zero-weight dummy elements (their S^T triplets carry zero values, so
+    they contribute nothing).
+    """
+    n_shards = mesh.shape[elem_axis]
+    cast = (lambda x: jnp.asarray(x, dtype=dtype)) if dtype else jnp.asarray
+    n = model.n_verts
+    mass = cast(model.mass)
+    dt2 = dt * dt
+    floor = model.floor_collision
+    floor_h = model.floor_height
+    A = build_global_matrix(model, dt).toarray()
+    chol = cast(np.linalg.cholesky(A))
+
+    # build padded, shard-ready group arrays
+    sharded_groups = []
+    for name, g in model.groups.items():
+        if name == "positional":
+            continue
+        e = g.num
+        e_pad = ((e + n_shards - 1) // n_shards) * n_shards
+        data = {}
+        for k, v in g.data.items():
+            if isinstance(v, np.ndarray) and v.shape[:1] == (e,):
+                fill = 0
+                data[k] = _pad_to(v, e_pad, fill)
+            else:
+                data[k] = v
+        # rebuild COO of S^T in per-element dense form: (e, p, max_verts)
+        # simpler: pad the COO by element id; S^T triplets are grouped by
+        # element via st_cols // p
+        elem_of_entry = g.st_cols // g.p
+        rows, cols, vals = g.st_rows, g.st_cols, g.st_vals
+        # entries per element are equal-count by construction; sort by elem
+        order = np.argsort(elem_of_entry, kind="stable")
+        per_elem = len(rows) // e
+        rows = rows[order].reshape(e, per_elem)
+        cols_local = (cols[order] % g.p).reshape(e, per_elem)
+        vals_ = vals[order].reshape(e, per_elem)
+        rows = _pad_to(rows, e_pad)
+        cols_local = _pad_to(cols_local, e_pad)
+        vals_ = _pad_to(vals_, e_pad)          # zero values on padding
+        sharded_groups.append((name, g.p, e_pad, data, rows, cols_local,
+                               vals_))
+
+    # split each group's data into sharded arrays (element-leading axis) and
+    # statics (scalars/flags/replicated arrays) closed over in the kernel
+    group_meta = []          # (name, p, statics)
+    group_arrays = []        # pytrees passed through shard_map
+    group_specs = []
+    for name, p, e_pad, data, rows, cols_local, vals_ in sharded_groups:
+        arrays, specs, statics = {}, {}, {}
+        for k, v in data.items():
+            if isinstance(v, np.ndarray) and v.shape[:1] == (e_pad,):
+                arrays[k] = (cast(v) if np.issubdtype(v.dtype, np.floating)
+                             else jnp.asarray(v))
+                specs[k] = P(elem_axis)
+            else:
+                statics[k] = v
+        group_meta.append((name, p, statics))
+        group_arrays.append((arrays, jnp.asarray(rows),
+                             jnp.asarray(cols_local), cast(vals_)))
+        group_specs.append((specs, P(elem_axis), P(elem_axis), P(elem_axis)))
+
+    def partial_rhs(q, *per_group):
+        """Runs per shard: local projections of this shard's elements +
+        partial S^T p, then one psum over the element axis."""
+        b = jnp.zeros((n, 3), dtype=q.dtype)
+        for (name, p, statics), (arrays, rows, cols_local, vals_) in zip(
+                group_meta, per_group):
+            data = dict(arrays)
+            data.update(statics)
+            pk = projections.PROJECTION_KERNELS[name](q, data)  # (e_l*p, 3)
+            e_l = rows.shape[0]
+            # entry (i, j) of the S^T block uses row cols_local[i, j] of
+            # element i's p projection rows
+            p_rows = pk.reshape(e_l, p, 3)
+            gathered = jnp.take_along_axis(
+                p_rows, cols_local[:, :, None].astype(jnp.int32), axis=1)
+            contrib = vals_[:, :, None] * gathered
+            b = b + jax.ops.segment_sum(contrib.reshape(-1, 3),
+                                        rows.reshape(-1), num_segments=n)
+        return jax.lax.psum(b, elem_axis)
+
+    sharded_rhs = shard_map(
+        partial_rhs, mesh=mesh,
+        in_specs=(P(),) + tuple(group_specs),
+        out_specs=P())
+
+    @jax.jit
+    def step(positions, velocities, fext):
+        a = fext / mass[:, None]
+        sn = positions + dt * velocities + dt2 * a
+        if floor:
+            sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
+        masses_term = (mass / dt2)[:, None] * sn
+
+        def body(_, q):
+            b = sharded_rhs(q, *group_arrays)
+            b = b + masses_term
+            return jax.scipy.linalg.cho_solve(
+                (chol, True), b.reshape(-1)).reshape(-1, 3)
+
+        q = jax.lax.fori_loop(0, num_iterations, body, sn)
+        return q, (q - positions) / dt
+
+    return step

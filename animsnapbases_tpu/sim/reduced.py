@@ -172,9 +172,13 @@ class AnimSnapBasesSolver:
 
     DENSE_LIMIT = 2400
 
-    def __init__(self, args, dtype=None):
+    def __init__(self, args, dtype=None, pallas_mode: str = "auto"):
         self.args = args
         self.dtype = dtype   # None: float64 under x64, else float32
+        # "auto": fuse the iteration loop into one Pallas kernel when on TPU
+        # and all reduced groups are fusible; "interpret": force the kernel
+        # in interpreter mode (CPU testing); "off": always XLA
+        self.pallas_mode = pallas_mode
         self.model: DeformableModel | None = None
         self.dirty = True
         self.dt = None
@@ -254,13 +258,26 @@ class AnimSnapBasesSolver:
         A = build_global_matrix(self.model, self.dt)
         if self.reduced_position:
             self._load_position_basis()
-            chols = []
+            # Displacement-form reduction: solve A u = c - A_c sn with
+            # q = sn + U u.  Mathematically equivalent to projecting
+            # A q = M/dt^2 sn + c, but the huge pinned-mass rhs terms cancel
+            # analytically, which keeps the reduced rhs at elastic scale —
+            # essential for float32 on TPU.  The r x r systems are solved by
+            # a precomputed inverse (one small matmul on the MXU) instead of
+            # a serial triangular solve.
+            invs, ut_ac = [], []
+            dt2_inv = 1.0 / (self.dt * self.dt)
             for d in range(3):
                 A_d = A[d::3, d::3]
                 Ud = self.U[:, :, d]
                 Ar = Ud.T @ (A_d @ Ud)
-                chols.append(np.linalg.cholesky(Ar))
-            self._chols_np = np.stack(chols)            # (3, r, r)
+                invs.append(np.linalg.inv(Ar))
+                Ac_d = (A_d - scipy.sparse.diags(
+                    self.model.mass * dt2_inv)).tocsr()
+                ut_ac.append(np.asarray((Ac_d.T @ Ud).T))   # (r, N) dense
+            self._inv_np = np.stack(invs)               # (3, r, r)
+            self._ut_ac_np = np.stack(
+                [np.asarray(m) for m in ut_ac])         # (3, r, N)
             self._use_dense = True
             self._solve = None
         else:
@@ -327,6 +344,48 @@ class AnimSnapBasesSolver:
             remapped[name] = sub
         return union, remapped
 
+    def _try_build_pallas(self, union: np.ndarray, remapped: dict):
+        """Build the fused Pallas iteration kernel when every reduced group
+        is fusible (tris_strain / edge_spring in DEIM row form).  Returns
+        the runner or None (XLA fallback)."""
+        if self.pallas_mode == "off" or len(union) == 0:
+            return None
+        import jax as _jax
+
+        from animsnapbases_tpu.ops.pallas_reduced import (
+            FUSIBLE_KINDS,
+            build_fused_reduced_iterations,
+            pack_edge_spring,
+            pack_tris_strain,
+        )
+
+        np_dtype = (np.float32 if self.dtype == jnp.float32 else np.float64)
+        interpret = (self.pallas_mode == "interpret"
+                     or _jax.default_backend() != "tpu")
+        if self.pallas_mode == "auto" and _jax.default_backend() != "tpu":
+            return None   # interpreter mode is for explicit testing only
+
+        ident = np.arange(len(union))
+        packed = []
+        for name, rg in self._reduced_groups.items():
+            sub = remapped[name]
+            if name == "tris_strain" and rg.row_select is not None:
+                packed.append(pack_tris_strain(
+                    sub, ident, rg.W.astype(np_dtype), rg.row_select,
+                    np_dtype))
+            elif name == "edge_spring" and rg.row_select is not None:
+                packed.append(pack_edge_spring(
+                    sub, ident, rg.W.astype(np_dtype), np_dtype))
+            elif name not in FUSIBLE_KINDS:
+                return None
+            else:
+                return None
+        U_selT = np.ascontiguousarray(
+            self.U[union].transpose(2, 1, 0)).astype(np_dtype)  # (3, r, nsel)
+        inv3 = self._inv_np.astype(np_dtype)
+        return build_fused_reduced_iterations(packed, U_selT, inv3,
+                                              interpret=interpret)
+
     def _build_step(self):
         model = self.model
         cast = self._cast
@@ -355,7 +414,8 @@ class AnimSnapBasesSolver:
             reduced.append((name, dev, W, rs))
 
         U = cast(self.U) if self.U is not None else None
-        chols = cast(self._chols_np) if self.reduced_position else None
+        inv3 = cast(self._inv_np) if self.reduced_position else None
+        ut_ac = cast(self._ut_ac_np) if self.reduced_position else None
         chol_full = (cast(self._chol_full_np)
                      if getattr(self, "_chol_full_np", None) is not None
                      and not self.reduced_position else None)
@@ -367,8 +427,7 @@ class AnimSnapBasesSolver:
                 p = projections.PROJECTION_KERNELS[name](q, data)
                 if rs is not None:
                     p = p[rs]
-                terms.append(jnp.stack([W[d] @ p[:, d] for d in range(3)],
-                                       axis=1))
+                terms.append(jnp.einsum("dop,pd->od", W, p))
             return terms
 
         def local_terms(q, targets):
@@ -406,40 +465,42 @@ class AnimSnapBasesSolver:
             else:
                 UtSt_j = None
 
+            fused_run = self._try_build_pallas(union, remapped)
+
             def step_core(positions, velocities, fext, targets,
                           num_iterations):
                 a = fext / mass[:, None]
                 sn = positions + dt * velocities + dt2 * a
                 if floor:
                     sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
-                masses_term = (mass / dt2)[:, None] * sn
-                # constant-per-step reduced rhs pieces
-                rb_const = jnp.stack(
-                    [U[:, :, d].T @ masses_term[:, d] for d in range(3)],
-                    axis=1)                               # (r, 3)
+                # displacement form: rb_const = -U^T A_c sn (+ positional)
+                rb_const = -jnp.einsum("drn,nd->rd", ut_ac, sn)
                 if UtSt_j is not None:
                     rb_const = rb_const + jnp.stack(
                         [UtSt_j[d] @ targets[:, d] for d in range(3)], axis=1)
 
-                def body(_, carry):
-                    q_sel, z = carry
-                    terms = reduced_terms(q_sel, reduced_sel)
-                    rb = rb_const
-                    for t in terms:
-                        rb = rb + t
-                    z_new = jnp.stack(
-                        [jax.scipy.linalg.cho_solve((chols[d], True),
-                                                    rb[:, d])
-                         for d in range(3)], axis=1)      # (r, 3)
-                    q_sel_new = jnp.einsum("nrd,rd->nd", U_sel, z_new)
-                    return q_sel_new, z_new
+                sn_sel = sn[union_j]
 
-                r = U.shape[1]
-                z0 = jnp.zeros((r, 3), dtype=sn.dtype)
-                q_sel0 = sn[union_j]
-                _, z = jax.lax.fori_loop(0, num_iterations, body,
-                                         (q_sel0, z0))
-                q = jnp.einsum("nrd,rd->nd", U, z)
+                if fused_run is not None:
+                    u3 = fused_run(sn_sel.T, rb_const.T, num_iterations)
+                    u = u3.T                                      # (r, 3)
+                else:
+                    def body(_, carry):
+                        q_sel, u = carry
+                        terms = reduced_terms(q_sel, reduced_sel)
+                        rb = rb_const
+                        for t in terms:
+                            rb = rb + t
+                        u_new = jnp.einsum("drs,sd->rd", inv3, rb)  # (r, 3)
+                        q_sel_new = sn_sel + jnp.einsum("nrd,rd->nd",
+                                                        U_sel, u_new)
+                        return q_sel_new, u_new
+
+                    r = U.shape[1]
+                    u0 = jnp.zeros((r, 3), dtype=sn.dtype)
+                    _, u = jax.lax.fori_loop(0, num_iterations, body,
+                                             (sn_sel, u0))
+                q = sn + jnp.einsum("nrd,rd->nd", U, u)
                 v = (q - positions) / dt
                 return q, v
 
@@ -450,20 +511,16 @@ class AnimSnapBasesSolver:
                 sn = positions + dt * velocities + dt2 * a
                 if floor:
                     sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
-                masses_term = (mass / dt2)[:, None] * sn
+                rb_base = -jnp.einsum("drn,nd->rd", ut_ac, sn)
 
                 def body(_, q):
-                    b_full, _ = local_full(q, targets)
-                    b_full = b_full + masses_term
+                    b_full, _ = local_full(q, targets)   # constraint terms
                     r_terms = reduced_terms(q, reduced)
-                    qd = []
-                    for d in range(3):
-                        rb = U[:, :, d].T @ b_full[:, d]
-                        for term in r_terms:
-                            rb = rb + term[:, d]
-                        z = jax.scipy.linalg.cho_solve((chols[d], True), rb)
-                        qd.append(U[:, :, d] @ z)
-                    return jnp.stack(qd, axis=1)
+                    rb = rb_base + jnp.einsum("nrd,nd->rd", U, b_full)
+                    for term in r_terms:
+                        rb = rb + term
+                    u = jnp.einsum("drs,sd->rd", inv3, rb)
+                    return sn + jnp.einsum("nrd,rd->nd", U, u)
 
                 q = jax.lax.fori_loop(0, num_iterations, body, sn)
                 v = (q - positions) / dt
@@ -494,15 +551,16 @@ class AnimSnapBasesSolver:
             self._step_jit = jax.jit(step_core,
                                      static_argnames=("num_iterations",))
 
-            @partial(jax.jit, static_argnames=("num_steps", "num_iterations"))
+            @partial(jax.jit, static_argnames=("num_iterations",))
             def run_fn(positions, velocities, fext, targets, num_steps,
                        num_iterations):
-                def body(carry, _):
+                # dynamic trip count: one compilation serves any num_steps
+                def body(_, carry):
                     p, v = carry
-                    return step_core(p, v, fext, targets, num_iterations), None
+                    return step_core(p, v, fext, targets, num_iterations)
 
-                (p, v), _ = jax.lax.scan(body, (positions, velocities), None,
-                                         length=num_steps)
+                p, v = jax.lax.fori_loop(0, num_steps, body,
+                                         (positions, velocities))
                 return p, v
 
             self._run_jit = run_fn

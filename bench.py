@@ -1,0 +1,275 @@
+"""Benchmark: reduced projective-dynamics throughput on the bunny mesh.
+
+Pipeline (cached in bench_cache/ after the first run):
+  1. load bunny.obj (reference data mount) or a bunny-scale procedural cloth
+  2. full-order PD run recording constraint projections + trajectory
+  3. pod_vectorized + DEIM constraint bases, POD position basis
+  4. fully-reduced solver (position reduction + hyper-reduced groups),
+     timed with the device-resident multi-step scan
+
+Prints ONE JSON line:
+  {"metric": "reduced_pd_steps_per_sec_bunny", "value": N,
+   "unit": "steps/s", "vs_baseline": N / 10000}
+(baseline: BASELINE.md target of 10k steps/s on one v5e chip)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_cache")
+BUNNY_PATH = "/root/reference/data/bunny.obj"
+BASELINE_STEPS_PER_SEC = 10_000.0
+
+FOM_FRAMES = 48
+FOM_ITERS = 4
+POS_MODES = 64
+CONSTR_MODES = 40
+WI = 1e4
+DT = 0.016
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def load_mesh():
+    if os.path.exists(BUNNY_PATH):
+        from animsnapbases_tpu.io.meshes import load_obj
+        V, F = load_obj(BUNNY_PATH)
+        name = "bunny"
+    else:
+        from animsnapbases_tpu.geometry.procedural import cloth_model
+        V, F = cloth_model(120, 120)
+        V = V / 120.0
+        V[:, 2] += 0.05 * V[:, 0]
+        name = "bunny-scale-cloth"
+    # normalize to unit-ish box
+    V = V - V.mean(axis=0)
+    V = V / np.abs(V).max()
+    return V.astype(np.float64), F.astype(np.int64), name
+
+
+def build_model(V, F):
+    from animsnapbases_tpu.sim.model import DeformableModel
+
+    model = DeformableModel(V, F, masses=np.full(len(V), 10.0),
+                            floor_collision=True, init_height_shift=2.0)
+    model.add_tri_constrain_strain(0.95, 1.05, wi=WI)
+    model.add_edge_spring_constraint(wi=WI)
+    # pin the topmost vertices so the body hangs
+    top = np.where(model.positions[:, 1]
+                   > np.quantile(model.positions[:, 1], 0.99))[0]
+    for vi in top:
+        model.fix(vi)
+    return model
+
+
+def gravity(model):
+    f = np.zeros_like(model.positions)
+    f[:, 1] = -9.81 * 10.0
+    return f
+
+
+def run_fom_and_bases():
+    """Produce (and cache) all artifacts the reduced solver needs.
+
+    The FOM stage uses a host sparse LU per iteration; pinning JAX's default
+    device to the host CPU here avoids a device<->host roundtrip over the
+    (high-latency) TPU tunnel for every local/global sweep.
+    """
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        return _run_fom_and_bases_impl()
+
+
+def _run_fom_and_bases_impl():
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    done_marker = os.path.join(BENCH_DIR, "ready.json")
+    if os.path.exists(done_marker):
+        with open(done_marker) as f:
+            return json.load(f)
+
+    from animsnapbases_tpu.bases.position_reduction import (
+        position_basis_from_trajectory, save_position_basis)
+    from animsnapbases_tpu.sim.reduced import prepare_reduced_group
+    from animsnapbases_tpu.sim.solver import Solver
+
+    V, F, name = load_mesh()
+    log(f"[bench] mesh {name}: {len(V)} verts, {len(F)} tris")
+
+    model = build_model(V, F)
+    solver = Solver()
+    solver.set_model(model)
+
+    t0 = time.perf_counter()
+    from animsnapbases_tpu.config.sim_config import default_sim_args
+    args = default_sim_args()
+    args.dt = DT
+    solver.prepare(args)
+    log(f"[bench] FOM prepare (sparse LU) {time.perf_counter() - t0:.1f}s")
+
+    record = os.path.join(BENCH_DIR, "FOM")
+    solver.store_assembly_matrices(record)
+    solver.set_record_path(record)
+    solver.set_store_p(True)
+    solver.max_p_snapshots_num = FOM_FRAMES - 1
+
+    t0 = time.perf_counter()
+    traj = []
+    for _ in range(FOM_FRAMES):
+        solver.step(gravity(model), num_iterations=FOM_ITERS)
+        traj.append(model.positions.copy())
+    traj = np.array(traj)
+    log(f"[bench] FOM {FOM_FRAMES} frames in {time.perf_counter() - t0:.1f}s")
+
+    # constraint bases: pod_vectorized + DEIM per group, straight from the
+    # recorded tensors (no config indirection needed here)
+    from animsnapbases_tpu.ops.podlinalg import snapshot_pod
+    import jax.numpy as jnp
+
+    basis_dir = os.path.join(BENCH_DIR, "bases")
+    for gname in ("tris_strain", "edge_spring"):
+        data = np.load(os.path.join(record, gname + "_p.npz"))
+        frames = np.stack([data[str(i)] for i in range(FOM_FRAMES - 1)])
+        Fn, ep, _ = frames.shape
+        X = jnp.asarray(frames.reshape(Fn, -1).T)
+        U, S, _ = snapshot_pod(X)
+        comps = np.asarray(U).T.reshape(Fn, ep, 3)[:min(CONSTR_MODES, Fn)]
+
+        # row-wise DEIM
+        p = model.groups[gname].p
+        bases = comps.swapaxes(0, 1)
+        Pt, alphas = [], []
+        Vsel = None
+        for k in range(comps.shape[0]):
+            vk = bases[:, k, :]
+            if k == 0:
+                r = vk
+            else:
+                c = np.empty_like(vk)
+                for i in range(3):
+                    sol = np.linalg.lstsq(Vsel[Pt, :, i], vk[Pt, i],
+                                          rcond=None)[0]
+                    c[:, i] = Vsel[:, :, i] @ sol
+                r = c - vk
+            idx = int(np.argmax((r ** 2).sum(axis=1)))
+            Pt.append(idx)
+            alphas.append(idx // p)
+            Vsel = (vk[:, None, :] if Vsel is None
+                    else np.concatenate((Vsel, vk[:, None, :]), axis=1))
+        gdir = os.path.join(basis_dir, gname)
+        os.makedirs(gdir, exist_ok=True)
+        np.savez(os.path.join(gdir, "basis.npz"),
+                 components=comps,
+                 interpol_alphas=np.array(alphas),
+                 Pt=np.array(Pt),
+                 interpol_verts=np.array([]),
+                 interpol_alpha_ranges=np.arange(1, len(alphas) + 1))
+        log(f"[bench] {gname}: {comps.shape[0]} modes, "
+            f"{len(alphas)} interpolation points")
+
+    pos_basis = position_basis_from_trajectory(traj, POS_MODES)
+    pos_path = os.path.join(BENCH_DIR, "pos_basis.npz")
+    save_position_basis(pos_path, pos_basis)
+
+    np.save(os.path.join(BENCH_DIR, "traj_tail.npy"), traj[-1])
+    meta = {"mesh": name, "n_verts": int(len(V)),
+            "basis_dir": basis_dir, "pos_path": pos_path,
+            "record": record}
+    with open(done_marker, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def build_reduced_solver(meta, dtype):
+    from animsnapbases_tpu.config.sim_config import default_sim_args
+    from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+
+    V, F, _ = load_mesh()
+    model = build_model(V, F)
+
+    args = default_sim_args()
+    args.dt = DT
+    args.constraint_projection_basis_type = "deim_pod_vectorized"
+    args.tri_strain_reduced = True
+    args.tri_strain_num_components = min(CONSTR_MODES, FOM_FRAMES - 1) - 4
+    args.edge_spring_reduced = True
+    args.edge_spring_num_components = min(CONSTR_MODES, FOM_FRAMES - 1) - 4
+    args.geom_interpolation_basis_dir = meta["basis_dir"]
+    args.geom_interpolation_basis_file = "basis.npz"
+    args.position_reduced = True
+    args.position_num_components = POS_MODES
+    args.position_basis_file = meta["pos_path"]
+
+    solver = AnimSnapBasesSolver(args, dtype=dtype)
+    solver.set_model(model)
+    t0 = time.perf_counter()
+    solver.prepare(args)
+    log(f"[bench] reduced prepare {time.perf_counter() - t0:.1f}s")
+    assert solver._run_jit is not None, "fully-reduced fast path not active"
+    return solver, model
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compilation cache: later runs (and driver re-runs) skip the
+    # multi-minute XLA/Mosaic compiles
+    cache_dir = os.path.join(BENCH_DIR, "xla_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"[bench] compilation cache unavailable: {e}")
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    dtype = jnp.float32 if on_tpu else None
+    log(f"[bench] backend={backend} devices={jax.devices()}")
+
+    meta = run_fom_and_bases()
+    solver, model = build_reduced_solver(meta, dtype)
+    f = gravity(model)
+
+    # correctness sanity: short reduced run stays finite and near the FOM
+    t0 = time.perf_counter()
+    solver.run_steps(f, FOM_FRAMES, num_iterations=FOM_ITERS)
+    log(f"[bench] first run_steps (compile) {time.perf_counter() - t0:.1f}s")
+    tail = np.load(os.path.join(BENCH_DIR, "traj_tail.npy"))
+    scale = np.abs(tail).max()
+    err = np.abs(model.positions - tail).max() / scale
+    log(f"[bench] reduced-vs-FOM after {FOM_FRAMES} steps: "
+        f"max rel deviation {err:.3f}")
+    assert np.isfinite(model.positions).all()
+
+    # timing: device-resident multi-step, best of 2
+    chunk = 15000
+    solver.run_steps(f, 50, num_iterations=10)      # warmup/compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        solver.run_steps(f, chunk, num_iterations=10)
+        dt_wall = time.perf_counter() - t0
+        best = min(best, dt_wall)
+    steps_per_sec = chunk / best
+    log(f"[bench] {chunk} steps in {best:.3f}s -> "
+        f"{steps_per_sec:,.0f} steps/s")
+
+    print(json.dumps({
+        "metric": "reduced_pd_steps_per_sec_bunny",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
