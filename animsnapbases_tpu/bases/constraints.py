@@ -190,7 +190,7 @@ class ConstraintComponents:
         if writer is not None:
             for i, s in enumerate(S):
                 writer.writerow([i + 1, s])
-        C = np.asarray(U).T.reshape(F, e * p, -1)   # (F, ep, 3)
+        C = np.asarray(U).T.reshape(F, e * p, -1).copy()   # (F, ep, 3)
         k = self.param.deim_desired_num_components
         self.comps = C[:k] if k < C.shape[0] else C
         self.numComp = self.comps.shape[0]
@@ -210,7 +210,7 @@ class ConstraintComponents:
         U, S, _ = jax.vmap(jax.vmap(snapshot_pod))(X)   # U: (p, d, e, F)
         # -> (F, e, p, d) -> (F, e*p, d)
         C = np.moveaxis(np.asarray(U), [0, 1, 2, 3], [2, 3, 1, 0])
-        C = C.reshape(C.shape[0], e * p, d)
+        C = C.reshape(C.shape[0], e * p, d).copy()
         k = self.param.deim_desired_num_components
         self.comps = C[:k] if k < C.shape[0] else C
         self.numComp = self.comps.shape[0]
@@ -536,13 +536,18 @@ class ConstraintComponents:
         F, ep, _ = frames.shape
         V_r = self.comps.swapaxes(0, 1)[:, :r * p, :]   # (ep, rp, 3)
 
-        # Reference quirk preserved (constraintsComponents.py:507-512): for
-        # non-verts_bending types the *element* indices geom_alpha are used
-        # directly as row indices of the (ep, rp) basis slice.
-        if self.param.constProj_snapshots_type == "verts_bending":
-            Pt = self.geom_Pt[:self.geom_alpha_ranges[r - 1]]
-        else:
-            Pt = self.geom_alpha[:self.geom_alpha_ranges[r - 1]]
+        # DELIBERATE FIX of a reference quirk (constraintsComponents.py:
+        # 507-512): the reference indexes the (ep, rp) basis slice with the
+        # *element* ids geom_alpha for non-verts_bending types, which is not
+        # the selected row set and yields ill-conditioned fits for DEIM.
+        # The selection methods store the actual row indices in geom_Pt
+        # (p rows per selected element for block modes, 1 for deim) — use
+        # them, matching the documented intent "V (PtV)^{-1} Pt".
+        n_elems = self.geom_alpha_ranges[r - 1]
+        rows_per_elem = (p if (itype in ("geom", "deim_block_form")
+                               and self.param.constProj_snapshots_type
+                               != "verts_bending") else 1)
+        Pt = self.geom_Pt[:n_elems * rows_per_elem]
 
         reconstructed = np.zeros((F, ep, 3))
         for l in range(3):
