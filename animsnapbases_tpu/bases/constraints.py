@@ -552,9 +552,10 @@ class ConstraintComponents:
         reconstructed = np.zeros((F, ep, 3))
         for l in range(3):
             A = V_r[Pt, :, l]                       # (m, rp)
-            G = A.T @ A
-            rhs = A.T @ frames[:, Pt, l].T          # (rp, F)
-            X = np.linalg.solve(G, rhs)             # (rp, F)
+            # lstsq instead of explicit normal equations: rank-safe when the
+            # requested component count exceeds the snapshot rank (POD pads
+            # null modes with zero columns), matching the selection methods
+            X = np.linalg.lstsq(A, frames[:, Pt, l].T, rcond=None)[0]
             reconstructed[:, :, l] = (V_r[:, :, l] @ X).T
         return reconstructed
 
@@ -564,8 +565,12 @@ class ConstraintComponents:
 
     @staticmethod
     def relative_error_per_component(f, f_rec):
-        return [float(np.linalg.norm(f[:, :, i] - f_rec[:, :, i])
-                      / np.linalg.norm(f[:, :, i])) for i in range(3)]
+        out = []
+        for i in range(3):
+            denom = np.linalg.norm(f[:, :, i])
+            err = np.linalg.norm(f[:, :, i] - f_rec[:, :, i])
+            out.append(float(err / denom) if denom > 0 else 0.0)
+        return out
 
     @staticmethod
     def max_pointwise_error(f, f_rec):

@@ -241,8 +241,12 @@ class PositionComponents:
 
     @staticmethod
     def relative_error_per_component(f, f_rec):
-        return [float(np.linalg.norm(f[:, :, i] - f_rec[:, :, i])
-                      / np.linalg.norm(f[:, :, i])) for i in range(3)]
+        out = []
+        for i in range(3):
+            denom = np.linalg.norm(f[:, :, i])
+            err = np.linalg.norm(f[:, :, i] - f_rec[:, :, i])
+            out.append(float(err / denom) if denom > 0 else 0.0)
+        return out
 
     @staticmethod
     def max_pointwise_error(f, f_rec):

@@ -1,0 +1,147 @@
+"""Bases-pipeline CLI — the ``main.py`` equivalent of the reference.
+
+Runs the position pipeline (import .off/.ply sequence -> aligned train/test
+.h5 -> PCA/SPLOCS bases -> artifacts) and/or the constraint-projection
+pipeline (recorded p snapshots -> POD/blockwise bases -> DEIM/geom
+interpolation points -> single .npz), per the JSON config
+(ref ``main.py:19-163``)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from functools import partial
+
+from animsnapbases_tpu.config.bases_config import BasesConfig
+from animsnapbases_tpu.utils.timing import global_timer
+
+
+def run_position_pipeline(param: BasesConfig, view: bool = False):
+    from animsnapbases_tpu.bases.pca import PositionComponents
+    from animsnapbases_tpu.io.meshes import load_off, load_ply
+    from animsnapbases_tpu.snapshots.pipeline import (
+        align_h5,
+        import_sequence_to_h5,
+    )
+
+    param.ensure_dirs()
+    aligned_train = os.path.join(param.aligned_snapshots_directory,
+                                 param.train_aligned_snapshots_animation_file)
+    aligned_test = os.path.join(param.aligned_snapshots_directory,
+                                param.test_aligned_snapshots_animation_file)
+
+    if not (os.path.exists(aligned_train) and os.path.exists(aligned_test)):
+        os.makedirs(param.input_animation_dir, exist_ok=True)
+        train_h5 = os.path.join(param.input_animation_dir,
+                                param.train_snapshots_animation_file)
+        test_h5 = os.path.join(param.input_animation_dir,
+                               param.test_snapshots_animation_file)
+        if param.snapshots_format == ".off":
+            loader = partial(load_off, no_colors=True)
+        elif param.snapshots_format == ".ply":
+            loader = load_ply
+        else:
+            raise ValueError(
+                "only .off/.ply snapshot sequences are supported")
+        import_sequence_to_h5(param.input_snapshots_pattern, train_h5,
+                              param.vertPos_numFrames, param.frame_increment,
+                              loader=loader)
+        import_sequence_to_h5(param.input_snapshots_pattern, test_h5,
+                              param.vertPos_numFrames,
+                              param.frame_increment + param.train_test_jump,
+                              loader=loader)
+        align_h5(train_h5, aligned_train, param.rigid)
+        align_h5(test_h5, aligned_test, param.rigid)
+    else:
+        print(f"aligned snapshot files exist, skipping import:"
+              f"\n  {aligned_train}")
+
+    bases = PositionComponents(param)
+    bases.compute_components_store_singvalues()
+    bases.post_process_components()
+    bases.store_animations(param.vertPos_output_directory)
+
+    timer = global_timer()
+    timer.directory = param.vertPos_output_directory
+    timer.flush()
+
+    if param.run_pca_tests:
+        from animsnapbases_tpu.analysis.figures import plots_pca
+        plots_pca(bases, param)
+
+    if param.store_bases:
+        bases.store_components_to_files(1, bases.numComp, 1, ".bin")
+    return bases
+
+
+def run_constproj_pipeline(param: BasesConfig):
+    from animsnapbases_tpu.bases.constraints import ConstraintComponents
+
+    param.ensure_dirs()
+    nl_bases = ConstraintComponents(param)
+    nl_bases.nonlinearSnapshots.config()
+    nl_bases.config()
+    nl_bases.nonlinearSnapshots.snapshots_prepare()
+    nl_bases.compute_components_store_singvalues()
+    nl_bases.post_process_components()
+
+    itype = param.constProj_bases_interpolation_type
+    if itype == "deim":
+        nl_bases.deim()
+    elif itype == "deim_block_form":
+        nl_bases.deim_blocksForm()
+    elif itype == "geom":
+        nl_bases.geom_block_form_utilizing_differential_operator(
+            error_in_pos_space=True)
+    else:
+        raise ValueError(f"unknown interpolation type: {itype}")
+
+    timer = global_timer()
+    timer.directory = param.constProj_output_directory
+    timer.flush()
+
+    if param.store_nonlinear_bases:
+        nl_bases.store_components_n_interpol_points()
+
+    if param.run_geom_tests:
+        from animsnapbases_tpu.analysis.figures import plots_nonlinearity_basis
+
+        steps = 1 if param.constProj_basis_type in ("pod", "pod_vectorized") \
+            else 5
+        pca_tests = param.constProj_basis_type in ("pca_blocks",
+                                                   "pca_blocks_with_St")
+        plots_nonlinearity_basis(nl_bases, pca_tests=pca_tests,
+                                 postProcess_tests=True, geom_tests=True,
+                                 steps=steps)
+    return nl_bases
+
+
+def main(param: BasesConfig):
+    results = {}
+    if param.compute_pos_bases:
+        print("Computing bases for position vertices")
+        results["pos"] = run_position_pipeline(param)
+    if param.compute_constProj_bases:
+        print("Computing nonlinear bases")
+        results["constproj"] = run_constproj_pipeline(param)
+    return results
+
+
+def cli(argv=None):
+    parser = argparse.ArgumentParser(description="Set bases parameters.")
+    parser.add_argument("--mesh", type=str, default="mesh")
+    parser.add_argument(
+        "--config_file", type=str,
+        default="config/examples/cloth_strainOnly_automated_deim_triStrainSubspace.json")
+    parser.add_argument("--results_dir", type=str, default="results")
+    args = parser.parse_args(argv)
+
+    param = BasesConfig.from_json(args.config_file,
+                                  results_dir=args.results_dir)
+    if param.run_main_constProj_bases or param.compute_pos_bases:
+        main(param)
+    return param
+
+
+if __name__ == "__main__":
+    cli()

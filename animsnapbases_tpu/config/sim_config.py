@@ -82,6 +82,14 @@ class SimConfig:
         with open(json_path) as f:
             self.system_params = json.load(f)
 
+    def edit_system_args(self, args, system_name: str) -> None:
+        """Apply the named system block's dimensions onto existing args
+        (reference projective_dynamics/config.py:18-28)."""
+        args.system_name = system_name
+        for key, val in self.system_params.get("system", {}).get(
+                system_name, {}).items():
+            setattr(args, key, val)
+
     def build_args(self, system_name: str | None = None) -> SimpleNamespace:
         args = default_sim_args()
         sp = self.system_params

@@ -1,0 +1,43 @@
+"""Simulation CLI — the ``projective_dynamics/main.py`` equivalent.
+
+Chooses a scripted scenario by name and runs it headlessly (optionally under
+an attached viewer callback), recording snapshots when requested."""
+
+from __future__ import annotations
+
+import argparse
+
+from animsnapbases_tpu.config.sim_config import SimConfig
+from animsnapbases_tpu.demos.scenarios import SCENARIOS, build_scenario
+
+
+def cli(argv=None):
+    parser = argparse.ArgumentParser(description="Projective dynamics demos")
+    parser.add_argument("--example", type=str, default="testing",
+                        choices=sorted(SCENARIOS))
+    parser.add_argument("--config", type=str,
+                        default="configs/demos/testing.json")
+    parser.add_argument("--record", action="store_true",
+                        help="record constraint-projection snapshots")
+    parser.add_argument("--record-positions", action="store_true",
+                        help="also export pos_%%d.off position snapshots")
+    parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--max-frames", type=int, default=None)
+    args_ns = parser.parse_args(argv)
+
+    params = SimConfig(args_ns.config)
+    sim_args = params.build_args()
+    if args_ns.output is not None:
+        sim_args.output_dir = args_ns.output
+
+    driver = build_scenario(args_ns.example, sim_args,
+                            record_fom_info=args_ns.record, params=params,
+                            record_positions=args_ns.record_positions)
+    driver.run(max_frames=args_ns.max_frames)
+    print(f"scenario '{args_ns.example}' finished at frame "
+          f"{driver.solver.frame}")
+    return driver
+
+
+if __name__ == "__main__":
+    cli()
