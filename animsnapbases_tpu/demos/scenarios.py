@@ -163,8 +163,10 @@ class ScenarioDriver:
                 self.stop_frame - 1)
             self.solver.max_p_snapshots_num = self.args.max_p_snapshots_num
             if self.record_positions:
+                # layout matches the bases config's snapshot pattern:
+                # <experiment_dir>/<mesh>/<experiment>/position_snapshots/FOM
                 self.pos_dir = os.path.join(
-                    self.output_path, self.object_name,
+                    self.output_path, self.object_name, self.experiment,
                     "position_snapshots", "FOM")
                 os.makedirs(self.pos_dir, exist_ok=True)
         self.solver.set_dirty()

@@ -64,25 +64,31 @@ def import_sequence_to_h5(filename_pattern: str, h5_output_file: str,
                           loader=None) -> None:
     """Load every ``increment``-th mesh of a sorted sequence (up to
     ``max_frames``), preprocess, and write the animation .h5."""
-    if loader is None:
-        loader = load_mesh_auto
     files = glob(os.path.expanduser(filename_pattern))
     sort_nicely(files)
-    verts_all = []
-    tris = None
-    count = 0
-    for i, f in enumerate(files):
-        if i % increment == 0 and count < max_frames:
+    selected = [f for i, f in enumerate(files) if i % increment == 0]
+    selected = selected[:max_frames]
+    if not selected:
+        raise FileNotFoundError(f"no meshes matched {filename_pattern}")
+
+    if loader is None and all(f.lower().endswith(".off") for f in selected):
+        # thread-pooled native loader when available (falls back internally)
+        from animsnapbases_tpu.io.native import load_off_sequence
+
+        verts_all, tris = load_off_sequence(selected)
+    else:
+        if loader is None:
+            loader = load_mesh_auto
+        verts_all = []
+        tris = None
+        for f in selected:
             verts, new_tris = loader(f)
             if tris is not None and (new_tris.shape != tris.shape
                                      or (new_tris != tris).any()):
-                raise ValueError(
-                    "inconsistent topology between meshes of different frames")
+                raise ValueError("inconsistent topology between meshes of "
+                                 "different frames")
             tris = new_tris
             verts_all.append(verts)
-            count += 1
-    if not verts_all:
-        raise FileNotFoundError(f"no meshes matched {filename_pattern}")
 
     verts_all = np.array(verts_all, np.float32)
     verts_all, tris, _, mean, scale = preprocess_mesh_animation(verts_all, tris)
