@@ -28,8 +28,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from animsnapbases_tpu.ops.strain2d import clamped_fhat_2x2
+from animsnapbases_tpu.ops.strain3d import polar_rotation, tet_strain_fhat
 
-FUSIBLE_KINDS = ("tris_strain", "edge_spring")
+FUSIBLE_KINDS = ("tris_strain", "edge_spring", "tets_strain",
+                 "tets_deformation_gradient", "verts_bending")
 
 
 def _onehot(rows: np.ndarray, n_cols: int, dtype) -> np.ndarray:
@@ -86,6 +88,64 @@ def pack_edge_spring(subset_data: dict, lookup: np.ndarray, W: np.ndarray,
     }
 
 
+def pack_tets(kind: str, subset_data: dict, lookup: np.ndarray,
+              W: np.ndarray, row_select: np.ndarray, dtype) -> dict:
+    """tets_strain / tets_deformation_gradient group packing (DEIM row
+    form): 4 one-hot gathers, DmInv as 9 entry rows, per-element selected
+    projection row index (0..2)."""
+    el = lookup[np.asarray(subset_data["elements"])]
+    n_sel = int(lookup.max()) + 1 if len(lookup) else 0
+    D = np.asarray(subset_data["DmInv"])       # (m, 3, 3)
+    rsel = (row_select % 3).astype(np.int64)
+    out = {
+        "kind": kind,
+        "arrays": [
+            _onehot(el[:, 0], n_sel, dtype),
+            _onehot(el[:, 1], n_sel, dtype),
+            _onehot(el[:, 2], n_sel, dtype),
+            _onehot(el[:, 3], n_sel, dtype),
+            np.stack([D[:, i, j] for i in range(3)
+                      for j in range(3)]).astype(dtype),      # (9, m)
+            (rsel == 0).astype(dtype)[None, :],               # (1, m)
+            (rsel == 1).astype(dtype)[None, :],
+            np.ascontiguousarray(W.transpose(0, 2, 1)).astype(dtype),
+        ],
+    }
+    if kind == "tets_strain":
+        out["smin"] = float(subset_data["sigma_min"])
+        out["smax"] = float(subset_data["sigma_max"])
+    return out
+
+
+def pack_verts_bending(subset_data: dict, lookup: np.ndarray,
+                       W: np.ndarray, dtype) -> dict:
+    """Bending group packing: the star Laplacian row of each constraint as a
+    dense (m, n_sel) matrix, so star_sum is one matmul."""
+    centers = lookup[np.asarray(subset_data["indices"])]
+    nbrs = lookup[np.asarray(subset_data["neighbors"])]
+    cots = np.asarray(subset_data["cotans"])
+    mask = np.asarray(subset_data["mask"])
+    n_sel = int(lookup.max()) + 1 if len(lookup) else 0
+    m = len(centers)
+    Wb = np.zeros((m, n_sel), dtype=dtype)
+    for i in range(m):
+        Wb[i, centers[i]] += cots[i, mask[i]].sum()
+        for j in np.nonzero(mask[i])[0]:
+            Wb[i, nbrs[i, j]] -= cots[i, j]
+    return {
+        "kind": "verts_bending",
+        "prevent_flips": bool(subset_data.get("prevent_bending_flips", True)),
+        "arrays": [
+            Wb,
+            np.asarray(subset_data["rest_curvature"]).astype(dtype)[None, :],
+            np.asarray(subset_data["tri_normal"]).T.astype(dtype),  # (3, m)
+            np.asarray(subset_data["dot_with_normal"]).astype(
+                dtype)[None, :],
+            np.ascontiguousarray(W.transpose(0, 2, 1)).astype(dtype),
+        ],
+    }
+
+
 def _dot(a, b):
     # accumulate in the operand precision (f32 on TPU, f64 in x64 tests)
     return jnp.dot(a, b, preferred_element_type=a.dtype)
@@ -119,6 +179,49 @@ def _tri_term(qT, arrays, smin, smax):
         [_dot(p_sel[d:d + 1], WT[d]) for d in range(3)], axis=0)
 
 
+def _tet_term(qT, arrays, kind, smin, smax):
+    """tets_strain / tets_deformation_gradient rhs contribution (3, r)."""
+    G1, G2, G3, G4, Dm, r0, r1, WT = arrays
+    V1 = _dot(qT, G1.T)
+    V2 = _dot(qT, G2.T)
+    V3 = _dot(qT, G3.T)
+    V4 = _dot(qT, G4.T)
+    ds = [V1 - V4, V2 - V4, V3 - V4]          # Ds columns, each (3, m)
+    D = [Dm[k:k + 1] for k in range(9)]       # DmInv entries (1, m)
+    # F[i][j] = sum_k Ds[k][i] * DmInv[k][j]
+    F = tuple(ds[0][i:i + 1] * D[0 + j] + ds[1][i:i + 1] * D[3 + j]
+              + ds[2][i:i + 1] * D[6 + j]
+              for i in range(3) for j in range(3))
+    if kind == "tets_strain":
+        P9 = tet_strain_fhat(F, smin, smax)
+        # projection rows are Fhat rows: p_sel[d] = Fhat[rsel][d]
+        rows = [P9[0:3], P9[3:6], P9[6:9]]
+    else:
+        R9 = polar_rotation(F)
+        # projection pi = R^T: p_sel[d] = R[d][rsel]
+        rows = [(R9[0], R9[3], R9[6]), (R9[1], R9[4], R9[7]),
+                (R9[2], R9[5], R9[8])]
+    r2 = 1.0 - r0 - r1
+    p_sel = [r0 * rows[0][d] + r1 * rows[1][d] + r2 * rows[2][d]
+             for d in range(3)]               # each (1, m)
+    return jnp.concatenate([_dot(p_sel[d], WT[d]) for d in range(3)], axis=0)
+
+
+def _bending_term(qT, arrays, prevent_flips):
+    """verts_bending rhs contribution (3, r)."""
+    Wb, rest, tri_n, dot_n, WT = arrays
+    star = _dot(qT, Wb.T)                                   # (3, m)
+    norm = jnp.sqrt(jnp.sum(star * star, axis=0, keepdims=True))
+    scale = rest / jnp.maximum(norm, 1e-30)
+    corr = jnp.where(norm < 1e-10, tri_n * rest, star * scale)
+    if prevent_flips:
+        dots = jnp.sum(tri_n * corr, axis=0, keepdims=True)
+        flip = (norm > 1e-5) & (dots * dot_n < 0)
+        corr = jnp.where(flip, -corr, corr)
+    return jnp.concatenate(
+        [_dot(corr[d:d + 1], WT[d]) for d in range(3)], axis=0)
+
+
 def _spring_term(qT, arrays):
     E0, E1, rest, WT = arrays
     V0 = _dot(qT, E0.T)
@@ -148,8 +251,8 @@ def build_fused_reduced_iterations(groups: list[dict], U_selT: np.ndarray,
     flat_arrays = []
     layout = []
     for g in groups:
-        layout.append((g["kind"], len(g["arrays"]),
-                       g.get("smin"), g.get("smax")))
+        layout.append((g["kind"], len(g["arrays"]), g.get("smin"),
+                       g.get("smax"), g.get("prevent_flips", True)))
         flat_arrays.extend(g["arrays"])
 
     n_inputs = 4 + len(flat_arrays)
@@ -175,13 +278,18 @@ def build_fused_reduced_iterations(groups: list[dict], U_selT: np.ndarray,
                 qT, _ = carry
                 rb = rbc
                 off = 0
-                for kind, cnt, smin, smax in layout:
+                for kind, cnt, smin, smax, pflips in layout:
                     arrs = garrs[off:off + cnt]
                     off += cnt
                     if kind == "tris_strain":
                         rb = rb + _tri_term(qT, arrs, smin, smax)
                     elif kind == "edge_spring":
                         rb = rb + _spring_term(qT, arrs)
+                    elif kind in ("tets_strain",
+                                  "tets_deformation_gradient"):
+                        rb = rb + _tet_term(qT, arrs, kind, smin, smax)
+                    elif kind == "verts_bending":
+                        rb = rb + _bending_term(qT, arrs, pflips)
                     else:
                         raise ValueError(kind)
                 # inv(Ar) is symmetric, so the row form rb_d @ inv[d]

@@ -356,7 +356,9 @@ class AnimSnapBasesSolver:
             FUSIBLE_KINDS,
             build_fused_reduced_iterations,
             pack_edge_spring,
+            pack_tets,
             pack_tris_strain,
+            pack_verts_bending,
         )
 
         np_dtype = (np.float32 if self.dtype == jnp.float32 else np.float64)
@@ -369,15 +371,19 @@ class AnimSnapBasesSolver:
         packed = []
         for name, rg in self._reduced_groups.items():
             sub = remapped[name]
-            if name == "tris_strain" and rg.row_select is not None:
-                packed.append(pack_tris_strain(
-                    sub, ident, rg.W.astype(np_dtype), rg.row_select,
-                    np_dtype))
-            elif name == "edge_spring" and rg.row_select is not None:
-                packed.append(pack_edge_spring(
-                    sub, ident, rg.W.astype(np_dtype), np_dtype))
-            elif name not in FUSIBLE_KINDS:
-                return None
+            W = rg.W.astype(np_dtype)
+            if name not in FUSIBLE_KINDS or rg.row_select is None:
+                return None   # only the DEIM row form is fused
+            if name == "tris_strain":
+                packed.append(pack_tris_strain(sub, ident, W, rg.row_select,
+                                               np_dtype))
+            elif name == "edge_spring":
+                packed.append(pack_edge_spring(sub, ident, W, np_dtype))
+            elif name in ("tets_strain", "tets_deformation_gradient"):
+                packed.append(pack_tets(name, sub, ident, W, rg.row_select,
+                                        np_dtype))
+            elif name == "verts_bending":
+                packed.append(pack_verts_bending(sub, ident, W, np_dtype))
             else:
                 return None
         U_selT = np.ascontiguousarray(
