@@ -34,6 +34,37 @@ def normal_angle_error(full: np.ndarray, reduced: np.ndarray,
     return ang, float(ang.mean())
 
 
+def visualize_interpolation_elements_from_bin(mesh_path: str,
+                                              geom_interpol_verts_file: str,
+                                              geom_alpha_file: str,
+                                              out_path: str,
+                                              element_kind: str = "tris"):
+    """Render the interpolation elements selected by the basis pipeline,
+    loading the stored .bin vectors (headless equivalent of
+    onMesh_accuracyMeasures.py:256-354)."""
+    from animsnapbases_tpu.analysis.viewer import (
+        view_interpolation_elements,
+    )
+    from animsnapbases_tpu.geometry.mesh import tet_edges, unique_edges
+    from animsnapbases_tpu.io.binfmt import read_points_vector
+    from animsnapbases_tpu.io.meshes import load_mesh_auto
+
+    loaded = load_mesh_auto(mesh_path)
+    if len(loaded) == 3:
+        verts, tets, tris = loaded
+    else:
+        verts, tris = loaded
+        tets = None
+    alphas = read_points_vector(geom_alpha_file).astype(int)
+    if element_kind == "tets" and tets is not None:
+        elements = tets
+    elif element_kind == "edges":
+        elements = tet_edges(tets) if tets is not None else unique_edges(tris)
+    else:
+        elements = tris
+    return view_interpolation_elements(verts, elements, alphas, out_path)
+
+
 def compute_accuracy(full_pattern: str, reduced_pattern: str,
                      frames, faces: np.ndarray | None = None,
                      out_dir: str | None = None,

@@ -70,6 +70,15 @@ def cloth_model(rows: int, cols: int):
     return np.asarray(verts), np.asarray(faces, dtype=np.int64)
 
 
+def bar_model_surface_tetrahedralized(width: int, height: int, depth: int):
+    """Surface-grid bar fed through tetrahedralization (the reference's
+    tetgen-based variant, geometry.py:101-105).  Returns (V, T, F)."""
+    from animsnapbases_tpu.geometry.volume import tetrahedralize
+
+    V, F = bar_surface_mesh(width, height, depth)
+    return tetrahedralize(V, F)
+
+
 def bar_surface_mesh(width: int, height: int, depth: int):
     """Surface-only cuboid grid mesh (vertices on the boundary of the grid,
     quads split into triangles) — the input the reference feeds to tetgen."""

@@ -24,6 +24,27 @@ def resolve_floor_collision(positions: np.ndarray, floor_height: float):
     return new, corrections
 
 
+def tangential_friction_response(velocities: np.ndarray,
+                                 corrections: np.ndarray,
+                                 friction_coeff: float = 0.2,
+                                 repulsion_coeff: float = 0.0) -> np.ndarray:
+    """Post-collision velocity response: remove the normal component along
+    the collision correction, damp the tangential part by the friction
+    coefficient, add repulsion along the correction (working version of the
+    reference's unused ``handle_tangential_movement_and_repulsion...``
+    sketch, Constraint_projections.py:1300-1309)."""
+    v = velocities.copy()
+    norms = np.linalg.norm(corrections, axis=1)
+    active = norms > 1e-12
+    if not active.any():
+        return v
+    n = corrections[active] / norms[active, None]
+    vn = (v[active] * n).sum(axis=1, keepdims=True) * n
+    vt = (v[active] - vn) * (1.0 - friction_coeff)
+    v[active] = vt + repulsion_coeff * corrections[active]
+    return v
+
+
 def _point_triangle_closest(p, a, b, c):
     """Closest point on triangle (a, b, c) to p; returns (distance, point)."""
     ab = b - a

@@ -361,7 +361,8 @@ class AnimSnapBasesSolver:
             pack_verts_bending,
         )
 
-        np_dtype = (np.float32 if self.dtype == jnp.float32 else np.float64)
+        # the dtype jnp will actually materialize (x64 may be disabled)
+        np_dtype = np.dtype(jnp.asarray(0.0, dtype=self.dtype).dtype)
         interpret = (self.pallas_mode == "interpret"
                      or _jax.default_backend() != "tpu")
         if self.pallas_mode == "auto" and _jax.default_backend() != "tpu":

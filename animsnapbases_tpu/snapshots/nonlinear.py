@@ -167,6 +167,29 @@ class NonlinearSnapshots:
         raise ValueError(f"unsupported constraint row size p={p} (e={e})")
 
     # ------------------------------------------------------------------
+    def store_snapshots_animations(self, output_dir: str, file_name: str,
+                                   St=None) -> str:
+        """Map the stacked projections to position space through S^T and
+        store as a components .h5 (ref nonlinear_snapshots.py:290-308)."""
+        import os
+
+        from animsnapbases_tpu.io.h5anim import write_components_h5
+
+        if St is None:
+            St = np.load(self.param.constProj_weightedSt, allow_pickle=True)[
+                self.param.costProj_St_key]
+            if isinstance(St, np.ndarray) and St.dtype == object:
+                St = St.item()
+        if self.verts is None or self.tris is None:
+            from animsnapbases_tpu.io.meshes import load_obj
+            self.verts, self.tris = load_obj(self.param.tri_mesh_file)
+        anim = np.stack([St @ self.snapTensor[f]
+                         for f in range(self.snapTensor.shape[0])])
+        path = os.path.join(output_dir, file_name)
+        write_components_h5(path, self.verts, self.tris, anim)
+        return path
+
+    # ------------------------------------------------------------------
     def standardize(self) -> None:
         if self.rest_shape == "first":
             self.mean = self.snapTensor[0].copy()
