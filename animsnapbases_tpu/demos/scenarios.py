@@ -188,6 +188,8 @@ class ScenarioDriver:
             if frame >= stop:
                 break
             self._pre_draw_step()
+        if self.record_fom_info and hasattr(self.solver, "flush_recordings"):
+            self.solver.flush_recordings()
         return self
 
     def _pre_draw_step(self):

@@ -666,7 +666,6 @@ class AnimSnapBasesSolver:
             self._recorded.setdefault(name, {})[str(self.frame)] = (
                 np.asarray(p))
         if self.frame == self.max_p_snapshots_num and self.record_path:
-            os.makedirs(self.record_path, exist_ok=True)
-            for name, frames in self._recorded.items():
-                np.savez(os.path.join(self.record_path, name + "_p.npz"),
-                         **frames)
+            self.flush_recordings()
+
+    flush_recordings = _FullSolver.flush_recordings

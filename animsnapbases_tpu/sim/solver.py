@@ -219,7 +219,15 @@ class Solver:
             self._recorded.setdefault(name, {})[str(self.frame)] = (
                 np.asarray(p))
         if self.frame == self.max_p_snapshots_num and self.record_path:
-            os.makedirs(self.record_path, exist_ok=True)
-            for name, frames in self._recorded.items():
-                np.savez(os.path.join(self.record_path, name + "_p.npz"),
-                         **frames)
+            self.flush_recordings()
+
+    def flush_recordings(self):
+        """Write all recorded stacked projections to <name>_p.npz (also
+        callable explicitly, e.g. when a run is truncated before the
+        scheduled flush frame)."""
+        if not self.record_path or not self._recorded:
+            return
+        os.makedirs(self.record_path, exist_ok=True)
+        for name, frames in self._recorded.items():
+            np.savez(os.path.join(self.record_path, name + "_p.npz"),
+                     **frames)

@@ -245,9 +245,10 @@ def main():
     log(f"[bench] first run_steps (compile) {time.perf_counter() - t0:.1f}s")
     tail = np.load(os.path.join(BENCH_DIR, "traj_tail.npy"))
     scale = np.abs(tail).max()
-    err = np.abs(model.positions - tail).max() / scale
+    d = np.abs(model.positions - tail) / scale
     log(f"[bench] reduced-vs-FOM after {FOM_FRAMES} steps: "
-        f"max rel deviation {err:.3f}")
+        f"mean {d.mean():.4f}  p99 {np.quantile(d, 0.99):.4f}  "
+        f"max {d.max():.4f} (max is a few chaotic free-swinging verts)")
     assert np.isfinite(model.positions).all()
 
     # timing: device-resident multi-step, best of 2
