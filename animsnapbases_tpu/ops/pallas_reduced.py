@@ -65,8 +65,8 @@ def pack_tris_strain(subset_data: dict, lookup: np.ndarray, W: np.ndarray,
             np.stack([D[:, 0, 0], D[:, 0, 1],
                       D[:, 1, 0], D[:, 1, 1]]).astype(dtype),   # (4, m)
             row_is0[None, :],                              # (1, m)
-            np.ascontiguousarray(W.transpose(0, 2, 1)).astype(dtype),  # WT (3, m, r)
         ],
+        "WT": np.ascontiguousarray(W.transpose(0, 2, 1)).astype(dtype),
         "smin": float(subset_data["sigma_min"]),
         "smax": float(subset_data["sigma_max"]),
     }
@@ -83,8 +83,8 @@ def pack_edge_spring(subset_data: dict, lookup: np.ndarray, W: np.ndarray,
             _onehot(edges[:, 0], n_sel, dtype),
             _onehot(edges[:, 1], n_sel, dtype),
             rest[None, :],                                 # (1, m)
-            np.ascontiguousarray(W.transpose(0, 2, 1)).astype(dtype),  # WT (3, m, r)
         ],
+        "WT": np.ascontiguousarray(W.transpose(0, 2, 1)).astype(dtype),
     }
 
 
@@ -108,8 +108,8 @@ def pack_tets(kind: str, subset_data: dict, lookup: np.ndarray,
                       for j in range(3)]).astype(dtype),      # (9, m)
             (rsel == 0).astype(dtype)[None, :],               # (1, m)
             (rsel == 1).astype(dtype)[None, :],
-            np.ascontiguousarray(W.transpose(0, 2, 1)).astype(dtype),
         ],
+        "WT": np.ascontiguousarray(W.transpose(0, 2, 1)).astype(dtype),
     }
     if kind == "tets_strain":
         out["smin"] = float(subset_data["sigma_min"])
@@ -141,8 +141,8 @@ def pack_verts_bending(subset_data: dict, lookup: np.ndarray,
             np.asarray(subset_data["tri_normal"]).T.astype(dtype),  # (3, m)
             np.asarray(subset_data["dot_with_normal"]).astype(
                 dtype)[None, :],
-            np.ascontiguousarray(W.transpose(0, 2, 1)).astype(dtype),
         ],
+        "WT": np.ascontiguousarray(W.transpose(0, 2, 1)).astype(dtype),
     }
 
 
@@ -151,9 +151,10 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=a.dtype)
 
 
-def _tri_term(qT, arrays, smin, smax):
-    """(3, n_sel) -> rhs contribution (3, r) of a fused tri-strain group."""
-    G1, G2, G3, P0T, P1T, Dm, row_is0, WT = arrays
+def _tri_p(qT, arrays, smin, smax):
+    """(3, n_sel) -> selected projection rows (3, m) of a tri-strain
+    group."""
+    G1, G2, G3, P0T, P1T, Dm, row_is0 = arrays
     V1 = _dot(qT, G1.T)       # (3, m)
     V2 = _dot(qT, G2.T)
     V3 = _dot(qT, G3.T)
@@ -173,15 +174,13 @@ def _tri_term(qT, arrays, smin, smax):
     # pi row j of element: (P @ Fhat)[:, j]; select row 0 or 1 per element
     fh0 = jnp.where(row_is0 > 0, f00, f01)                 # (1, m)
     fh1 = jnp.where(row_is0 > 0, f10, f11)
-    p_sel = P0T * fh0 + P1T * fh1                          # (3, m)
-    # rhs rows: p_sel[d] (1, m) @ WT[d] (m, r) -> (1, r); keep 2-D for Mosaic
-    return jnp.concatenate(
-        [_dot(p_sel[d:d + 1], WT[d]) for d in range(3)], axis=0)
+    return P0T * fh0 + P1T * fh1                           # (3, m)
 
 
-def _tet_term(qT, arrays, kind, smin, smax):
-    """tets_strain / tets_deformation_gradient rhs contribution (3, r)."""
-    G1, G2, G3, G4, Dm, r0, r1, WT = arrays
+def _tet_p(qT, arrays, kind, smin, smax):
+    """tets_strain / tets_deformation_gradient selected projection rows
+    (3, m)."""
+    G1, G2, G3, G4, Dm, r0, r1 = arrays
     V1 = _dot(qT, G1.T)
     V2 = _dot(qT, G2.T)
     V3 = _dot(qT, G3.T)
@@ -202,14 +201,14 @@ def _tet_term(qT, arrays, kind, smin, smax):
         rows = [(R9[0], R9[3], R9[6]), (R9[1], R9[4], R9[7]),
                 (R9[2], R9[5], R9[8])]
     r2 = 1.0 - r0 - r1
-    p_sel = [r0 * rows[0][d] + r1 * rows[1][d] + r2 * rows[2][d]
-             for d in range(3)]               # each (1, m)
-    return jnp.concatenate([_dot(p_sel[d], WT[d]) for d in range(3)], axis=0)
+    return jnp.concatenate(
+        [r0 * rows[0][d] + r1 * rows[1][d] + r2 * rows[2][d]
+         for d in range(3)], axis=0)          # (3, m)
 
 
-def _bending_term(qT, arrays, prevent_flips):
-    """verts_bending rhs contribution (3, r)."""
-    Wb, rest, tri_n, dot_n, WT = arrays
+def _bending_p(qT, arrays, prevent_flips):
+    """verts_bending projection rows (3, m)."""
+    Wb, rest, tri_n, dot_n = arrays
     star = _dot(qT, Wb.T)                                   # (3, m)
     norm = jnp.sqrt(jnp.sum(star * star, axis=0, keepdims=True))
     scale = rest / jnp.maximum(norm, 1e-30)
@@ -218,12 +217,11 @@ def _bending_term(qT, arrays, prevent_flips):
         dots = jnp.sum(tri_n * corr, axis=0, keepdims=True)
         flip = (norm > 1e-5) & (dots * dot_n < 0)
         corr = jnp.where(flip, -corr, corr)
-    return jnp.concatenate(
-        [_dot(corr[d:d + 1], WT[d]) for d in range(3)], axis=0)
+    return corr
 
 
-def _spring_term(qT, arrays):
-    E0, E1, rest, WT = arrays
+def _spring_p(qT, arrays):
+    E0, E1, rest = arrays
     V0 = _dot(qT, E0.T)
     V1 = _dot(qT, E1.T)
     spring = V1 - V0                                       # (3, m)
@@ -232,9 +230,7 @@ def _spring_term(qT, arrays):
     n = spring * inv_len
     delta = 0.5 * (length - rest)
     p = 0.5 * spring - delta * n                           # (3, m)
-    p = jnp.where(length > 0, p, 0.0)
-    return jnp.concatenate(
-        [_dot(p[d:d + 1], WT[d]) for d in range(3)], axis=0)
+    return jnp.where(length > 0, p, 0.0)
 
 
 def build_fused_reduced_iterations(groups: list[dict], U_selT: np.ndarray,
@@ -250,60 +246,78 @@ def build_fused_reduced_iterations(groups: list[dict], U_selT: np.ndarray,
     dtype = U_selT.dtype
     flat_arrays = []
     layout = []
+    wt_blocks = []
     for g in groups:
         layout.append((g["kind"], len(g["arrays"]), g.get("smin"),
                        g.get("smax"), g.get("prevent_flips", True)))
         flat_arrays.extend(g["arrays"])
+        wt_blocks.append(np.asarray(g["WT"]))
+    # merged rhs matrix: (3, m_total, r), concatenated over groups in order
+    WT_all = np.concatenate(wt_blocks, axis=1)
+    # fold inv(Ar) into the lift so each iteration needs one fewer matmul:
+    # q_sel = snT + rb @ (inv @ U_sel)
+    inv3 = np.asarray(inv3, dtype=np.float64)
+    usel_inv = np.stack([inv3[d] @ np.asarray(U_selT[d], dtype=np.float64)
+                         for d in range(3)]).astype(dtype)   # (3, r, n_sel)
 
-    n_inputs = 4 + len(flat_arrays)
+    n_inputs = 5 + len(flat_arrays)
     r = inv3.shape[1]
     out_shape = jax.ShapeDtypeStruct((3, r), dtype)
     specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_inputs)]
-    const_inputs = [jnp.asarray(U_selT), jnp.asarray(inv3)] + [
+    const_inputs = [jnp.asarray(usel_inv),
+                    jnp.asarray(inv3.astype(dtype)),
+                    jnp.asarray(WT_all.astype(dtype))] + [
         jnp.asarray(a) for a in flat_arrays]
 
     @partial(jax.jit, static_argnames=("num_iterations",))
     def run(snT_sel, rb_const, num_iterations):
         def kernel(*refs):
-            snT_ref, rbc_ref, usel_ref, inv_ref = refs[:4]
-            garrs = [ref[:] for ref in refs[4:n_inputs]]
+            snT_ref, rbc_ref, uselinv_ref, inv_ref, wt_ref = refs[:5]
+            garrs = [ref[:] for ref in refs[5:n_inputs]]
             out_ref = refs[n_inputs]
 
             snT = snT_ref[:]
             rbc = rbc_ref[:]
-            usel = usel_ref[:]
+            usel_inv = uselinv_ref[:]
             inv = inv_ref[:]
+            WT = wt_ref[:]
 
             def body(i, carry):
                 qT, _ = carry
-                rb = rbc
+                # selected projection rows of every group, concatenated on
+                # the element axis -> single rhs matmul per dim
+                p_parts = []
                 off = 0
                 for kind, cnt, smin, smax, pflips in layout:
                     arrs = garrs[off:off + cnt]
                     off += cnt
                     if kind == "tris_strain":
-                        rb = rb + _tri_term(qT, arrs, smin, smax)
+                        p_parts.append(_tri_p(qT, arrs, smin, smax))
                     elif kind == "edge_spring":
-                        rb = rb + _spring_term(qT, arrs)
+                        p_parts.append(_spring_p(qT, arrs))
                     elif kind in ("tets_strain",
                                   "tets_deformation_gradient"):
-                        rb = rb + _tet_term(qT, arrs, kind, smin, smax)
+                        p_parts.append(_tet_p(qT, arrs, kind, smin, smax))
                     elif kind == "verts_bending":
-                        rb = rb + _bending_term(qT, arrs, pflips)
+                        p_parts.append(_bending_p(qT, arrs, pflips))
                     else:
                         raise ValueError(kind)
-                # inv(Ar) is symmetric, so the row form rb_d @ inv[d]
-                # equals inv[d] @ rb_d — keeps all dots 2-D for Mosaic
-                u = jnp.concatenate(
-                    [_dot(rb[d:d + 1], inv[d]) for d in range(3)],
-                    axis=0)                                   # (3, r)
+                pT = (p_parts[0] if len(p_parts) == 1
+                      else jnp.concatenate(p_parts, axis=1))   # (3, m_tot)
+                rb = rbc + jnp.concatenate(
+                    [_dot(pT[d:d + 1], WT[d]) for d in range(3)], axis=0)
+                # inv is folded into usel_inv: one matmul lifts rb straight
+                # to the selected vertices
                 qT_new = snT + jnp.concatenate(
-                    [_dot(u[d:d + 1], usel[d]) for d in range(3)],
+                    [_dot(rb[d:d + 1], usel_inv[d]) for d in range(3)],
                     axis=0)                                   # (3, n_sel)
-                return qT_new, u
+                return qT_new, rb
 
-            u0 = jnp.zeros((3, r), dtype=snT.dtype)
-            _, u = jax.lax.fori_loop(0, num_iterations, body, (snT, u0))
+            rb0 = jnp.zeros((3, r), dtype=snT.dtype)
+            _, rb = jax.lax.fori_loop(0, num_iterations, body, (snT, rb0))
+            # final reduced coordinates (inv(Ar) is symmetric: row form ok)
+            u = jnp.concatenate(
+                [_dot(rb[d:d + 1], inv[d]) for d in range(3)], axis=0)
             out_ref[:] = u
 
         return pl.pallas_call(

@@ -172,13 +172,19 @@ class AnimSnapBasesSolver:
 
     DENSE_LIMIT = 2400
 
-    def __init__(self, args, dtype=None, pallas_mode: str = "auto"):
+    def __init__(self, args, dtype=None, pallas_mode: str = "auto",
+                 matmul_dtype=None):
         self.args = args
         self.dtype = dtype   # None: float64 under x64, else float32
         # "auto": fuse the iteration loop into one Pallas kernel when on TPU
         # and all reduced groups are fusible; "interpret": force the kernel
         # in interpreter mode (CPU testing); "off": always XLA
         self.pallas_mode = pallas_mode
+        # storage dtype for the large per-step matrices (U lift, U^T A_c):
+        # bfloat16 halves their HBM traffic — the dominant marginal cost at
+        # bunny scale — while all accumulation stays f32.  None: same as
+        # dtype.
+        self.matmul_dtype = matmul_dtype
         self.model: DeformableModel | None = None
         self.dirty = True
         self.dt = None
@@ -423,6 +429,14 @@ class AnimSnapBasesSolver:
         U = cast(self.U) if self.U is not None else None
         inv3 = cast(self._inv_np) if self.reduced_position else None
         ut_ac = cast(self._ut_ac_np) if self.reduced_position else None
+        if self.matmul_dtype is not None and self.reduced_position:
+            # low-precision storage for the big per-step operands (halves
+            # their HBM traffic); the einsums request full-precision
+            # accumulation via preferred_element_type
+            U_mm = jnp.asarray(self.U, dtype=self.matmul_dtype)
+            ut_ac = jnp.asarray(self._ut_ac_np, dtype=self.matmul_dtype)
+        else:
+            U_mm = U
         chol_full = (cast(self._chol_full_np)
                      if getattr(self, "_chol_full_np", None) is not None
                      and not self.reduced_position else None)
@@ -481,7 +495,9 @@ class AnimSnapBasesSolver:
                 if floor:
                     sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
                 # displacement form: rb_const = -U^T A_c sn (+ positional)
-                rb_const = -jnp.einsum("drn,nd->rd", ut_ac, sn)
+                rb_const = -jnp.einsum("drn,nd->rd", ut_ac,
+                                       sn.astype(ut_ac.dtype),
+                                       preferred_element_type=sn.dtype)
                 if UtSt_j is not None:
                     rb_const = rb_const + jnp.stack(
                         [UtSt_j[d] @ targets[:, d] for d in range(3)], axis=1)
@@ -507,7 +523,9 @@ class AnimSnapBasesSolver:
                     u0 = jnp.zeros((r, 3), dtype=sn.dtype)
                     _, u = jax.lax.fori_loop(0, num_iterations, body,
                                              (sn_sel, u0))
-                q = sn + jnp.einsum("nrd,rd->nd", U, u)
+                q = sn + jnp.einsum("nrd,rd->nd", U_mm,
+                                    u.astype(U_mm.dtype),
+                                    preferred_element_type=sn.dtype)
                 v = (q - positions) / dt
                 return q, v
 
@@ -518,7 +536,9 @@ class AnimSnapBasesSolver:
                 sn = positions + dt * velocities + dt2 * a
                 if floor:
                     sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
-                rb_base = -jnp.einsum("drn,nd->rd", ut_ac, sn)
+                rb_base = -jnp.einsum("drn,nd->rd", ut_ac,
+                                      sn.astype(ut_ac.dtype),
+                                      preferred_element_type=sn.dtype)
 
                 def body(_, q):
                     b_full, _ = local_full(q, targets)   # constraint terms
