@@ -107,17 +107,26 @@ class ReducedGroup:
 def prepare_reduced_group(g, reduction_type: str, num_components: int,
                           npz_path: str, n_verts: int,
                           U: np.ndarray | None = None,
-                          tikhonov: bool = True):
+                          tikhonov: bool = True,
+                          oversample: float = 1.0):
     """Load a basis .npz and build the precomposed rhs matrices.
 
     Returns (ReducedGroup, alphas, Pt) mirroring the reference's
     ``prepare_reduced_group`` (Simulators.py:157-220).
+
+    ``oversample`` > 1 keeps ``num_components`` basis modes but takes the
+    interpolation rows selected for ``oversample * num_components`` modes —
+    an overdetermined (least-squares) DEIM that keeps the hyper-reduced
+    local-global iteration contractive at high iteration counts.
     """
     data = np.load(npz_path)
     row_dim = 1 if reduction_type in ("deim_pod", "deim_pod_vectorized") \
         else g.p
     Vj = data["components"].swapaxes(0, 1)[:, :num_components * row_dim, :]
-    alpha_range = int(data["interpol_alpha_ranges"][num_components - 1])
+    ranges = data["interpol_alpha_ranges"]
+    range_idx = min(int(round(num_components * oversample)),
+                    len(ranges)) - 1
+    alpha_range = int(ranges[range_idx])
     alphas = data["interpol_alphas"][:alpha_range].astype(np.int64)
 
     if reduction_type in ("deim_pod", "deim_pod_vectorized"):
@@ -309,7 +318,8 @@ class AnimSnapBasesSolver:
             rg, _, _ = prepare_reduced_group(
                 g, rtype, self.num_components[name], npz_path,
                 self.model.n_verts, U=self.U,
-                tikhonov=(name != "verts_bending"))
+                tikhonov=(name != "verts_bending"),
+                oversample=getattr(self.args, "deim_oversample", 1.0))
             self._reduced_groups[name] = rg
 
     def prepare(self, args, store_fom_info=False, record_path=None):

@@ -26,7 +26,7 @@ BUNNY_PATH = "/root/reference/data/bunny.obj"
 BASELINE_STEPS_PER_SEC = 10_000.0
 
 FOM_FRAMES = 48
-FOM_ITERS = 4
+FOM_ITERS = 10
 POS_MODES = 64
 CONSTR_MODES = 40
 WI = 1e4
@@ -197,10 +197,14 @@ def build_reduced_solver(meta, dtype):
     args = default_sim_args()
     args.dt = DT
     args.constraint_projection_basis_type = "deim_pod_vectorized"
+    n_modes = 30
     args.tri_strain_reduced = True
-    args.tri_strain_num_components = min(CONSTR_MODES, FOM_FRAMES - 1) - 4
+    args.tri_strain_num_components = n_modes
     args.edge_spring_reduced = True
-    args.edge_spring_num_components = min(CONSTR_MODES, FOM_FRAMES - 1) - 4
+    args.edge_spring_num_components = n_modes
+    # oversampled DEIM (4/3 x points) keeps the hyper-reduced local-global
+    # iteration contractive at the full 10 iterations/step
+    args.deim_oversample = 4.0 / 3.0
     args.geom_interpolation_basis_dir = meta["basis_dir"]
     args.geom_interpolation_basis_file = "basis.npz"
     args.position_reduced = True
