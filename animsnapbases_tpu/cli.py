@@ -16,6 +16,16 @@ from animsnapbases_tpu.config.bases_config import BasesConfig
 from animsnapbases_tpu.utils.timing import global_timer
 
 
+def _copy_time_log(directory: str) -> None:
+    """Also store the timings under the reference's relocated name
+    (``time_logs.txt``, ref main.py:81,132)."""
+    import shutil
+
+    src = os.path.join(directory, "function_timings.txt")
+    if os.path.exists(src):
+        shutil.copy(src, os.path.join(directory, "time_logs.txt"))
+
+
 def run_position_pipeline(param: BasesConfig, view: bool = False):
     from animsnapbases_tpu.bases.pca import PositionComponents
     from animsnapbases_tpu.io.meshes import load_off, load_ply
@@ -64,6 +74,7 @@ def run_position_pipeline(param: BasesConfig, view: bool = False):
     timer = global_timer()
     timer.directory = param.vertPos_output_directory
     timer.flush()
+    _copy_time_log(param.vertPos_output_directory)
 
     if param.run_pca_tests:
         from animsnapbases_tpu.analysis.figures import plots_pca
@@ -99,6 +110,7 @@ def run_constproj_pipeline(param: BasesConfig):
     timer = global_timer()
     timer.directory = param.constProj_output_directory
     timer.flush()
+    _copy_time_log(param.constProj_output_directory)
 
     if param.store_nonlinear_bases:
         nl_bases.store_components_n_interpol_points()

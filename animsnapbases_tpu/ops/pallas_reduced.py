@@ -12,8 +12,12 @@ formula (:mod:`animsnapbases_tpu.ops.strain2d`).
 Data layout is dims-leading / elements-last so the element axis maps to VPU
 lanes: positions are (3, n_sel), per-element scalars are (1, m).
 
-Currently fused group kinds: ``tris_strain`` and ``edge_spring`` (DEIM row
-form).  Other group kinds fall back to the XLA path in the reduced solver.
+All five constraint group kinds are fused (DEIM row form): ``tris_strain``
+(closed-form 2x2 clamp), ``edge_spring``, ``tets_strain`` and
+``tets_deformation_gradient`` (entry-wise Jacobi 3x3,
+:mod:`animsnapbases_tpu.ops.strain3d`), and ``verts_bending`` (star
+Laplacian as one matmul).  Block-form interpolation falls back to the XLA
+path.
 """
 
 from __future__ import annotations

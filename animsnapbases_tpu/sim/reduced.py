@@ -672,6 +672,38 @@ class AnimSnapBasesSolver:
         model.positions = q_next
         self.frame += 1
 
+    def make_batched_step(self, mesh=None, batch_axis: str = "data"):
+        """Ensemble stepping: vmap the jitted step over a batch of
+        (positions, velocities) states, optionally sharded over a mesh axis
+        (production serving of many simultaneous reduced sims).
+
+        Returns step(positions (B, N, 3), velocities, fext (B, N, 3),
+        num_iterations) -> (positions', velocities')."""
+        if self._step_jit is None:
+            raise RuntimeError("batched stepping needs the jitted path "
+                               "(dense/reduced global solve)")
+        core = self._step_jit
+        targets = self._cast(self.model.positional_targets(self.frame))
+
+        spec = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = NamedSharding(mesh, P(batch_axis))
+
+        @partial(jax.jit, static_argnames=("num_iterations",))
+        def step(positions, velocities, fext, num_iterations=10):
+            if spec is not None:
+                positions = jax.lax.with_sharding_constraint(positions, spec)
+                velocities = jax.lax.with_sharding_constraint(velocities,
+                                                              spec)
+            return jax.vmap(
+                lambda p, v, f: core(p, v, f, targets,
+                                     num_iterations=num_iterations)
+            )(positions, velocities, fext)
+
+        return step
+
     def run_steps(self, fext, num_steps, num_iterations=10):
         """Advance ``num_steps`` steps fully on device (single dispatch).
         Positional targets are held at the current frame's values."""

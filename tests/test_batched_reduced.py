@@ -1,0 +1,35 @@
+"""Ensemble stepping of the reduced solver over a sharded batch."""
+
+import numpy as np
+import jax
+import pytest
+
+from animsnapbases_tpu.parallel import build_device_mesh
+from test_sim_reduced_position import _reduced_solver, pipeline  # noqa: F401
+from test_sim_solver import gravity_forces
+
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_batched_reduced_matches_single(pipeline):
+    basis_dir, pos_path, _ = pipeline
+    solver, model = _reduced_solver(basis_dir, pos_path, with_position=True)
+    mesh = build_device_mesh((8,), ("data",))
+    step = solver.make_batched_step(mesh)
+
+    B = 8
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    f = np.tile(gravity_forces(model), (B, 1, 1))
+    p, v = step(pos, vel, f, num_iterations=6)
+    p, v = step(p, v, f, num_iterations=6)
+
+    # single-sim reference
+    s2, m2 = _reduced_solver(basis_dir, pos_path, with_position=True)
+    for _ in range(2):
+        s2.step(gravity_forces(m2), num_iterations=6)
+    out = np.asarray(p)
+    for b in range(B):
+        np.testing.assert_allclose(out[b], m2.positions, atol=1e-9)
