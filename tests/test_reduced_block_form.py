@@ -1,0 +1,98 @@
+"""Reduced solver with block-form interpolation (deim_pca_blocks /
+geom_pca_blocks_withSt reduction types): full blocks of each selected
+element are evaluated, XLA path (block form is not Pallas-fused)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+from test_sim_solver import gravity_forces, make_cloth_solver, sim_args
+
+
+@pytest.fixture(scope="module")
+def block_basis(tmp_path_factory):
+    """pca_blocks + block-DEIM basis for the cloth tri-strain group."""
+    tmp = tmp_path_factory.mktemp("blockform")
+    solver, model = make_cloth_solver(rows=5, cols=5, wi=1e4, tilt=0.15)
+    record = str(tmp / "FOM")
+    solver.store_assembly_matrices(record)
+    solver.set_record_path(record)
+    solver.set_store_p(True)
+    solver.max_p_snapshots_num = 19
+    traj = []
+    for _ in range(20):
+        solver.step(gravity_forces(model), num_iterations=6)
+        traj.append(model.positions.copy())
+
+    import jax.numpy as jnp
+
+    from animsnapbases_tpu.bases.constraints import _make_extract_blocks
+
+    data = np.load(os.path.join(record, "tris_strain_p.npz"))
+    frames = np.stack([data[str(i)] for i in range(20)])
+    p, e = 2, frames.shape[1] // 2
+    K = 8
+    run = _make_extract_blocks(p, e, K)
+    C, W, sig, rows, idxs, res, _ = run(jnp.asarray(frames))
+    comps = np.asarray(C).reshape(K * p, -1, 3)
+
+    # block-DEIM selection on the block-structured basis
+    import oracles
+
+    bases = comps.swapaxes(0, 1)
+    Pt, alphas = [], []
+    V = None
+    for k in range(K):
+        vk = bases[:, k * p:(k + 1) * p, :]
+        if k == 0:
+            r = vk
+        else:
+            c = np.empty_like(vk)
+            for i in range(3):
+                sol = np.linalg.lstsq(V[Pt, :, i], vk[Pt, :, i],
+                                      rcond=None)[0]
+                c[:, :, i] = V[:, :, i] @ sol
+            r = c - vk
+        row_energy = (r ** 2).sum(axis=(1, 2)).reshape(-1, p).sum(axis=1)
+        alpha = int(np.argmax(row_energy))
+        alphas.append(alpha)
+        Pt.extend(alpha * p + m for m in range(p))
+        V = vk if V is None else np.concatenate((V, vk), axis=1)
+
+    basis_dir = str(tmp / "bases")
+    gdir = os.path.join(basis_dir, "tris_strain")
+    os.makedirs(gdir, exist_ok=True)
+    np.savez(os.path.join(gdir, "basis.npz"),
+             components=comps,
+             interpol_alphas=np.array(alphas),
+             Pt=np.array(Pt),
+             interpol_verts=np.array([]),
+             interpol_alpha_ranges=np.arange(1, K + 1))
+    return basis_dir, np.array(traj)
+
+
+def test_block_form_reduced_runs_and_tracks(block_basis):
+    basis_dir, traj = block_basis
+    args = sim_args(
+        constraint_projection_basis_type="deim_pca_blocks",
+        tri_strain_reduced=True, tri_strain_num_components=6,
+        geom_interpolation_basis_dir=basis_dir,
+        geom_interpolation_basis_file="basis.npz")
+    solver = AnimSnapBasesSolver(args)
+    _, model = make_cloth_solver(rows=5, cols=5, wi=1e4, tilt=0.15)
+    solver.set_model(model)
+    solver.prepare(args)
+
+    # block form evaluates whole p-blocks (no row gather)
+    rg = solver._reduced_groups["tris_strain"]
+    assert rg.row_select is None
+    assert rg.W.shape[2] == 2 * 6   # p * num_selected_elements
+
+    for _ in range(20):
+        solver.step(gravity_forces(model), num_iterations=6)
+    assert np.isfinite(model.positions).all()
+    scale = np.abs(traj[-1]).max()
+    err = np.abs(model.positions - traj[-1]).max() / scale
+    assert err < 0.15, f"block-form reduced sim deviates: {err}"
