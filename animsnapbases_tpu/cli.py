@@ -128,6 +128,33 @@ def run_constproj_pipeline(param: BasesConfig):
     return nl_bases
 
 
+def run_on_mesh_accuracy(param: BasesConfig):
+    """When reduced-simulation snapshots exist, compare them frame-by-frame
+    against the full-order sequence (ref main.py:205-256)."""
+    from animsnapbases_tpu.analysis.accuracy import compute_accuracy
+
+    results = {}
+    if param.compute_pos_bases and param.reduced_snapshots_available:
+        results["pos"] = compute_accuracy(
+            param.input_snapshots_files_name + "%d" + param.snapshots_format,
+            os.path.join(param.input_pos_snapshots_dir, "posPCA", "pos_%d"
+                         + param.snapshots_format),
+            range(1, param.vertPos_numFrames + 1),
+            out_dir=param.vertPos_output_directory)
+    if (param.compute_constProj_bases
+            and param.reduced_constProj_snapshots_available):
+        results["constproj"] = compute_accuracy(
+            os.path.join(param._pos_snaps_folder, "pos_%d"
+                         + param.snapshots_format),
+            os.path.join(param._geom_pos_snaps_folder, "pos_%d"
+                         + param.snapshots_format),
+            range(0, param.constProj_numFrames
+                  * param.constProj_frame_increment,
+                  param.constProj_frame_increment),
+            out_dir=param.constProj_output_directory)
+    return results
+
+
 def main(param: BasesConfig):
     results = {}
     if param.compute_pos_bases:
@@ -136,6 +163,9 @@ def main(param: BasesConfig):
     if param.compute_constProj_bases:
         print("Computing nonlinear bases")
         results["constproj"] = run_constproj_pipeline(param)
+    accuracy = run_on_mesh_accuracy(param)
+    if accuracy:
+        results["accuracy"] = accuracy
     return results
 
 

@@ -225,6 +225,11 @@ class DeformableModel:
         v[v < 1e-7] = 1e-7
         return v
 
+    def count_edges(self, faces=None) -> int:
+        """Number of unique undirected edges (ref :1113-1127)."""
+        faces = self.faces if faces is None else faces
+        return len(unique_edges(faces))
+
     def has_group(self, name: str) -> bool:
         return name in self.groups
 
