@@ -176,7 +176,13 @@ def cli(argv=None):
         "--config_file", type=str,
         default="config/examples/cloth_strainOnly_automated_deim_triStrainSubspace.json")
     parser.add_argument("--results_dir", type=str, default="results")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the JAX CPU backend")
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     param = BasesConfig.from_json(args.config_file,
                                   results_dir=args.results_dir)

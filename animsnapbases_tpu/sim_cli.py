@@ -23,7 +23,14 @@ def cli(argv=None):
                         help="also export pos_%%d.off position snapshots")
     parser.add_argument("--output", type=str, default=None)
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the JAX CPU backend (the axon plugin "
+                             "ignores JAX_PLATFORMS)")
     args_ns = parser.parse_args(argv)
+
+    if args_ns.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     params = SimConfig(args_ns.config)
     sim_args = params.build_args()
