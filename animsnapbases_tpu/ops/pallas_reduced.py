@@ -60,10 +60,12 @@ def pack_tris_strain(subset_data: dict, lookup: np.ndarray, W: np.ndarray,
     row_is0 = (row_select % 2 == 0).astype(dtype)
     return {
         "kind": "tris_strain",
-        "arrays": [
+        "gathers": [
             _onehot(faces[:, 0], n_sel, dtype),
             _onehot(faces[:, 1], n_sel, dtype),
             _onehot(faces[:, 2], n_sel, dtype),
+        ],
+        "arrays": [
             P[:, :, 0].T.astype(dtype),                    # P0T (3, m)
             P[:, :, 1].T.astype(dtype),                    # P1T (3, m)
             np.stack([D[:, 0, 0], D[:, 0, 1],
@@ -83,9 +85,11 @@ def pack_edge_spring(subset_data: dict, lookup: np.ndarray, W: np.ndarray,
     rest = np.asarray(subset_data["rest_length"]).astype(dtype)
     return {
         "kind": "edge_spring",
-        "arrays": [
+        "gathers": [
             _onehot(edges[:, 0], n_sel, dtype),
             _onehot(edges[:, 1], n_sel, dtype),
+        ],
+        "arrays": [
             rest[None, :],                                 # (1, m)
         ],
         "WT": np.ascontiguousarray(W.transpose(0, 2, 1)).astype(dtype),
@@ -103,11 +107,13 @@ def pack_tets(kind: str, subset_data: dict, lookup: np.ndarray,
     rsel = (row_select % 3).astype(np.int64)
     out = {
         "kind": kind,
-        "arrays": [
+        "gathers": [
             _onehot(el[:, 0], n_sel, dtype),
             _onehot(el[:, 1], n_sel, dtype),
             _onehot(el[:, 2], n_sel, dtype),
             _onehot(el[:, 3], n_sel, dtype),
+        ],
+        "arrays": [
             np.stack([D[:, i, j] for i in range(3)
                       for j in range(3)]).astype(dtype),      # (9, m)
             (rsel == 0).astype(dtype)[None, :],               # (1, m)
@@ -139,8 +145,9 @@ def pack_verts_bending(subset_data: dict, lookup: np.ndarray,
     return {
         "kind": "verts_bending",
         "prevent_flips": bool(subset_data.get("prevent_bending_flips", True)),
+        # the weighted star-Laplacian rows join the merged gather matmul
+        "gathers": [Wb],
         "arrays": [
-            Wb,
             np.asarray(subset_data["rest_curvature"]).astype(dtype)[None, :],
             np.asarray(subset_data["tri_normal"]).T.astype(dtype),  # (3, m)
             np.asarray(subset_data["dot_with_normal"]).astype(
@@ -155,13 +162,10 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=a.dtype)
 
 
-def _tri_p(qT, arrays, smin, smax):
-    """(3, n_sel) -> selected projection rows (3, m) of a tri-strain
-    group."""
-    G1, G2, G3, P0T, P1T, Dm, row_is0 = arrays
-    V1 = _dot(qT, G1.T)       # (3, m)
-    V2 = _dot(qT, G2.T)
-    V3 = _dot(qT, G3.T)
+def _tri_p(gathered, arrays, smin, smax):
+    """Pre-gathered vertex slices -> selected projection rows (3, m)."""
+    V1, V2, V3 = gathered
+    P0T, P1T, Dm, row_is0 = arrays
     e1 = V2 - V1
     e2 = V3 - V1
     # Ds2d = P^T [e1 e2]  (per element 2x2), F = Ds2d @ DmInv
@@ -181,14 +185,11 @@ def _tri_p(qT, arrays, smin, smax):
     return P0T * fh0 + P1T * fh1                           # (3, m)
 
 
-def _tet_p(qT, arrays, kind, smin, smax):
+def _tet_p(gathered, arrays, kind, smin, smax):
     """tets_strain / tets_deformation_gradient selected projection rows
     (3, m)."""
-    G1, G2, G3, G4, Dm, r0, r1 = arrays
-    V1 = _dot(qT, G1.T)
-    V2 = _dot(qT, G2.T)
-    V3 = _dot(qT, G3.T)
-    V4 = _dot(qT, G4.T)
+    V1, V2, V3, V4 = gathered
+    Dm, r0, r1 = arrays
     ds = [V1 - V4, V2 - V4, V3 - V4]          # Ds columns, each (3, m)
     D = [Dm[k:k + 1] for k in range(9)]       # DmInv entries (1, m)
     # F[i][j] = sum_k Ds[k][i] * DmInv[k][j]
@@ -210,10 +211,10 @@ def _tet_p(qT, arrays, kind, smin, smax):
          for d in range(3)], axis=0)          # (3, m)
 
 
-def _bending_p(qT, arrays, prevent_flips):
+def _bending_p(gathered, arrays, prevent_flips):
     """verts_bending projection rows (3, m)."""
-    Wb, rest, tri_n, dot_n = arrays
-    star = _dot(qT, Wb.T)                                   # (3, m)
+    (star,) = gathered                                      # (3, m)
+    rest, tri_n, dot_n = arrays
     norm = jnp.sqrt(jnp.sum(star * star, axis=0, keepdims=True))
     scale = rest / jnp.maximum(norm, 1e-30)
     corr = jnp.where(norm < 1e-10, tri_n * rest, star * scale)
@@ -224,10 +225,9 @@ def _bending_p(qT, arrays, prevent_flips):
     return corr
 
 
-def _spring_p(qT, arrays):
-    E0, E1, rest = arrays
-    V0 = _dot(qT, E0.T)
-    V1 = _dot(qT, E1.T)
+def _spring_p(gathered, arrays):
+    V0, V1 = gathered
+    (rest,) = arrays
     spring = V1 - V0                                       # (3, m)
     length = jnp.sqrt(jnp.sum(spring * spring, axis=0, keepdims=True))
     inv_len = jnp.where(length > 0, 1.0 / jnp.maximum(length, 1e-30), 0.0)
@@ -235,6 +235,59 @@ def _spring_p(qT, arrays):
     delta = 0.5 * (length - rest)
     p = 0.5 * spring - delta * n                           # (3, m)
     return jnp.where(length > 0, p, 0.0)
+
+
+TERM_DISPATCH = {
+    "tris_strain": lambda g, a, smin, smax, pflips: _tri_p(g, a, smin, smax),
+    "edge_spring": lambda g, a, smin, smax, pflips: _spring_p(g, a),
+    "tets_strain": lambda g, a, smin, smax, pflips: _tet_p(
+        g, a, "tets_strain", smin, smax),
+    "tets_deformation_gradient": lambda g, a, smin, smax, pflips: _tet_p(
+        g, a, "tets_deformation_gradient", smin, smax),
+    "verts_bending": lambda g, a, smin, smax, pflips: _bending_p(
+        g, a, pflips),
+}
+
+
+def prepare_fused_operands(groups: list[dict], U_selT: np.ndarray,
+                           inv3: np.ndarray) -> dict:
+    """Shared host-side preparation for the fused kernels: merged gather
+    matrix, merged rhs matrix, inverse-folded lift, layout metadata."""
+    dtype = U_selT.dtype
+    flat_arrays = []
+    layout = []
+    wt_blocks = []
+    gather_blocks = []
+    gather_slices = []
+    g_off = 0
+    for g in groups:
+        layout.append((g["kind"], len(g["arrays"]), g.get("smin"),
+                       g.get("smax"), g.get("prevent_flips", True)))
+        flat_arrays.extend(g["arrays"])
+        wt_blocks.append(np.asarray(g["WT"]))
+        slices = []
+        for gm in g["gathers"]:
+            gm = np.asarray(gm)
+            gather_blocks.append(gm)
+            slices.append((g_off, gm.shape[0]))
+            g_off += gm.shape[0]
+        gather_slices.append(slices)
+    WT_all = np.concatenate(wt_blocks, axis=1).astype(dtype)
+    G_allT = np.ascontiguousarray(
+        np.concatenate(gather_blocks, axis=0).T).astype(dtype)
+    inv64 = np.asarray(inv3, dtype=np.float64)
+    usel_inv = np.stack([inv64[d] @ np.asarray(U_selT[d], dtype=np.float64)
+                         for d in range(3)]).astype(dtype)
+    return {
+        "layout": layout,
+        "gather_slices": gather_slices,
+        "flat_arrays": flat_arrays,
+        "WT_all": WT_all,
+        "G_allT": G_allT,
+        "usel_inv": usel_inv,
+        "inv3": inv64.astype(dtype),
+        "dispatch": TERM_DISPATCH,
+    }
 
 
 def build_fused_reduced_iterations(groups: list[dict], U_selT: np.ndarray,
@@ -247,37 +300,28 @@ def build_fused_reduced_iterations(groups: list[dict], U_selT: np.ndarray,
     groups: packed dicts from pack_tris_strain / pack_edge_spring.
     U_selT: (3, r, n_sel); inv3: (3, r, r).
     """
+    ops = prepare_fused_operands(groups, U_selT, inv3)
+    layout = ops["layout"]
+    gather_slices = ops["gather_slices"]
+    flat_arrays = ops["flat_arrays"]
     dtype = U_selT.dtype
-    flat_arrays = []
-    layout = []
-    wt_blocks = []
-    for g in groups:
-        layout.append((g["kind"], len(g["arrays"]), g.get("smin"),
-                       g.get("smax"), g.get("prevent_flips", True)))
-        flat_arrays.extend(g["arrays"])
-        wt_blocks.append(np.asarray(g["WT"]))
-    # merged rhs matrix: (3, m_total, r), concatenated over groups in order
-    WT_all = np.concatenate(wt_blocks, axis=1)
-    # fold inv(Ar) into the lift so each iteration needs one fewer matmul:
-    # q_sel = snT + rb @ (inv @ U_sel)
-    inv3 = np.asarray(inv3, dtype=np.float64)
-    usel_inv = np.stack([inv3[d] @ np.asarray(U_selT[d], dtype=np.float64)
-                         for d in range(3)]).astype(dtype)   # (3, r, n_sel)
 
-    n_inputs = 5 + len(flat_arrays)
-    r = inv3.shape[1]
+    n_inputs = 6 + len(flat_arrays)
+    r = np.asarray(inv3).shape[1]
     out_shape = jax.ShapeDtypeStruct((3, r), dtype)
     specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_inputs)]
-    const_inputs = [jnp.asarray(usel_inv),
-                    jnp.asarray(inv3.astype(dtype)),
-                    jnp.asarray(WT_all.astype(dtype))] + [
+    const_inputs = [jnp.asarray(ops["usel_inv"]),
+                    jnp.asarray(ops["inv3"]),
+                    jnp.asarray(ops["WT_all"]),
+                    jnp.asarray(ops["G_allT"])] + [
         jnp.asarray(a) for a in flat_arrays]
 
     @partial(jax.jit, static_argnames=("num_iterations",))
     def run(snT_sel, rb_const, num_iterations):
         def kernel(*refs):
-            snT_ref, rbc_ref, uselinv_ref, inv_ref, wt_ref = refs[:5]
-            garrs = [ref[:] for ref in refs[5:n_inputs]]
+            (snT_ref, rbc_ref, uselinv_ref, inv_ref, wt_ref,
+             gall_ref) = refs[:6]
+            garrs = [ref[:] for ref in refs[6:n_inputs]]
             out_ref = refs[n_inputs]
 
             snT = snT_ref[:]
@@ -285,25 +329,31 @@ def build_fused_reduced_iterations(groups: list[dict], U_selT: np.ndarray,
             usel_inv = uselinv_ref[:]
             inv = inv_ref[:]
             WT = wt_ref[:]
+            G_allT = gall_ref[:]
 
             def body(i, carry):
                 qT, _ = carry
+                # one merged gather matmul for every group's vertex reads
+                Vall = _dot(qT, G_allT)                    # (3, g_total)
                 # selected projection rows of every group, concatenated on
                 # the element axis -> single rhs matmul per dim
                 p_parts = []
                 off = 0
-                for kind, cnt, smin, smax, pflips in layout:
+                for (kind, cnt, smin, smax, pflips), slices in zip(
+                        layout, gather_slices):
                     arrs = garrs[off:off + cnt]
                     off += cnt
+                    gathered = [Vall[:, s:s + m] for s, m in slices]
                     if kind == "tris_strain":
-                        p_parts.append(_tri_p(qT, arrs, smin, smax))
+                        p_parts.append(_tri_p(gathered, arrs, smin, smax))
                     elif kind == "edge_spring":
-                        p_parts.append(_spring_p(qT, arrs))
+                        p_parts.append(_spring_p(gathered, arrs))
                     elif kind in ("tets_strain",
                                   "tets_deformation_gradient"):
-                        p_parts.append(_tet_p(qT, arrs, kind, smin, smax))
+                        p_parts.append(_tet_p(gathered, arrs, kind, smin,
+                                              smax))
                     elif kind == "verts_bending":
-                        p_parts.append(_bending_p(qT, arrs, pflips))
+                        p_parts.append(_bending_p(gathered, arrs, pflips))
                     else:
                         raise ValueError(kind)
                 pT = (p_parts[0] if len(p_parts) == 1

@@ -406,8 +406,68 @@ class AnimSnapBasesSolver:
         U_selT = np.ascontiguousarray(
             self.U[union].transpose(2, 1, 0)).astype(np_dtype)  # (3, r, nsel)
         inv3 = self._inv_np.astype(np_dtype)
+        # keep the packed operands for the resident multi-step kernel
+        self._fused_pack = (packed, U_selT, inv3, np_dtype, interpret)
         return build_fused_reduced_iterations(packed, U_selT, inv3,
                                               interpret=interpret)
+
+    def _try_build_resident(self, union: np.ndarray):
+        """Whole-simulation-resident kernel: loops steps x iterations inside
+        one pallas_call with the state and (optionally low-precision) big
+        matrices in VMEM.  Vertices are permuted so the selected union is a
+        prefix (static slice instead of gather).  Returns
+        (run_fn, perm, iperm, fext_is_free) or None."""
+        if getattr(self, "_fused_pack", None) is None:
+            return None
+        from animsnapbases_tpu.ops.pallas_reduced import (
+            prepare_fused_operands,
+        )
+        from animsnapbases_tpu.ops.pallas_resident import (
+            build_resident_multistep,
+            estimate_vmem_bytes,
+        )
+
+        packed, U_selT, inv3, np_dtype, interpret = self._fused_pack
+        n = self.model.n_verts
+        r = self.U.shape[1]
+        n_sel = len(union)
+        mm_dtype = (np.dtype(jnp.asarray(0.0, dtype=self.matmul_dtype).dtype)
+                    if self.matmul_dtype is not None else np_dtype)
+
+        ops = prepare_fused_operands(packed, U_selT, inv3)
+        m_total = ops["WT_all"].shape[1]
+        g_total = ops["G_allT"].shape[1]
+        budget = estimate_vmem_bytes(n, r, n_sel, g_total, m_total,
+                                     mm_dtype.itemsize, np_dtype.itemsize)
+        if budget > 14 * (1 << 20):
+            return None
+
+        perm = np.concatenate([union,
+                               np.setdiff1d(np.arange(n), union)])
+        iperm = np.argsort(perm)
+        U_perm = self.U[perm]                                # (N, r, 3)
+        U_liftT = np.ascontiguousarray(
+            U_perm.transpose(2, 1, 0)).astype(mm_dtype)      # (3, r, N)
+        ut_acT = np.ascontiguousarray(
+            self._ut_ac_np[:, :, perm].transpose(0, 2, 1)).astype(
+            mm_dtype)                                        # (3, N, r)
+        mass_inv = (1.0 / self.model.mass[perm])[None, :].astype(np_dtype)
+
+        pos_group = self.model.groups.get("positional")
+        self._resident_utst = None
+        if pos_group is not None:
+            ST = pos_group.assembly_scipy(n)
+            self._resident_utst = np.stack(
+                [self.U[:, :, d].T @ ST.toarray() for d in range(3)]).astype(
+                np_dtype)                                    # (3, r, e_pos)
+
+        run = build_resident_multistep(
+            ops, ops["gather_slices"], ops["layout"],
+            ops["G_allT"], ops["WT_all"], ops["usel_inv"], ops["inv3"],
+            U_liftT, ut_acT, mass_inv, self.dt,
+            self.model.floor_collision, self.model.floor_height,
+            n_sel, interpret=interpret)
+        return run, perm, iperm
 
     def _build_step(self):
         model = self.model
@@ -497,6 +557,12 @@ class AnimSnapBasesSolver:
                 UtSt_j = None
 
             fused_run = self._try_build_pallas(union, remapped)
+            self._resident = None
+            if fused_run is not None:
+                try:
+                    self._resident = self._try_build_resident(union)
+                except Exception:
+                    self._resident = None
 
             def step_core(positions, velocities, fext, targets,
                           num_iterations):
@@ -712,6 +778,26 @@ class AnimSnapBasesSolver:
                 self.step(fext, num_iterations)
             return
         model = self.model
+        if getattr(self, "_resident", None) is not None:
+            run_fn, perm, iperm = self._resident
+            r = self.U.shape[1]
+            targets = model.positional_targets(self.frame)
+            if self._resident_utst is not None and len(targets):
+                rb_extra = np.stack(
+                    [self._resident_utst[d] @ targets[:, d]
+                     for d in range(3)])
+            else:
+                rb_extra = np.zeros((3, r))
+            P = self._cast(np.ascontiguousarray(model.positions[perm].T))
+            V = self._cast(np.ascontiguousarray(model.velocities[perm].T))
+            Fx = self._cast(np.ascontiguousarray(
+                np.asarray(fext)[perm].T))
+            Pf, Vf = run_fn(P, V, Fx, self._cast(rb_extra), num_steps,
+                            num_iterations)
+            model.positions = np.asarray(Pf, dtype=float).T[iperm]
+            model.velocities = np.asarray(Vf, dtype=float).T[iperm]
+            self.frame += num_steps
+            return
         targets = self._cast(model.positional_targets(self.frame))
         p, v = self._run_jit(self._cast(model.positions),
                              self._cast(model.velocities), self._cast(fext),

@@ -211,12 +211,17 @@ def build_reduced_solver(meta, dtype):
     args.position_num_components = POS_MODES
     args.position_basis_file = meta["pos_path"]
 
-    solver = AnimSnapBasesSolver(args, dtype=dtype)
+    import jax.numpy as _jnp
+    solver = AnimSnapBasesSolver(
+        args, dtype=dtype,
+        matmul_dtype=_jnp.bfloat16 if dtype == _jnp.float32 else None)
     solver.set_model(model)
     t0 = time.perf_counter()
     solver.prepare(args)
     log(f"[bench] reduced prepare {time.perf_counter() - t0:.1f}s")
     assert solver._run_jit is not None, "fully-reduced fast path not active"
+    log(f"[bench] resident multi-step kernel: "
+        f"{'ACTIVE' if getattr(solver, '_resident', None) else 'inactive'}")
     return solver, model
 
 

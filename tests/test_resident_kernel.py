@@ -1,0 +1,58 @@
+"""Resident multi-step kernel (whole sim loop in one pallas_call):
+interpret-mode equivalence with the per-step jitted path."""
+
+import numpy as np
+import pytest
+
+from test_sim_reduced_position import pipeline  # noqa: F401
+from test_sim_solver import gravity_forces, make_cloth_solver, sim_args
+
+
+def _solver(basis_dir, pos_path, pallas_mode):
+    from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+
+    args = sim_args(
+        constraint_projection_basis_type="deim_pod_vectorized",
+        tri_strain_reduced=True, tri_strain_num_components=10,
+        edge_spring_reduced=True, edge_spring_num_components=10,
+        geom_interpolation_basis_dir=basis_dir,
+        geom_interpolation_basis_file="basis.npz",
+        position_reduced=True, position_num_components=14,
+        position_basis_file=pos_path)
+    solver = AnimSnapBasesSolver(args, pallas_mode=pallas_mode)
+    _, model = make_cloth_solver(rows=5, cols=5, wi=1e4, tilt=0.15)
+    solver.set_model(model)
+    solver.prepare(args)
+    return solver, model
+
+
+def test_resident_built_in_interpret_mode(pipeline):
+    basis_dir, pos_path, _ = pipeline
+    solver, _ = _solver(basis_dir, pos_path, "interpret")
+    assert getattr(solver, "_resident", None) is not None
+
+
+def test_resident_run_matches_step_loop(pipeline):
+    basis_dir, pos_path, _ = pipeline
+    s_res, m_res = _solver(basis_dir, pos_path, "interpret")
+    assert s_res._resident is not None
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off")
+    f = gravity_forces(m_ref)
+
+    s_res.run_steps(f, 8, num_iterations=6)     # resident path
+    for _ in range(8):
+        s_ref.step(f, num_iterations=6)
+
+    assert s_res.frame == 8
+    np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-6)
+    np.testing.assert_allclose(m_res.velocities, m_ref.velocities, atol=1e-4)
+
+
+def test_resident_vmem_gate():
+    """Oversized problems must fall back (estimate above budget)."""
+    from animsnapbases_tpu.ops.pallas_resident import estimate_vmem_bytes
+
+    # bunny-scale f32 would need ~22 MB for the two big matrices alone
+    assert estimate_vmem_bytes(14290, 64, 200, 300, 80, 4, 4) > 14 * (1 << 20)
+    # bf16 storage fits
+    assert estimate_vmem_bytes(14290, 64, 200, 300, 80, 2, 4) < 14 * (1 << 20)
