@@ -681,8 +681,14 @@ class AnimSnapBasesSolver:
         targets = self._cast(model.positional_targets(self.frame))
         fext = self._cast(fext)
 
+        # recording applies only to full (non-reduced) groups, as in the
+        # reference; with everything reduced there is nothing to record and
+        # the jitted path is always valid
+        recordable = any(name not in self._reduced_groups
+                         and name != "positional"
+                         for name in model.groups)
         use_jit = self._step_jit is not None and (
-            not self.store_stacked_projections)
+            not self.store_stacked_projections or not recordable)
         if use_jit:
             q, v = self._step_jit(self._cast(model.positions),
                                   self._cast(model.velocities), fext,
