@@ -62,7 +62,6 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
     carries the per-call positional-target contribution (zeros if none).
     """
     acc = jnp.float32 if U_liftT.dtype != np.float64 else jnp.float64
-    state_dtype = np.float32 if acc == jnp.float32 else np.float64
     r = inv3.shape[1]
     n = U_liftT.shape[2]
     dt2 = dt * dt

@@ -2,7 +2,7 @@
 optional position-space reduction).
 
 Mirror of the reference ``animSnapBasesSolver`` (``Simulators.py:28-534``)
-with three TPU-first upgrades:
+with four TPU-first upgrades:
 
 1. The per-group runtime chain
        rhs_d = (S^T V)_d  @ lu_solve(AtA_d, (PtV^T)_d @ p_d)
@@ -24,6 +24,13 @@ with three TPU-first upgrades:
 3. ``run_steps(n)`` scans the whole step on device, so long simulations pay
    one dispatch instead of one per step — essential when the host-TPU link
    has latency (production serving, axon tunnels).
+
+4. When every group is hyper-reduced in DEIM row form and the VMEM budget
+   fits, ``run_steps`` upgrades further to the resident multi-step Pallas
+   kernel (:mod:`animsnapbases_tpu.ops.pallas_resident`): the whole
+   ``steps x iterations`` loop in one kernel with the state and
+   (optionally bf16) reduction matrices living in VMEM — 4-7x the
+   per-step-kernel throughput at bunny scale.
 """
 
 from __future__ import annotations
