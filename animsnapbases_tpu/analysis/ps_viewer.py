@@ -1,0 +1,108 @@
+"""Optional polyscope front-end for :class:`~animsnapbases_tpu.demos.
+interactive.InteractiveSession`.
+
+The reference drives its interactive demos through polyscope
+(``projective_dynamics/main.py:1-35``, ``usr_interface.py`` mouse/pre-draw
+callbacks).  polyscope is not part of this image's baked environment, so the
+binding is a thin, import-gated adapter: all physics, picking and panel
+logic lives in window-system-agnostic modules (``sim/interaction.py``,
+``demos/interactive.py``); this file only translates polyscope events into
+those handlers.  Everything here degrades to a clear error when polyscope
+is absent — headless rendering goes through ``analysis/viewer.py`` instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:                                                    # pragma: no cover
+    import polyscope as ps
+    import polyscope.imgui as psim
+    HAVE_POLYSCOPE = True
+except ImportError:                                     # polyscope optional
+    ps = None
+    psim = None
+    HAVE_POLYSCOPE = False
+
+
+def require_polyscope() -> None:
+    if not HAVE_POLYSCOPE:
+        raise RuntimeError(
+            "polyscope is not installed; interactive rendering is "
+            "unavailable. Use animsnapbases_tpu.analysis.viewer for "
+            "headless PNG rendering, or install polyscope locally.")
+
+
+class PolyscopeViewer:
+    """Bind an InteractiveSession to a polyscope window.
+
+    Mirrors the reference loop (``projective_dynamics/main.py:20-35``):
+    register the deformable surface, install a per-frame user callback that
+    advances the solver and pushes the new vertex positions, and forward
+    mouse clicks/drags to the picking handlers.
+    """
+
+    def __init__(self, session, steps_per_frame: int = 1):
+        require_polyscope()
+        self.session = session
+        self.steps_per_frame = steps_per_frame
+        self.animating = True
+        self._surf = None
+        self._down = None
+        self._move = None
+
+    # ------------------------------------------------------------------
+    def _project(self, world_pts: np.ndarray) -> np.ndarray:
+        """World -> screen coords via the current polyscope camera."""
+        view = np.asarray(ps.get_view_camera_parameters().get_view_mat())
+        proj = np.asarray(ps.get_view_camera_parameters()
+                          .get_projection_mat())
+        w, h = ps.get_window_size()
+        hom = np.concatenate([world_pts, np.ones((len(world_pts), 1))], 1)
+        clip = hom @ view.T @ proj.T
+        ndc = clip[:, :2] / np.maximum(np.abs(clip[:, 3:4]), 1e-12)
+        return np.stack([(ndc[:, 0] + 1) * 0.5 * w,
+                         (1 - ndc[:, 1]) * 0.5 * h], axis=1)
+
+    # ------------------------------------------------------------------
+    def _callback(self) -> None:
+        sess = self.session
+
+        changed, self.animating = psim.Checkbox("animate", self.animating)
+        if psim.Button("reset"):
+            sess.reset()
+        psim.SameLine()
+        if psim.Button("step"):
+            sess.step(1)
+
+        io = psim.GetIO()
+        if io.MouseClicked[0]:
+            x, y = io.MousePos
+            self._down.handle_click(x, y, shift=io.KeyShift)
+        elif io.MouseDown[0]:
+            x, y = io.MousePos
+            self._move.handle_move(x, y)
+        elif io.MouseReleased[0]:
+            self._down.handle_release()
+
+        if self.animating:
+            sess.step(self.steps_per_frame)
+        self._surf.update_vertex_positions(
+            np.asarray(sess.model.positions))
+
+    # ------------------------------------------------------------------
+    def show(self) -> None:
+        ps.init()
+        ps.set_up_dir("y_up")
+        self._surf = ps.register_surface_mesh(
+            "deformable", np.asarray(self.session.model.positions),
+            np.asarray(self.session.model.faces))
+        self._down, self._move = self.session.mouse_handlers(self._project)
+        ps.set_user_callback(self._callback)
+        ps.show()
+        ps.clear_user_callback()
+
+
+def show_session(session, steps_per_frame: int = 1) -> None:
+    """Convenience entry point: ``show_session(InteractiveSession(args))``."""
+    PolyscopeViewer(session, steps_per_frame).show()

@@ -24,6 +24,7 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_cache")
 BUNNY_PATH = "/root/reference/data/bunny.obj"
 BASELINE_STEPS_PER_SEC = 10_000.0
+METRIC = "reduced_pd_steps_per_sec_bunny"
 
 FOM_FRAMES = 48
 FOM_ITERS = 10
@@ -41,7 +42,7 @@ def load_mesh():
     if os.path.exists(BUNNY_PATH):
         from animsnapbases_tpu.io.meshes import load_obj
         V, F = load_obj(BUNNY_PATH)
-        name = "bunny"
+        name = os.path.splitext(os.path.basename(BUNNY_PATH))[0]
     else:
         from animsnapbases_tpu.geometry.procedural import cloth_model
         V, F = cloth_model(120, 120)
@@ -274,7 +275,7 @@ def main():
         f"{steps_per_sec:,.0f} steps/s")
 
     print(json.dumps({
-        "metric": "reduced_pd_steps_per_sec_bunny",
+        "metric": METRIC,
         "value": round(steps_per_sec, 1),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),

@@ -1,0 +1,118 @@
+"""Less-travelled configuration paths: 'average' rest shape, the per-slice
+``pod`` basis through the pipeline, per-frame .bin nonlinear snapshots,
+and solver-level oversampled DEIM."""
+
+import os
+
+import numpy as np
+import pytest
+
+from animsnapbases_tpu.geometry.procedural import cloth_model
+from test_bases_constraints import make_cc, synthetic_p_tensor
+
+
+def test_average_rest_shape_position(tmp_path):
+    from animsnapbases_tpu.io.h5anim import write_animation_h5
+    from animsnapbases_tpu.snapshots.position import PositionSnapshots
+
+    verts, faces = cloth_model(4, 4)
+    rng = np.random.default_rng(0)
+    anim = np.stack([verts + 0.1 * rng.normal(size=verts.shape)
+                     for _ in range(6)])
+    path = str(tmp_path / "a.h5")
+    write_animation_h5(path, anim, faces)
+    snaps = PositionSnapshots(path, None, rest_shape="average",
+                              standardize=True, mass_weight=False,
+                              build_geodesics=False)
+    np.testing.assert_allclose(snaps.mean, anim.mean(axis=0), atol=1e-5)
+    # standardized tensor has ~zero mean
+    assert abs(snaps.snapTensor.mean()) < 1e-6
+
+
+def test_average_rest_shape_nonlinear(tmp_path):
+    from animsnapbases_tpu.snapshots.nonlinear import NonlinearSnapshots
+
+    nl = NonlinearSnapshots()
+    nl.rest_shape = "average"
+    nl.snapTensor = np.random.default_rng(1).normal(size=(5, 8, 3))
+    mean_ref = nl.snapTensor.mean(axis=0)
+    nl.standardize()
+    np.testing.assert_allclose(nl.mean, mean_ref)
+
+
+def test_pod_per_slice_pipeline(tmp_path):
+    X = synthetic_p_tensor()
+    cc = make_cc(tmp_path, X, basis_type="pod", K=6)
+    cc.compute_pod()
+    cc.deim()
+    assert cc.comps.shape[0] == 6
+    assert len(cc.geom_Pt) == 6
+    rec = cc.geom_constructed(6, "train")
+    assert np.isfinite(rec).all()
+
+
+def test_nonlinear_bin_snapshot_reading(tmp_path):
+    """Per-frame .bin snapshot files (the C++ interchange path)."""
+    import struct
+
+    from animsnapbases_tpu.snapshots.nonlinear import NonlinearSnapshots
+
+    rng = np.random.default_rng(2)
+    frames = rng.normal(size=(4, 6, 3))
+    for i in range(4):
+        with open(tmp_path / f"aux_{i}.bin", "wb") as f:
+            f.write(struct.pack("<ii", 6, 3))
+            f.write(np.asfortranarray(frames[i]).tobytes(order="F"))
+
+    nl = NonlinearSnapshots()
+    nl.snapshots_file = str(tmp_path / "aux_")
+    nl.frs = 3
+    nl.frame_increment = 1
+    nl.train_test_jump = 1
+    nl.constraintsSize = 2
+    nl.read(file_type=".bin")
+    assert nl.snapTensor.shape == (3, 6, 3)
+    np.testing.assert_allclose(nl.snapTensor[0], frames[0], atol=1e-12)
+    np.testing.assert_allclose(nl.test_snapTensor[0], frames[1], atol=1e-12)
+    assert nl.num_constained_elements == 3
+
+
+def test_solver_oversample_uses_more_points(tmp_path):
+    """deim_oversample keeps N modes but more interpolation rows."""
+    import scipy.sparse
+
+    from animsnapbases_tpu.sim.groups import build_edge_spring
+    from animsnapbases_tpu.sim.reduced import prepare_reduced_group
+    from animsnapbases_tpu.geometry.mesh import unique_edges
+
+    V, F = cloth_model(5, 5)
+    g = build_edge_spring(unique_edges(F), 1.0, V)
+    rng = np.random.default_rng(3)
+    K = 12
+    comps = rng.normal(size=(K, g.num, 3))
+    npz = str(tmp_path / "b.npz")
+    np.savez(npz, components=comps,
+             interpol_alphas=np.arange(K),
+             Pt=np.arange(K),
+             interpol_verts=np.array([]),
+             interpol_alpha_ranges=np.arange(1, K + 1))
+
+    rg1, _, _ = prepare_reduced_group(g, "deim_pod_vectorized", 6, npz,
+                                      len(V))
+    rg2, _, _ = prepare_reduced_group(g, "deim_pod_vectorized", 6, npz,
+                                      len(V), oversample=2.0)
+    assert rg1.num_selected == 6
+    assert rg2.num_selected == 12        # 2x rows for the same 6 modes
+    assert rg2.W.shape == (3, len(V), 12)
+
+
+def test_polyscope_binding_gated():
+    """ps_viewer imports cleanly without polyscope and fails loudly on use."""
+    from animsnapbases_tpu.analysis import ps_viewer
+
+    if ps_viewer.HAVE_POLYSCOPE:
+        pytest.skip("polyscope present; gating path not exercised")
+    with pytest.raises(RuntimeError, match="polyscope"):
+        ps_viewer.require_polyscope()
+    with pytest.raises(RuntimeError):
+        ps_viewer.PolyscopeViewer(session=None)
