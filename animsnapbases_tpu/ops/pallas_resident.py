@@ -158,9 +158,10 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
         compiler_params = None
         if not interpret:
             # default scoped-vmem soft limit is 16 MB; the resident operands
-            # plus matmul staging need a bit more headroom
+            # plus matmul staging need a bit more headroom (v5e has 128 MB
+            # per core; bridge-scale operands are ~41 MB)
             compiler_params = pltpu.CompilerParams(
-                vmem_limit_bytes=64 * (1 << 20))
+                vmem_limit_bytes=100 * (1 << 20))
         return pl.pallas_call(
             kernel,
             out_shape=out_shape,

@@ -446,8 +446,13 @@ class AnimSnapBasesSolver:
         g_total = ops["G_allT"].shape[1]
         budget = estimate_vmem_bytes(n, r, n_sel, g_total, m_total,
                                      mm_dtype.itemsize, np_dtype.itemsize)
-        if budget > 14 * (1 << 20):
+        # 48 MB leaves headroom under the kernel's 100 MB scoped-vmem limit
+        # for matmul staging and double-buffered state (v5e: 128 MB/core);
+        # if Mosaic still can't fit it, run_steps falls back at first call.
+        if budget > 48 * (1 << 20):
             return None
+        if mm_dtype.itemsize == 8 and not interpret:
+            return None          # no native f64 dots in Mosaic
 
         perm = np.concatenate([union,
                                np.setdiff1d(np.arange(n), union)])
@@ -805,12 +810,22 @@ class AnimSnapBasesSolver:
             V = self._cast(np.ascontiguousarray(model.velocities[perm].T))
             Fx = self._cast(np.ascontiguousarray(
                 np.asarray(fext)[perm].T))
-            Pf, Vf = run_fn(P, V, Fx, self._cast(rb_extra), num_steps,
-                            num_iterations)
-            model.positions = np.asarray(Pf, dtype=float).T[iperm]
-            model.velocities = np.asarray(Vf, dtype=float).T[iperm]
-            self.frame += num_steps
-            return
+            try:
+                Pf, Vf = run_fn(P, V, Fx, self._cast(rb_extra), num_steps,
+                                num_iterations)
+            except Exception as e:
+                # Mosaic may only discover at compile time that the
+                # operands + staging exceed scoped VMEM; disable the
+                # resident path and continue on the per-step fused kernel
+                import warnings
+                warnings.warn("resident kernel failed to compile; "
+                              f"falling back to per-step path: {e}")
+                self._resident = None
+            else:
+                model.positions = np.asarray(Pf, dtype=float).T[iperm]
+                model.velocities = np.asarray(Vf, dtype=float).T[iperm]
+                self.frame += num_steps
+                return
         targets = self._cast(model.positional_targets(self.frame))
         p, v = self._run_jit(self._cast(model.positions),
                              self._cast(model.velocities), self._cast(fext),

@@ -52,7 +52,9 @@ def test_resident_vmem_gate():
     """Oversized problems must fall back (estimate above budget)."""
     from animsnapbases_tpu.ops.pallas_resident import estimate_vmem_bytes
 
-    # bunny-scale f32 would need ~22 MB for the two big matrices alone
-    assert estimate_vmem_bytes(14290, 64, 200, 300, 80, 4, 4) > 14 * (1 << 20)
-    # bf16 storage fits
-    assert estimate_vmem_bytes(14290, 64, 200, 300, 80, 2, 4) < 14 * (1 << 20)
+    gate = 48 * (1 << 20)
+    # bunny bf16 (~11 MB big matrices) and bridge bf16 (~38 MB) both fit
+    assert estimate_vmem_bytes(14290, 64, 200, 300, 80, 2, 4) < gate
+    assert estimate_vmem_bytes(51368, 64, 400, 300, 80, 2, 4) < gate
+    # a 200k-vertex f32 problem does not
+    assert estimate_vmem_bytes(200_000, 64, 400, 300, 80, 4, 4) > gate
