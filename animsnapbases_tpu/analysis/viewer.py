@@ -90,17 +90,27 @@ def view_components(components_h5: str, out_dir: str | None = None,
 
 
 def view_interpolation_elements(verts, elements, selected, out_path: str,
-                                element_color=(0.5, 0.8, 0.5)) -> str:
+                                element_color=(0.5, 0.8, 0.5),
+                                max_background_faces: int = 20_000) -> str:
     """Highlight selected constrained elements on the mesh (equivalent of
     the polyscope element visualizer, ref constraintsComponents.py:
-    1052-1156)."""
+    1052-1156).  Large background surfaces are thinned by vertex-clustering
+    decimation for rendering speed (ref decimates with igl.decimate,
+    nl_reduction_tests.py:375-382); selected elements always draw on the
+    original mesh."""
     verts = np.asarray(verts)
     elements = np.asarray(elements)
     fig = plt.figure(figsize=(7, 7))
     ax = fig.add_subplot(111, projection="3d")
     if elements.shape[1] >= 3:
         tris = elements[:, :3]
-        _render_mesh(ax, verts, tris)
+        if len(tris) > max_background_faces:
+            from animsnapbases_tpu.geometry.mesh import decimate_to_face_ratio
+            bg_v, bg_f = decimate_to_face_ratio(
+                verts, tris, max_background_faces / len(tris))
+            _render_mesh(ax, bg_v, bg_f)
+        else:
+            _render_mesh(ax, verts, tris)
         sel = elements[np.asarray(selected, dtype=int)][:, :3]
         pc = Poly3DCollection(verts[sel], facecolors=[element_color],
                               edgecolor="k", linewidths=0.5)

@@ -9,6 +9,7 @@ from animsnapbases_tpu.geometry.mesh import (
     largest_component_mask,
     filter_reindex,
     vertex_normals,
+    decimate_to_face_ratio,
     triangle_areas,
     elements_per_vertex,
     padded_incidence,

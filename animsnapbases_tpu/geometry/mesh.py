@@ -101,6 +101,59 @@ def triangle_areas(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     return 0.5 * np.linalg.norm(n, axis=1)
 
 
+def decimate_to_face_ratio(verts: np.ndarray, faces: np.ndarray,
+                           face_ratio: float = 0.3):
+    """Thin a triangle mesh to roughly ``face_ratio`` of its faces by
+    uniform-grid vertex clustering (display-quality decimation; the
+    reference thins its visualizer surface with ``igl.decimate``,
+    nl_reduction_tests.py:375-382).
+
+    Returns (new_verts, new_faces).  Bisects the cluster cell size until
+    the face count lands at or just under the target.
+    """
+    v = np.asarray(verts, dtype=float)
+    f = np.asarray(faces, dtype=np.int64)
+    target = max(4, int(face_ratio * len(f)))
+    if target >= len(f):
+        return v.copy(), f.copy()
+
+    def cluster(cell):
+        keys = np.floor((v - v.min(axis=0)) / cell).astype(np.int64)
+        _, inv = np.unique(keys, axis=0, return_inverse=True)
+        nv = int(inv.max()) + 1
+        nV = np.zeros((nv, 3))
+        cnt = np.zeros(nv)
+        np.add.at(nV, inv, v)
+        np.add.at(cnt, inv, 1.0)
+        nV /= cnt[:, None]
+        nf = inv[f]
+        keep = ((nf[:, 0] != nf[:, 1]) & (nf[:, 1] != nf[:, 2])
+                & (nf[:, 0] != nf[:, 2]))
+        nf = nf[keep]
+        if len(nf):
+            _, first = np.unique(np.sort(nf, axis=1), axis=0,
+                                 return_index=True)
+            nf = nf[np.sort(first)]
+        return nV, nf
+
+    diag = float(np.linalg.norm(v.max(axis=0) - v.min(axis=0)))
+    lo, hi = diag * 1e-4, diag          # fine (keeps all) .. coarse (1 cell)
+    best = None
+    for _ in range(24):
+        mid = np.sqrt(lo * hi)
+        nV, nf = cluster(mid)
+        if len(nf) > target:
+            lo = mid                     # too fine -> coarsen
+        else:
+            best = (nV, nf)
+            hi = mid                     # at/under target -> try finer
+        if hi / lo < 1.01:
+            break
+    if best is None:
+        best = cluster(hi)
+    return best
+
+
 def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     """Area-weighted per-vertex normals (unit length; zero-degree verts get
     a zero normal)."""

@@ -119,7 +119,8 @@ class PreDrawHandler:
     reset (ref usr_interface.py:132-211 minus rendering)."""
 
     def __init__(self, is_model_ready, args, solver, fext,
-                 record_info: bool = False, record_path: str | None = None):
+                 record_info: bool = False, record_path: str | None = None,
+                 capture_fn=None):
         self.is_model_ready = is_model_ready
         self.physics_params = args
         self.solver = solver
@@ -127,6 +128,10 @@ class PreDrawHandler:
         self._animating = False
         self.record_info = record_info
         self.record_path = record_path
+        # per-frame capture hook (ref saves a polyscope screenshot per
+        # frame, usr_interface.py:186-188); window-agnostic here — see
+        # make_headless_capture for the PNG default
+        self.capture_fn = capture_fn
 
     def set_animating(self, flag: bool):
         self._animating = flag
@@ -153,3 +158,32 @@ class PreDrawHandler:
             self.solver.step(self.fext,
                              self.physics_params.solver_iterations)
             self.fext[:] = 0.0
+            if self.capture_fn is not None:
+                self.capture_fn(self.solver.frame)
+
+
+def make_headless_capture(model, out_dir: str, every: int = 1):
+    """Default capture hook: renders the model surface to
+    ``out_dir/frame_{n}.png`` every ``every`` frames via the headless
+    matplotlib renderer (polyscope screenshot equivalent)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    every = max(1, int(every))
+
+    def capture(frame: int):
+        if frame % every:
+            return
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from animsnapbases_tpu.analysis.viewer import _render_mesh
+
+        fig = plt.figure(figsize=(6, 6))
+        ax = fig.add_subplot(111, projection="3d")
+        _render_mesh(ax, np.asarray(model.positions),
+                     np.asarray(model.faces)[:, :3])
+        fig.savefig(os.path.join(out_dir, f"frame_{frame}.png"), dpi=72)
+        plt.close(fig)
+
+    return capture

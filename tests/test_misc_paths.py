@@ -116,3 +116,41 @@ def test_polyscope_binding_gated():
         ps_viewer.require_polyscope()
     with pytest.raises(RuntimeError):
         ps_viewer.PolyscopeViewer(session=None)
+
+
+def test_decimate_to_face_ratio():
+    from animsnapbases_tpu.geometry.mesh import (boundary_facets,
+                                                 decimate_to_face_ratio)
+
+    V, F = cloth_model(40, 40)
+    v2, f2 = decimate_to_face_ratio(V, F, 0.25)
+    assert 4 <= len(f2) <= 0.25 * len(F)
+    assert len(f2) > 0.05 * len(F)          # not collapsed to nothing
+    assert f2.min() >= 0 and f2.max() < len(v2)
+    # representative verts stay inside the original bounding box
+    assert (v2.min(0) >= V.min(0) - 1e-9).all()
+    assert (v2.max(0) <= V.max(0) + 1e-9).all()
+    # ratio above 1 is a no-op copy
+    v3, f3 = decimate_to_face_ratio(V, F, 1.5)
+    assert len(f3) == len(F)
+
+
+def test_predraw_capture_hook(tmp_path):
+    """Per-frame capture fires through the PreDrawHandler (ref per-frame
+    polyscope screenshots, usr_interface.py:186-188)."""
+    from animsnapbases_tpu.demos.interactive import InteractiveSession
+    from animsnapbases_tpu.sim.interaction import (PreDrawHandler,
+                                                   make_headless_capture)
+    from test_demos_cli import small_args
+
+    params, args = small_args(tmp_path, vert_bending_constraint=False)
+    sess = InteractiveSession(args, params=params)
+    cap_dir = str(tmp_path / "caps")
+    handler = PreDrawHandler(lambda: True, args, sess.solver, sess.fext,
+                             capture_fn=make_headless_capture(
+                                 sess.model, cap_dir, every=2))
+    handler.set_animating(True)
+    for _ in range(4):
+        handler.handle()
+    pngs = sorted(os.listdir(cap_dir))
+    assert len(pngs) == 2, pngs
