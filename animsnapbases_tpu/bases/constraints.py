@@ -478,7 +478,17 @@ class ConstraintComponents:
                 if error_in_pos_space:
                     r = self.St @ r.reshape(r.shape[0], -1)
                 if np.allclose(r, 0):
-                    raise RuntimeError("zero residual in geom selection")
+                    # degenerate snapshots (e.g. verts_bending on a flat
+                    # rest shape has identically-zero projections): the
+                    # first k components already span everything — truncate
+                    # instead of failing the pipeline
+                    import warnings
+                    warnings.warn(
+                        f"geom selection: zero residual at component {k}; "
+                        f"truncating basis from {K} to {k} components")
+                    self.numComp = k
+                    self.comps = self.comps[:k * p]
+                    break
 
             if error_in_pos_space:
                 v = int(np.argmax((np.asarray(r) ** 2).sum(axis=1)))

@@ -154,3 +154,29 @@ def test_predraw_capture_hook(tmp_path):
         handler.handle()
     pngs = sorted(os.listdir(cap_dir))
     assert len(pngs) == 2, pngs
+
+
+def test_all_example_configs_parse(tmp_path):
+    """Every shipped example config loads through the schema parser and
+    derives its output-directory grammar (matches the reference's 14
+    config/examples/*.json, config/config.py:187-577)."""
+    import glob
+    import json
+
+    from animsnapbases_tpu.config.bases_config import BasesConfig
+
+    paths = sorted(glob.glob("configs/examples/*.json"))
+    assert len(paths) >= 14
+    for path in paths:
+        with open(path) as f:
+            cfg = json.load(f)
+        param = BasesConfig.from_dict(
+            cfg, results_dir=str(tmp_path / os.path.basename(path)))
+        if cfg.get("constraintProj_bases", {}).get(
+                "computeState", {}).get("compute"):
+            assert param.constProj_name
+            assert param.constProj_p_size >= 1
+            assert param.constProj_output_directory
+        if cfg.get("vertexPos_bases", {}).get(
+                "computeState", {}).get("compute"):
+            assert param.vertPos_output_directory
