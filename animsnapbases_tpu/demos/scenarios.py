@@ -162,13 +162,13 @@ class ScenarioDriver:
                         self.stop_frame - 1),
                 self.stop_frame - 1)
             self.solver.max_p_snapshots_num = self.args.max_p_snapshots_num
-            if self.record_positions:
-                # layout matches the bases config's snapshot pattern:
-                # <experiment_dir>/<mesh>/<experiment>/position_snapshots/FOM
-                self.pos_dir = os.path.join(
-                    self.output_path, self.object_name, self.experiment,
-                    "position_snapshots", "FOM")
-                os.makedirs(self.pos_dir, exist_ok=True)
+        if self.record_positions:
+            # layout matches the bases config's snapshot pattern:
+            # <experiment_dir>/<mesh>/<experiment>/position_snapshots/FOM
+            self.pos_dir = os.path.join(
+                self.output_path, self.object_name, self.experiment,
+                "position_snapshots", "FOM")
+            os.makedirs(self.pos_dir, exist_ok=True)
         self.solver.set_dirty()
 
     # ------------------------------------------------------------------
@@ -182,6 +182,11 @@ class ScenarioDriver:
             action = self.schedule.get(frame)
             if action is not None and frame > 0:
                 action(self)
+                # fix/release events change the pinned-mass pattern; the
+                # prefactored global matrix must be rebuilt (the reference
+                # demos call solver.set_dirty() in every such callback,
+                # calbacks.py:193-202)
+                self.solver.set_dirty()
             tick = self.schedule.get("every_frame")
             if tick is not None:
                 tick(self)

@@ -719,6 +719,13 @@ class AnimSnapBasesSolver:
             return
 
         # host-solve / recording path
+        if self.reduced_position:
+            # W matrices are Ut-composed under position reduction, so the
+            # full-space host solve below cannot run
+            raise RuntimeError(
+                "recording full-group projections is not supported with "
+                "position reduction while non-reduced constraint groups "
+                "are present; disable recording or reduce every group")
         dt2 = dt * dt
         a = np.asarray(fext) / model.mass[:, None]
         explicit = model.positions + dt * model.velocities + dt2 * a
@@ -736,9 +743,6 @@ class AnimSnapBasesSolver:
                 chol = self._cast(self._chol_full_np)
                 q = jax.scipy.linalg.cho_solve(
                     (chol, True), b.reshape(-1)).reshape(-1, 3)
-            elif self.reduced_position:
-                raise RuntimeError(
-                    "recording is not supported with position reduction")
             else:
                 q = jnp.asarray(unflatten(
                     self._solve(np.asarray(b).flatten())))
