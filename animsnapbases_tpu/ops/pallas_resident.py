@@ -96,13 +96,14 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
             G_allT = gall_ref[:]
             m_inv = minv_ref[:]
             rb_extra = rbex_ref[:]
-            fextv = f_ref[:]
+            # fext is constant across the whole call: fold dt^2 * f / m once
+            fa = dt2 * f_ref[:] * m_inv
             mm_dtype = ulift_ref.dtype
             row_is_y = jax.lax.broadcasted_iota(jnp.int32, (3, n), 0) == 1
 
             def step(_, carry):
                 P, V = carry
-                sn = P + dt * V + dt2 * fextv * m_inv
+                sn = P + dt * V + fa
                 if floor:
                     sn = jnp.where(row_is_y & (sn < floor_h), floor_h, sn)
                 # rb_const = -U^T A_c sn (+ positional extra)
