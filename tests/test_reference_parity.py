@@ -1,0 +1,303 @@
+"""Direct numerical parity against the reference implementation executed on
+CPU (BASELINE.md: bases tensors within 1e-5 of reference output).
+
+The reference modules import GUI/geometry libraries (polyscope, igl,
+trimesh, mayavi/traits/tvtk) at module scope; none are installed here, so
+they are stubbed with inert dummies — the algorithms under test
+(``compute_pod_for_vectorized_nonlinear_snapshots_tensor`` and ``deim``,
+constraintsComponents.py:297-320,797-860) never touch them.  The class is
+instantiated via ``__new__`` with just the attributes those methods read.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+_STUBS = [
+    "polyscope", "polyscope.imgui", "igl", "igl.copyleft", "trimesh",
+    "mayavi", "mayavi.mlab", "mayavi.tools", "mayavi.tools.mlab_scene_model",
+    "mayavi.core", "mayavi.core.ui", "mayavi.core.ui.mayavi_scene",
+    "traits", "traits.api", "traitsui", "traitsui.api",
+    "tvtk", "tvtk.api", "tvtk.pyface", "tvtk.pyface.scene_editor",
+    "tvtk.common", "pyface", "pyface.timer", "pyface.timer.api",
+]
+
+
+class _Dummy:
+    """Infinitely chainable stand-in: attribute access, calls, and use as a
+    base class all succeed and return another dummy."""
+
+    def __call__(self, *a, **k):
+        return self
+
+    def __getattr__(self, name):
+        return self
+
+    # traits.api names are used as base classes (class Visualization(
+    # HasTraits)) in utils/process.py
+    def __mro_entries__(self, bases):
+        return (object,)
+
+
+_DUMMY = _Dummy()
+
+
+class _Anything(types.ModuleType):
+    def __getattr__(self, name):
+        if name == "__all__":
+            return []
+        return _DUMMY
+
+
+@pytest.fixture(scope="module")
+def ref_cc(tmp_path_factory):
+    if not os.path.isdir(REF):
+        pytest.skip("reference checkout not mounted")
+    saved_modules = dict(sys.modules)
+    saved_cwd = os.getcwd()
+    for name in _STUBS:
+        if name not in sys.modules:
+            mod = _Anything(name)
+            sys.modules[name] = mod
+    # the reference's log_time decorator writes function_timings.txt in CWD
+    os.chdir(tmp_path_factory.mktemp("ref_cwd"))
+    sys.path.insert(0, REF)
+    try:
+        # utils/utils.py executes a partitioning demo at import time
+        # (utils.py:939, flagged in SURVEY as a quirk not to replicate);
+        # exec the module with that single call stripped so the rest of the
+        # reference imports cleanly
+        import importlib.util
+        pkg = types.ModuleType("utils")
+        pkg.__path__ = [os.path.join(REF, "utils")]
+        sys.modules.setdefault("utils", pkg)
+        src = open(os.path.join(REF, "utils", "utils.py")).read()
+        src = src.replace("\nrun_partitioning_example(k=20)", "\n")
+        mod = types.ModuleType("utils.utils")
+        mod.__file__ = os.path.join(REF, "utils", "utils.py")
+        exec(compile(src, mod.__file__, "exec"), mod.__dict__)
+        sys.modules["utils.utils"] = mod
+
+        from snapbases.constraintsComponents import constraintsComponents
+        yield constraintsComponents
+    finally:
+        os.chdir(saved_cwd)
+        sys.path.remove(REF)
+        for name in list(sys.modules):
+            if name not in saved_modules:
+                del sys.modules[name]
+
+
+def _reference_pod_deim(cc_cls, X, p, K):
+    obj = cc_cls.__new__(cc_cls)
+    obj.nonlinearSnapshots = types.SimpleNamespace(
+        snapTensor=X.copy(), constraintsSize=p,
+        num_constained_elements=X.shape[1] // p, dim=3)
+    obj.param = types.SimpleNamespace(deim_desired_num_components=K)
+    obj.geom_interpol_verts = []
+    obj.compute_pod_for_vectorized_nonlinear_snapshots_tensor()
+    obj.deim()
+    return obj
+
+
+def test_pod_vectorized_and_deim_match_reference(ref_cc, tmp_path):
+    from test_bases_constraints import make_cc, synthetic_p_tensor
+
+    X = synthetic_p_tensor(F=14, e=9, p=2, seed=0)
+    K = 8
+
+    ref = _reference_pod_deim(ref_cc, X, 2, K)
+
+    ours = make_cc(tmp_path, X, p=2, basis_type="pod_vectorized",
+                   interpolation="deim", K=K)
+    ours.compute_pod_vectorized()
+    ours.deim()
+
+    assert ref.comps.shape == ours.comps.shape
+    # SVD columns are sign-ambiguous: align each component before diffing
+    for k in range(K):
+        a, b = ours.comps[k], ref.comps[k]
+        sign = np.sign(np.sum(a * b)) or 1.0
+        np.testing.assert_allclose(a, sign * b, atol=1e-5,
+                                   err_msg=f"component {k}")
+
+    # identical bases (up to sign) must select identical DEIM rows
+    np.testing.assert_array_equal(ours.geom_Pt, ref.geom_Pt)
+    np.testing.assert_array_equal(ours.geom_alpha, ref.geom_alpha)
+    np.testing.assert_array_equal(ours.geom_alpha_ranges,
+                                  ref.geom_alpha_ranges)
+
+
+def test_binary_components_cross_compatible(ref_cc, tmp_path):
+    """Byte-level interchange both ways: our reader consumes the
+    reference's ``store_components`` output (utils/utils.py:14-36), and
+    our writer produces a byte-identical file."""
+    from utils.utils import store_components
+
+    from animsnapbases_tpu.io.binfmt import (read_components_bin,
+                                             write_components_bin)
+
+    rng = np.random.default_rng(5)
+    comps = rng.normal(size=(4, 11, 3))
+    store_components(str(tmp_path / "q_pos_"), 10, 4, 11, 3, comps)
+    ref_path = str(tmp_path / "q_pos_F10K4.bin")
+    back = read_components_bin(ref_path, K=4)
+    np.testing.assert_allclose(back, comps, atol=0)
+
+    ours_path = str(tmp_path / "ours.bin")
+    write_components_bin(ours_path, comps)
+    assert open(ours_path, "rb").read() == open(ref_path, "rb").read()
+
+
+def _align_sign(ours, ref):
+    s = np.sign(np.sum(ours * ref))
+    return ref * (s or 1.0)
+
+
+def test_greedy_pca_global_matches_reference(ref_cc, tmp_path):
+    """Greedy deflation PCA, global support (posComponents.py:66-129) vs
+    our scan-based extract_global."""
+    import snapbases.posComponents as ref_pc
+
+    from animsnapbases_tpu.bases import greedy
+
+    rng = np.random.default_rng(3)
+    F, N, K = 12, 40, 6
+    t = np.linspace(0, 1, F)
+    X = np.einsum("kf,knd->fnd",
+                  np.stack([np.sin(2 * np.pi * (k + 1) * t) for k in
+                            range(5)]),
+                  rng.normal(size=(5, N, 3)))
+    X += 0.01 * rng.normal(size=X.shape)
+
+    obj = ref_pc.posComponents.__new__(ref_pc.posComponents)
+    obj.pos_snapshots = types.SimpleNamespace(
+        snapTensor=X.copy(), compute_geodesic_distance=None,
+        nVerts=N, frs=F)
+    obj.numComp = K
+    obj.support = "global"
+    obj.storeSingVal = False
+    obj.basesType = "PCA"
+    obj.extract_k_components(None)
+
+    C, W, sig, res, idxs, _ = greedy.extract_global(
+        np.asarray(X), K)
+    C, W = np.asarray(C), np.asarray(W)
+
+    for k in range(K):
+        ck_ref = _align_sign(C[k], obj.comps[k])
+        np.testing.assert_allclose(C[k], ck_ref, atol=1e-6,
+                                   err_msg=f"component {k}")
+    # residual-norm trajectory is sign-invariant
+    np.testing.assert_allclose(
+        np.asarray(res), obj.measures_at_largeDeforVerts[:, 2], atol=1e-6)
+
+
+def test_pca_blocks_and_block_deim_match_reference(ref_cc, tmp_path):
+    """Blockwise greedy basis + block-DEIM (constraintsComponents.py:
+    324-412,733-795)."""
+    from test_bases_constraints import make_cc, synthetic_p_tensor
+
+    X = synthetic_p_tensor(F=12, e=8, p=2, seed=7)
+    K = 5
+
+    ref = ref_cc.__new__(ref_cc)
+    ref.nonlinearSnapshots = types.SimpleNamespace(
+        snapTensor=X.copy(), constraintsSize=2,
+        num_constained_elements=8, dim=3)
+    ref.param = types.SimpleNamespace(deim_desired_num_components=K)
+    ref.support = "global"
+    ref.storeSingVal = False
+    ref.geom_interpol_verts = []
+    ref.compute_nonlinearity_bases_blocks()
+    ref.deim_blocksForm()
+
+    ours = make_cc(tmp_path, X, p=2, basis_type="pca_blocks",
+                   interpolation="deim_block", K=K)
+    ours.compute_pca_blocks()
+    ours.deim_blocksForm()
+
+    assert ours.comps.shape == ref.comps.shape        # (K*p, ep, 3)
+    for r in range(K * 2):
+        np.testing.assert_allclose(
+            ours.comps[r], _align_sign(ours.comps[r], ref.comps[r]),
+            atol=1e-5, err_msg=f"block row {r}")
+    np.testing.assert_array_equal(ours.largeDeforPoints,
+                                  ref.largeDeforPoints)
+    np.testing.assert_array_equal(ours.geom_Pt, ref.geom_Pt)
+    np.testing.assert_array_equal(ours.geom_alpha, ref.geom_alpha)
+
+
+def test_splocs_energy_trajectory_matches_reference(ref_cc, capsys):
+    """SPLOCS global optimization: identical per-iteration energy/E_rms
+    (posComponents.py:131-189 prints them; ours records history).  Both
+    sides share the same geodesic oracle and the same PCA warm start."""
+    import snapbases.posComponents as ref_pc
+
+    from animsnapbases_tpu.bases import greedy
+    from animsnapbases_tpu.bases.pca import PositionComponents
+    from animsnapbases_tpu.geometry.geodesics import GeodesicDistance
+    from animsnapbases_tpu.geometry.procedural import cloth_model
+
+    V, Fc = cloth_model(7, 7)
+    rng = np.random.default_rng(11)
+    F, N, K = 10, len(V), 4
+    t = np.linspace(0, 1, F)
+    X = np.einsum("kf,knd->fnd",
+                  np.stack([np.cos(2 * np.pi * (k + 1) * t) for k in
+                            range(4)]),
+                  0.1 * rng.normal(size=(4, N, 3)))
+    geod = GeodesicDistance(V, Fc)
+
+    def snap_ns():
+        return types.SimpleNamespace(snapTensor=X.copy(),
+                                     compute_geodesic_distance=geod,
+                                     nVerts=N, frs=F)
+
+    param = types.SimpleNamespace(splocs_max_itrs=3, splocs_admm_num_itrs=5,
+                                  splocs_lambda=2.0, splocs_rho=10.0)
+
+    # shared PCA warm start (sign differences would legitimately change
+    # SPLOCS iterates, so both sides start from OUR extraction)
+    C0, W0, *_ = greedy.extract_global(np.asarray(X), K)
+    C0, W0 = np.asarray(C0), np.asarray(W0)
+
+    ref = ref_pc.posComponents.__new__(ref_pc.posComponents)
+    ref.pos_snapshots = snap_ns()
+    ref.numComp = K
+    ref.param = param
+    ref.smooth_min_dist = 0.1
+    ref.smooth_max_dist = 0.7
+    ref.comps = C0.copy()
+    ref.weigs = W0.copy()
+    R0 = X - np.tensordot(W0, C0, (1, 0))
+    ref.splocs_glob_optimization(3, 5, R0.copy(), geod)
+    out = capsys.readouterr().out
+    ref_rows = [line.split("=") for line in out.splitlines()
+                if line.startswith("itr")]
+    ref_energy = [float(r[1].split(",")[0]) for r in ref_rows]
+    ref_erms = [float(r[2]) for r in ref_rows]
+    assert len(ref_energy) == 3
+
+    mine = PositionComponents.__new__(PositionComponents)
+    mine.pos_snapshots = snap_ns()
+    mine.numComp = K
+    mine.param = param
+    mine.smooth_min_dist = 0.1
+    mine.smooth_max_dist = 0.7
+    mine.comps = C0.copy()
+    mine.weigs = W0.copy()
+    mine._support_cache = {}
+    mine.splocs_glob_optimization(3, 5)
+
+    for it, (e_ref, e_ours) in enumerate(
+            zip(ref_energy, [h[1] for h in mine.splocs_history])):
+        np.testing.assert_allclose(e_ours, e_ref, rtol=1e-5,
+                                   err_msg=f"energy at iter {it}")
+    np.testing.assert_allclose([h[2] for h in mine.splocs_history],
+                               ref_erms, rtol=1e-4)
