@@ -88,7 +88,14 @@ def build_verts_bending(positions: np.ndarray, faces: np.ndarray, wi: float,
                         flat_bending: bool = False) -> ConstraintGroup:
     """One constraint per interior vertex (all star edges have 2 triangles).
     Mirrors the reference cotan/star construction including its
-    wi_eff = wi * voronoi_area scaling of both S and the LHS."""
+    wi_eff = wi * voronoi_area scaling of both S and the LHS.
+
+    Deliberate fix (README deviation #2): the reference's
+    ``get_wi_SiT_AiT_Ai_Si`` computes ``K = S^T @ S`` with S shaped (N, 1)
+    — a 1x1 scalar whose triplets land on vertex 0's diagonal only
+    (Constraint_projections.py:223-249), so bending stiffness never enters
+    its system matrix.  We assemble the intended outer product
+    ``wi_eff * (S col)(S col)^T`` over the vertex star."""
     n = positions.shape[0]
     stars = build_vertex_stars(n, faces)
 

@@ -1,0 +1,186 @@
+"""Full-loop simulator parity: the reference ``Solver`` executed on CPU vs
+ours, on an identical edge-spring cloth (predictor, floor clamp, assembly,
+sparse-LU global solve, velocity update — Simulators.py:537-744).
+
+Edge springs are the one constraint family where our math is intentionally
+identical (the tri-strain operator carries a documented deliberate fix, so
+full-sim parity is only claimed where the reference math is correct).
+
+The reference's module-scope deps are satisfied minimally: ``igl.edges``
+is injected as a real unique-edge function, ``trimesh.Trimesh`` as a thin
+vertices/faces + cKDTree holder (enough for its self-collision pass, which
+stays inactive on this well-separated cloth), and
+``projective_dynamics/utils.py`` is loaded as the ``utils`` module it
+expects when run from that directory.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_PD = "/root/reference/projective_dynamics"
+
+
+class _TrimeshStub(types.ModuleType):
+    class Trimesh:
+        def __init__(self, vertices, faces, process=False):
+            from scipy.spatial import cKDTree
+            self.vertices = np.asarray(vertices)
+            self.faces = np.asarray(faces)
+            # reference behavior: mesh.kdtree is a VERTEX tree
+            self.kdtree = cKDTree(self.vertices)
+            self.triangles = self.vertices[self.faces]
+            self.triangles_center = self.triangles.mean(axis=1)
+
+
+def _load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_sim():
+    if not os.path.isdir(REF_PD):
+        pytest.skip("reference checkout not mounted")
+    from animsnapbases_tpu.geometry.mesh import unique_edges
+
+    saved = dict(sys.modules)
+    igl = types.ModuleType("igl")
+    igl.edges = lambda F: unique_edges(np.asarray(F))
+    igl.boundary_facets = igl.barycenter = igl.winding_number = None
+    igl.copyleft = types.ModuleType("igl.copyleft")
+    igl.copyleft.tetgen = None
+    tm = _TrimeshStub("trimesh")
+    tm.Trimesh = _TrimeshStub.Trimesh
+    sys.modules.setdefault("igl", igl)
+    sys.modules.setdefault("igl.copyleft", igl.copyleft)
+    sys.modules["trimesh"] = tm
+    sys.modules["utils"] = _load("utils", os.path.join(REF_PD, "utils.py"))
+    try:
+        cp = _load("ref_constraint_projections",
+                   os.path.join(REF_PD, "Constraint_projections.py"))
+        sim = _load("ref_simulators", os.path.join(REF_PD, "Simulators.py"))
+        yield cp, sim
+    finally:
+        for name in list(sys.modules):
+            if name not in saved:
+                del sys.modules[name]
+        sys.modules.update(saved)
+
+
+def test_edge_spring_cloth_full_loop_matches_reference(ref_sim):
+    cp, sim = ref_sim
+    from animsnapbases_tpu.geometry.procedural import cloth_model
+    from animsnapbases_tpu.config.sim_config import default_sim_args
+    from animsnapbases_tpu.sim.model import DeformableModel
+    from animsnapbases_tpu.sim.solver import Solver
+
+    V, F = cloth_model(6, 6)
+    wi = 1e5
+    masses = np.full(len(V), 10.0)
+    fixed = [0, 5]                       # two corners, same ids both sides
+    fext = np.zeros((len(V), 3))
+    fext[:, 1] = -9.81 * 10.0
+    steps, iters = 12, 5
+
+    # ---- reference run ----
+    rmodel = cp.DeformableMesh(V.copy(), F.copy(), masses=masses.copy())
+    rmodel.add_edge_spring_constrain(wi=wi)
+    for i in fixed:
+        rmodel.fix(i)
+    rsolver = sim.Solver()
+    rsolver.set_model(rmodel)
+    rsolver.prepare(types.SimpleNamespace(dt=0.016))
+    for _ in range(steps):
+        rsolver.step(fext.copy(), num_iterations=iters)
+
+    # ---- our run (matching the reference ctor's +2 height shift) ----
+    model = DeformableModel(V.copy(), F.copy(), masses=masses.copy(),
+                            floor_collision=True, init_height_shift=2.0)
+    model.add_edge_spring_constraint(wi=wi)
+    for i in fixed:
+        model.fix(i)
+    solver = Solver()
+    solver.set_model(model)
+    args = default_sim_args()
+    args.dt = 0.016
+    solver.prepare(args)
+    for _ in range(steps):
+        solver.step(fext.copy(), num_iterations=iters)
+
+    scale = np.abs(rmodel.positions).max()
+    np.testing.assert_allclose(model.positions, rmodel.positions,
+                               atol=1e-6 * scale)
+    np.testing.assert_allclose(model.velocities, rmodel.velocities,
+                               atol=1e-4)
+
+
+def test_bending_components_match_reference_but_lhs_bug_is_fixed(ref_sim):
+    """Bending parity holds at the component level (cotans, rest curvature,
+    S^T columns, projections p) — but NOT for the full sim, deliberately:
+    the reference's ``get_wi_SiT_AiT_Ai_Si`` computes ``K = S^T @ S`` with S
+    of shape (N, 1), producing a 1x1 scalar whose triplet loop adds the
+    whole bending stiffness to VERTEX 0's diagonal only
+    (Constraint_projections.py:223-249).  We build the correct
+    wi_eff * (S column)(S column)^T over the vertex star instead.
+    """
+    cp, sim = ref_sim
+    import scipy.sparse
+
+    from animsnapbases_tpu.geometry.procedural import cloth_model
+    from animsnapbases_tpu.sim import projections
+    from animsnapbases_tpu.sim.model import DeformableModel
+    from animsnapbases_tpu.sim.solver import _device_group_data
+
+    V, F = cloth_model(6, 6)
+    V = V.copy()
+    V[:, 2] += 0.15 * np.sin(3.0 * V[:, 0]) * np.cos(2.0 * V[:, 1])
+    masses = np.full(len(V), 10.0)
+
+    rmodel = cp.DeformableMesh(V.copy(), F.copy(), masses=masses.copy())
+    rmodel.add_vertex_bending_constraint(wi=10.0)
+    model = DeformableModel(V.copy(), F.copy(), masses=masses.copy(),
+                            floor_collision=True, init_height_shift=2.0)
+    model.add_vertex_bending_constraint(wi=10.0)
+    g = model.groups["verts_bending"]
+
+    assert len(rmodel.verts_bending_constraints) == g.num
+    np.testing.assert_array_equal(rmodel.verts_bending_indicies,
+                                  g.data["indices"])
+    for i, c in enumerate(rmodel.verts_bending_constraints):
+        np.testing.assert_allclose(
+            np.sort(c.cotan_weights),
+            np.sort(g.data["cotans"][i][g.data["mask"][i]]), atol=1e-12)
+        np.testing.assert_allclose(c.rest_mean_curvature,
+                                   g.data["rest_curvature"][i], atol=1e-12)
+
+    # S^T assembly columns identical
+    Sref = np.asarray(rmodel.verts_bending_assembly_ST.todense())
+    Sours = scipy.sparse.coo_matrix(
+        (g.st_vals, (g.st_rows, g.st_cols)), shape=Sref.shape).toarray()
+    np.testing.assert_allclose(Sours, Sref, atol=1e-10)
+
+    # projections identical
+    rng = np.random.default_rng(0)
+    q = model.positions + 0.01 * rng.normal(size=model.positions.shape)
+    p_ours = np.asarray(projections.verts_bending_p(
+        np.asarray(q), _device_group_data(g)))
+    p_ref = np.stack([c.get_pi(q.flatten()).ravel()
+                      for c in rmodel.verts_bending_constraints])
+    np.testing.assert_allclose(p_ours, p_ref, atol=1e-12)
+
+    # the reference LHS bug: every constraint touches only vertex 0
+    trips = rmodel.verts_bending_constraints[0].get_wi_SiT_AiT_Ai_Si()
+    assert sorted({t[0] // 3 for t in trips}) == [0]
+    # ours touches the whole star of the constrained vertex
+    ours_rows = set(g.lhs_rows // 3)
+    star0 = {int(g.data["indices"][0])} | set(
+        g.data["neighbors"][0][g.data["mask"][0]].tolist())
+    assert star0 <= ours_rows
