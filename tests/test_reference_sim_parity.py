@@ -184,3 +184,52 @@ def test_bending_components_match_reference_but_lhs_bug_is_fixed(ref_sim):
     star0 = {int(g.data["indices"][0])} | set(
         g.data["neighbors"][0][g.data["mask"][0]].tolist())
     assert star0 <= ours_rows
+
+
+def test_tet_bar_full_loop_matches_reference(ref_sim):
+    """Volumetric full-loop parity: tet strain + tet deformation gradient
+    on the 5-tet-per-cell bar (Simulators/Constraint_projections tet math
+    is consistent in the reference, unlike tri-strain/bending)."""
+    cp, sim = ref_sim
+    from animsnapbases_tpu.geometry.procedural import bar_model
+    from animsnapbases_tpu.config.sim_config import default_sim_args
+    from animsnapbases_tpu.sim.model import DeformableModel
+    from animsnapbases_tpu.sim.solver import Solver
+
+    V, T, F, _ = bar_model(3, 2, 2)
+    masses = np.full(len(V), 10.0)
+    fixed = [0, 1, 2]
+    fext = np.zeros((len(V), 3))
+    fext[:, 1] = -9.81 * 10.0
+    steps, iters = 10, 5
+
+    rmodel = cp.DeformableMesh(V.copy(), F.copy(), elements=T.copy(),
+                               masses=masses.copy())
+    rmodel.add_tet_constrain_strain(0.95, 1.05, wi=1e5)
+    rmodel.add_tet_constrain_deformation_gradient(wi=1e5)
+    for i in fixed:
+        rmodel.fix(i)
+    rsolver = sim.Solver()
+    rsolver.set_model(rmodel)
+    rsolver.prepare(types.SimpleNamespace(dt=0.016))
+    for _ in range(steps):
+        rsolver.step(fext.copy(), num_iterations=iters)
+
+    model = DeformableModel(V.copy(), F.copy(), elements=T.copy(),
+                            masses=masses.copy(), floor_collision=True,
+                            init_height_shift=2.0)
+    model.add_tet_constrain_strain(0.95, 1.05, wi=1e5)
+    model.add_tet_constrain_deformation_gradient(wi=1e5)
+    for i in fixed:
+        model.fix(i)
+    solver = Solver()
+    solver.set_model(model)
+    args = default_sim_args()
+    args.dt = 0.016
+    solver.prepare(args)
+    for _ in range(steps):
+        solver.step(fext.copy(), num_iterations=iters)
+
+    scale = np.abs(rmodel.positions).max()
+    np.testing.assert_allclose(model.positions, rmodel.positions,
+                               atol=1e-5 * scale)
