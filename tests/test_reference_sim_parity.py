@@ -233,3 +233,49 @@ def test_tet_bar_full_loop_matches_reference(ref_sim):
     scale = np.abs(rmodel.positions).max()
     np.testing.assert_allclose(model.positions, rmodel.positions,
                                atol=1e-5 * scale)
+
+
+def test_tri_strain_rest_state_deviation_characterized(ref_sim):
+    """Deviation #1 evidence: with the reference's tri-strain operator the
+    REST state is not an equilibrium — a fully supported flat cloth under
+    zero external force drifts; with ours it is an exact fixed point
+    (README 'Deliberate deviations' #1, Constraint_projections.py:388-405
+    vs sim/groups.py:build_tris_strain)."""
+    cp, sim = ref_sim
+    from animsnapbases_tpu.geometry.procedural import cloth_model
+    from animsnapbases_tpu.config.sim_config import default_sim_args
+    from animsnapbases_tpu.sim.model import DeformableModel
+    from animsnapbases_tpu.sim.solver import Solver
+
+    V, F = cloth_model(5, 5)
+    masses = np.full(len(V), 10.0)
+    zero_f = np.zeros((len(V), 3))
+    wi = 1e4
+
+    rmodel = cp.DeformableMesh(V.copy(), F.copy(), masses=masses.copy())
+    rmodel.add_tri_constrain_strain(0.95, 1.05, wi=wi)
+    rsolver = sim.Solver()
+    rsolver.set_model(rmodel)
+    rsolver.prepare(types.SimpleNamespace(dt=0.016))
+    rest_ref = rmodel.positions.copy()
+    for _ in range(10):
+        rsolver.step(zero_f.copy(), num_iterations=5)
+    ref_drift = np.abs(rmodel.positions - rest_ref).max()
+
+    model = DeformableModel(V.copy(), F.copy(), masses=masses.copy(),
+                            floor_collision=True, init_height_shift=2.0)
+    model.add_tri_constrain_strain(0.95, 1.05, wi=wi)
+    solver = Solver()
+    solver.set_model(model)
+    args = default_sim_args()
+    args.dt = 0.016
+    solver.prepare(args)
+    rest_ours = model.positions.copy()
+    for _ in range(10):
+        solver.step(zero_f.copy(), num_iterations=5)
+    our_drift = np.abs(model.positions - rest_ours).max()
+
+    assert our_drift < 1e-8, f"our rest state drifted: {our_drift}"
+    assert ref_drift > 100 * max(our_drift, 1e-12), (
+        f"expected the reference operator to drift at rest "
+        f"(ref {ref_drift}, ours {our_drift})")
