@@ -279,3 +279,49 @@ def test_tri_strain_rest_state_deviation_characterized(ref_sim):
     assert ref_drift > 100 * max(our_drift, 1e-12), (
         f"expected the reference operator to drift at rest "
         f"(ref {ref_drift}, ours {our_drift})")
+
+
+def test_positional_constraint_full_loop_matches_reference(ref_sim):
+    """Springs + a shift-click-style positional pin (fixed target) on a
+    free vertex; full loop (PositionalConstraint,
+    Constraint_projections.py:77-113)."""
+    cp, sim = ref_sim
+    from animsnapbases_tpu.geometry.procedural import cloth_model
+    from animsnapbases_tpu.config.sim_config import default_sim_args
+    from animsnapbases_tpu.sim.model import DeformableModel
+    from animsnapbases_tpu.sim.solver import Solver
+
+    V, F = cloth_model(5, 5)
+    masses = np.full(len(V), 10.0)
+    pinned = 12                         # interior vertex held in place
+    fext = np.zeros((len(V), 3))
+    fext[:, 1] = -9.81 * 10.0
+    steps, iters = 10, 5
+
+    rmodel = cp.DeformableMesh(V.copy(), F.copy(), masses=masses.copy())
+    rmodel.add_edge_spring_constrain(wi=1e5)
+    rmodel.add_positional_constraint(pinned, wi=1e9)
+    rsolver = sim.Solver()
+    rsolver.set_model(rmodel)
+    rsolver.prepare(types.SimpleNamespace(dt=0.016))
+    for _ in range(steps):
+        rsolver.step(fext.copy(), num_iterations=iters)
+
+    model = DeformableModel(V.copy(), F.copy(), masses=masses.copy(),
+                            floor_collision=True, init_height_shift=2.0)
+    model.add_edge_spring_constraint(wi=1e5)
+    model.add_positional_constraint(pinned, wi=1e9)
+    solver = Solver()
+    solver.set_model(model)
+    args = default_sim_args()
+    args.dt = 0.016
+    solver.prepare(args)
+    for _ in range(steps):
+        solver.step(fext.copy(), num_iterations=iters)
+
+    scale = np.abs(rmodel.positions).max()
+    np.testing.assert_allclose(model.positions, rmodel.positions,
+                               atol=1e-6 * scale)
+    # the pinned vertex stayed at its rest location in both
+    np.testing.assert_allclose(model.positions[pinned],
+                               rmodel.init_positions[pinned], atol=1e-4)
