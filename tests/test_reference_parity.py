@@ -301,3 +301,49 @@ def test_splocs_energy_trajectory_matches_reference(ref_cc, capsys):
                                    err_msg=f"energy at iter {it}")
     np.testing.assert_allclose([h[2] for h in mine.splocs_history],
                                ref_erms, rtol=1e-4)
+
+
+def test_pca_blocks_with_st_reference_indexing_bug_characterized(ref_cc):
+    """The St-driven blockwise variant: the reference's inner loop runs
+    ``for idx in range(len(elems))`` — deflating blocks 0..len(elems)-1
+    instead of the ADJACENT ELEMENT ids it just computed
+    (constraintsComponents.py:205-208 vs the documented intent).  We
+    iterate the adjacency list itself (bases/constraints.py:
+    compute_pca_blocks_with_st).  Characterize: give the reference a
+    residual concentrated on a high-numbered element whose vertex is NOT
+    adjacent to low-numbered elements; its measures nevertheless record
+    deflations of elements 0..k.
+    """
+    import scipy.sparse
+
+    from animsnapbases_tpu.geometry.procedural import cloth_model
+
+    V, F = cloth_model(5, 5)
+    e, p = len(F), 2
+    rng = np.random.default_rng(2)
+    # energy concentrated on the LAST element's rows
+    X = 1e-3 * rng.normal(size=(8, e * p, 3))
+    X[:, -p:, :] += rng.normal(size=(8, p, 3))
+
+    # identity-ish St mapping rows to the element's first vertex
+    rows = np.repeat(F[:, 0], p)
+    St = scipy.sparse.coo_matrix(
+        (np.ones(e * p), (rows, np.arange(e * p))),
+        shape=(len(V), e * p)).tocsr()
+
+    obj = ref_cc.__new__(ref_cc)
+    obj.nonlinearSnapshots = types.SimpleNamespace(
+        snapTensor=X.copy(), constraintsSize=p,
+        num_constained_elements=e, dim=3, ele_type="_tris", tris=F)
+    obj.param = types.SimpleNamespace(bases_R_tol=0.5,
+                                      deim_desired_num_components=4)
+    obj.support = "global"
+    obj.storeSingVal = False
+    obj.St = St
+    obj.compute_nonlinearity_bases_blocks_utilizing_diffirential_operator()
+
+    deflated = [int(row[1]) for row in obj.measures_at_largeDeforVerts]
+    # the bug: deflated element ids are the leading range 0..k, even though
+    # the residual energy lives on the LAST element
+    assert deflated == list(range(len(deflated))), deflated
+    assert (e - 1) not in deflated
