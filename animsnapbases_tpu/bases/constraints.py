@@ -259,12 +259,23 @@ class ConstraintComponents:
         S_v_idx: list[int] = []
         bases_count = 0
 
+        # Bounded iteration: the reference loops `while norm(R) > tol` with
+        # no cap (constraintsComponents.py:180) and hangs when the residual
+        # noise floor sits above bases_R_tol.  Cap at the requested component
+        # count (or, when unset, the rank bound min(F, e)) and warn when the
+        # tolerance was not reached.
+        K = self.param.deim_desired_num_components
+        if K is None or K <= 0:
+            K = min(R.shape[0], snaps.num_constained_elements)
+        max_components = K
+
         def pos_space_vertex(R):
             # (F, ep, d) -> (ep, F*d); St @ . -> (N, F*d); argmax row energy
             Rm = np.swapaxes(np.asarray(R), 0, 1).reshape(R.shape[1], -1)
             return int(np.argmax(((St @ Rm) ** 2).sum(axis=1)))
 
-        while float(jnp.linalg.norm(R)) > tol:
+        res = float(jnp.linalg.norm(R))
+        while res > tol and bases_count < max_components:
             v = pos_space_vertex(R)
             elems = self._adjacent_elements(v)
             S_v_idx.append(v)
@@ -281,8 +292,14 @@ class ConstraintComponents:
                 measures.append(row)
                 if writer is not None:
                     writer.writerow(row)
-                if res < tol:
+                if res < tol or bases_count >= max_components:
                     break
+        if res > tol:
+            import warnings
+            warnings.warn(
+                f"pca_blocks_with_St stopped at {bases_count} components "
+                f"(cap {max_components}) with ||R||={res:.3e} > "
+                f"tol={tol:.3e}")
 
         self.comps = np.array(C)
         self.weigs = np.array(W).T

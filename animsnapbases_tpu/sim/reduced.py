@@ -325,7 +325,6 @@ class AnimSnapBasesSolver:
             rg, _, _ = prepare_reduced_group(
                 g, rtype, self.num_components[name], npz_path,
                 self.model.n_verts, U=self.U,
-                tikhonov=(name != "verts_bending"),
                 oversample=getattr(self.args, "deim_oversample", 1.0))
             self._reduced_groups[name] = rg
 

@@ -61,6 +61,20 @@ def test_pca_blocks_with_st_runs_to_tolerance(cloth_setup, tmp_path):
     assert len(cc.largeDeforPoints) >= 1
 
 
+def test_pca_blocks_with_st_unreachable_tol_terminates(cloth_setup,
+                                                       tmp_path):
+    """The reference loops `while norm(R) > tol` unbounded
+    (constraintsComponents.py:180) and hangs on a noise floor above tol;
+    our loop must cap at the requested component count and warn."""
+    tmp, V, F, St, X, model = cloth_setup
+    cc = _cc_with_st(tmp_path, X, St, V, F, tmp,
+                     basis_type="pca_blocks_with_St", tol=1e-30, K=4)
+    with pytest.warns(UserWarning, match="stopped at"):
+        cc.compute_pca_blocks_with_st()
+    assert cc.numComp <= 4
+    assert cc.comps.shape[0] == cc.numComp * 2
+
+
 def test_geom_selection_in_position_space(cloth_setup, tmp_path):
     tmp, V, F, St, X, model = cloth_setup
     cc = _cc_with_st(tmp_path, X, St, V, F, tmp, basis_type="pca_blocks",
