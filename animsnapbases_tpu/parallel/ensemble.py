@@ -9,8 +9,10 @@ Two composable strategies:
 * :func:`make_element_sharded_step` — model parallelism inside one
   simulation: every constraint group's element axis is split across the mesh
   axis with ``shard_map``; each shard assembles its partial S^T p and the
-  full rhs is one ``psum`` over ICI; the prefactored dense solve runs
-  replicated (it is tiny next to the projection work at scale).
+  full rhs is one ``psum`` over ICI; the global solve runs replicated
+  (dense Cholesky below the size limit, device CG in displacement form
+  above it — no densified matrix, so bunny/bridge-scale models step under
+  shard_map).
 """
 
 from __future__ import annotations
@@ -41,18 +43,20 @@ def build_device_mesh(shape: tuple[int, ...], axis_names: tuple[str, ...],
 
 
 def _single_sim_step_core(model, dt, dtype=None):
-    """Pure single-sim full-order step (dense Cholesky path) suitable for
-    vmap/shard_map composition."""
-    from animsnapbases_tpu.sim.solver import make_local_stage
+    """Pure single-sim full-order step suitable for vmap/shard_map
+    composition.  Dense Cholesky below the size limit, device CG above it
+    (no densification — works at bunny/bridge scale)."""
+    from animsnapbases_tpu.sim.solver import (
+        make_device_global_solve,
+        make_local_stage,
+    )
 
     cast = (lambda x: jnp.asarray(x, dtype=dtype)) if dtype else jnp.asarray
-    n = model.n_verts
     mass = cast(model.mass)
     dt2 = dt * dt
     floor = model.floor_collision
     floor_h = model.floor_height
-    A = build_global_matrix(model, dt).toarray()
-    chol = cast(np.linalg.cholesky(A))
+    prep, apply = make_device_global_solve(model, dt, cast)
     local = make_local_stage(model)
     targets0 = cast(model.positional_targets(0))
 
@@ -61,15 +65,15 @@ def _single_sim_step_core(model, dt, dtype=None):
         sn = positions + dt * velocities + dt2 * a
         if floor:
             sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
-        masses_term = (mass / dt2)[:, None] * sn
+        ctx = prep(sn)
 
-        def body(_, q):
+        def body(_, carry):
+            q, u = carry
             b, _ = local(q, targets0)
-            b = b + masses_term
-            return jax.scipy.linalg.cho_solve(
-                (chol, True), b.reshape(-1)).reshape(-1, 3)
+            return apply(b, sn, u, ctx)
 
-        q = jax.lax.fori_loop(0, num_iterations, body, sn)
+        q, _ = jax.lax.fori_loop(0, num_iterations, body,
+                                 (sn, jnp.zeros_like(sn)))
         return q, (q - positions) / dt
 
     return step_core
@@ -119,6 +123,8 @@ def make_element_sharded_step(model, dt, mesh: Mesh,
     zero-weight dummy elements (their S^T triplets carry zero values, so
     they contribute nothing).
     """
+    from animsnapbases_tpu.sim.solver import make_device_global_solve
+
     n_shards = mesh.shape[elem_axis]
     cast = (lambda x: jnp.asarray(x, dtype=dtype)) if dtype else jnp.asarray
     n = model.n_verts
@@ -126,8 +132,18 @@ def make_element_sharded_step(model, dt, mesh: Mesh,
     dt2 = dt * dt
     floor = model.floor_collision
     floor_h = model.floor_height
-    A = build_global_matrix(model, dt).toarray()
-    chol = cast(np.linalg.cholesky(A))
+    # global solve: dense Cholesky below the limit, replicated device CG
+    # above it (the projection fan-out is the sharded work; the solve is
+    # small next to it at scale and needs full q anyway)
+    prep, apply = make_device_global_solve(model, dt, cast)
+    # positional constraints project to fixed targets (frame 0) — their
+    # S^T p term is constant; precompute it replicated instead of sharding
+    pos_g = model.groups.get("positional")
+    if pos_g is not None:
+        ST = pos_g.assembly_scipy(n)
+        b_pos = cast(ST @ np.asarray(model.positional_targets(0)))
+    else:
+        b_pos = None
 
     # build padded, shard-ready group arrays
     sharded_groups = []
@@ -210,15 +226,17 @@ def make_element_sharded_step(model, dt, mesh: Mesh,
         sn = positions + dt * velocities + dt2 * a
         if floor:
             sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
-        masses_term = (mass / dt2)[:, None] * sn
+        ctx = prep(sn)
 
-        def body(_, q):
+        def body(_, carry):
+            q, u = carry
             b = sharded_rhs(q, *group_arrays)
-            b = b + masses_term
-            return jax.scipy.linalg.cho_solve(
-                (chol, True), b.reshape(-1)).reshape(-1, 3)
+            if b_pos is not None:
+                b = b + b_pos
+            return apply(b, sn, u, ctx)
 
-        q = jax.lax.fori_loop(0, num_iterations, body, sn)
+        q, _ = jax.lax.fori_loop(0, num_iterations, body,
+                                 (sn, jnp.zeros_like(sn)))
         return q, (q - positions) / dt
 
     return step

@@ -87,19 +87,59 @@ def build_global_matrix(model: DeformableModel, dt: float):
         shape=(3 * n, 3 * n))
 
 
+def build_constraint_dim_coo(model: DeformableModel):
+    """COO triplets of the per-dim *constraint* block ``A_c`` (N, N).
+
+    Every group's LHS couples equal dims only with per-dim-identical values
+    (ref ``Simulators.py:559-613`` builds the same Kronecker-lifted pattern),
+    so the d=0 entries fully describe the block:
+    ``A_d = A_c + diag(mass/dt^2)`` for every dim d.
+    """
+    rows, cols, vals = [], [], []
+    for g in model.groups.values():
+        if g.lhs_rows is None or len(g.lhs_rows) == 0:
+            continue
+        m = (g.lhs_rows % 3 == 0) & (g.lhs_cols % 3 == 0)
+        rows.append(g.lhs_rows[m] // 3)
+        cols.append(g.lhs_cols[m] // 3)
+        vals.append(g.lhs_vals[m])
+    if not rows:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), np.empty(0)
+    return (np.concatenate(rows), np.concatenate(cols),
+            np.concatenate(vals))
+
+
 class Solver:
-    """Full-order PD solver with reference-compatible prepare/step API."""
+    """Full-order PD solver with reference-compatible prepare/step API.
+
+    Global-solve modes (``global_solve``):
+
+    * ``"auto"`` — dense device Cholesky when 3N <= DENSE_LIMIT, else the
+      device CG sweep (``"cg"``).
+    * ``"cg"`` — Jacobi-preconditioned CG in displacement form
+      (:mod:`animsnapbases_tpu.ops.cg`), the whole ``num_iterations`` sweep
+      in ONE jitted dispatch with warm-started solves.  Replaces the
+      reference's host sparse LU (``Simulators.py:608-611``) above the dense
+      limit, removing the per-iteration host round trip.
+    * ``"host"`` — the reference-equivalent host sparse LU loop (kept for
+      exact replay / debugging).
+    """
 
     DENSE_LIMIT = 2400  # max 3N for the on-device dense Cholesky path
+    CG_TOL = 1e-11      # relative preconditioned-residual tolerance
+    CG_MAX_ITERS = 500
 
-    def __init__(self):
+    def __init__(self, global_solve: str = "auto"):
         self.model: DeformableModel | None = None
+        self.global_solve = global_solve
         self.dirty = True
         self.dt = None
         self.frame = 0
         self._solve = None          # host LU backsolve (3N,) -> (3N,)
         self._chol = None           # device Cholesky factor
         self._local = None
+        self._sweep = None          # jitted whole-iteration sweep
         self._use_dense = False
         # recording
         self.store_stacked_projections = False
@@ -152,17 +192,76 @@ class Solver:
                                            self.max_p_snapshots_num)
         A = build_global_matrix(self.model, self.dt)
         n3 = A.shape[0]
-        self._use_dense = n3 <= self.DENSE_LIMIT
-        if self._use_dense:
+        mode = self.global_solve
+        if mode == "auto":
+            mode = "dense" if n3 <= self.DENSE_LIMIT else "cg"
+        self._mode = mode
+        self._use_dense = mode == "dense"
+        self._chol = None
+        self._solve = None
+        if mode == "dense":
             dense = jnp.asarray(A.toarray())
             self._chol = jax.jit(jnp.linalg.cholesky)(dense)
             self._chol.block_until_ready()
-            self._solve = None
-        else:
+        elif mode == "host":
             self._solve = scipy.sparse.linalg.factorized(A)
-            self._chol = None
+        elif mode != "cg":
+            raise ValueError(f"unknown global_solve mode {mode!r}")
         self._local = make_local_stage(self.model)
+        self._build_sweep()
         self.set_clean()
+
+    def _build_sweep(self):
+        """Jit the whole local-global sweep — one device dispatch per step
+        for both the dense-Cholesky and the CG global solve.
+
+        The CG path solves in displacement form ``A_d u = c(q) - A_c s_n``,
+        ``q = s_n + u``: the pinned-mass (1e10) rhs terms cancel
+        analytically, so the solve runs at elastic scale (float32-safe) and
+        ``u`` warm-starts the next iteration's CG.
+        """
+        if self._mode == "host":
+            self._sweep = None
+            return
+        local = self._local
+        if self._mode == "dense":
+            dt2 = self.dt * self.dt
+            mass_dt2 = jnp.asarray(self.model.mass / dt2)
+            chol = self._chol
+
+            def prep(sn):
+                return mass_dt2[:, None] * sn
+
+            def apply(c, sn, u_prev, ctx):
+                q = jax.scipy.linalg.cho_solve(
+                    (chol, True), (c + ctx).reshape(-1)).reshape(-1, 3)
+                return q, q - sn
+        else:
+            prep, apply = make_device_global_solve(
+                self.model, self.dt, dense_limit=0, cg_tol=self.CG_TOL,
+                cg_max_iters=self.CG_MAX_ITERS)
+
+        def sweep(sn, targets, num_iterations):
+            ctx = prep(sn)
+
+            def it(q, u):
+                c, stacked = local(q, targets)
+                q, u = apply(c, sn, u, ctx)
+                return q, u, stacked
+
+            q, u, stacked = it(sn, jnp.zeros_like(sn))
+
+            def body(_, carry):
+                q, u, _ = carry
+                return it(q, u)
+
+            q, u, stacked = jax.lax.fori_loop(1, num_iterations, body,
+                                              (q, u, stacked))
+            return q, stacked
+
+        self._sweep_core = sweep
+        self._sweep = jax.jit(sweep)
+        self._run_scan = None
 
     # ------------------------------------------------------------------
     def step(self, fext, num_iterations=10):
@@ -179,19 +278,20 @@ class Solver:
             model.positions_corrections = corrections
 
         sn = explicit
-        masses_term = (model.mass / dt2)[:, None] * sn     # (N, 3)
         targets = jnp.asarray(model.positional_targets(self.frame))
 
-        q = jnp.asarray(sn)
-        masses_term_j = jnp.asarray(masses_term)
-        stacked = {}
-        for _ in range(num_iterations):
-            b, stacked = self._local(q, targets)
-            b = b + masses_term_j
-            if self._use_dense:
-                q = jax.scipy.linalg.cho_solve(
-                    (self._chol, True), b.reshape(-1)).reshape(-1, 3)
-            else:
+        if self._sweep is not None:
+            q, stacked = self._sweep(jnp.asarray(sn), targets,
+                                     num_iterations)
+        else:
+            # host sparse-LU loop (reference-equivalent replay path)
+            masses_term_j = jnp.asarray(
+                (model.mass / dt2)[:, None] * sn)
+            q = jnp.asarray(sn)
+            stacked = {}
+            for _ in range(num_iterations):
+                b, stacked = self._local(q, targets)
+                b = b + masses_term_j
                 q = jnp.asarray(
                     unflatten(self._solve(np.asarray(b).flatten())))
 
@@ -207,6 +307,74 @@ class Solver:
         model.velocities = (q_next - model.positions) * dt_inv
         model.positions = q_next
         self.frame += 1
+
+    # ------------------------------------------------------------------
+    def run_steps(self, fext, num_steps, num_iterations=10, record=False):
+        """Advance ``num_steps`` fully on device in ONE dispatch
+        (``lax.scan`` over steps) — essential over a high-latency host-TPU
+        link.  Positional targets are evaluated per frame on host and
+        shipped as a (T, e, 3) timeline, so animated positional constraints
+        are exact.
+
+        With ``record=True``, every step's stacked projections (the last
+        local iteration's, matching :meth:`step`) are fed through the usual
+        recording dicts and the (T, N, 3) position trajectory is returned.
+        """
+        model = self.model
+        if self._sweep is None or self.enable_self_collision:
+            # host-LU replay or host self-collision resolvers: per-step loop
+            traj = []
+            for _ in range(num_steps):
+                self.step(fext, num_iterations)
+                if record:
+                    traj.append(model.positions.copy())
+            return np.array(traj) if record else None
+
+        targets_tl = jnp.asarray(np.stack(
+            [model.positional_targets(self.frame + t)
+             for t in range(num_steps)]))
+
+        if self._run_scan is None:
+            sweep = self._sweep_core
+            mass = jnp.asarray(model.mass)
+            dt = self.dt
+            dt2 = dt * dt
+            floor = model.floor_collision
+            floor_h = model.floor_height
+
+            def run(positions, velocities, fext_j, targets_seq,
+                    num_iterations):
+                a = fext_j / mass[:, None]
+
+                def body(carry, targets):
+                    pos, vel = carry
+                    sn = pos + dt * vel + dt2 * a
+                    if floor:
+                        sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
+                    q, stacked = sweep(sn, targets, num_iterations)
+                    return (q, (q - pos) / dt), (q, stacked)
+
+                (q, v), (traj, stacked_seq) = jax.lax.scan(
+                    body, (positions, velocities), targets_seq)
+                return q, v, traj, stacked_seq
+
+            self._run_scan = jax.jit(run)
+
+        q, v, traj, stacked_seq = self._run_scan(
+            jnp.asarray(model.positions), jnp.asarray(model.velocities),
+            jnp.asarray(fext), targets_tl, num_iterations)
+        model.positions = np.asarray(q)
+        model.velocities = np.asarray(v)
+        if self.store_stacked_projections:
+            stacked_np = {name: np.asarray(arr)
+                          for name, arr in stacked_seq.items()}
+            for t in range(num_steps):
+                self._record_frame({name: arr[t]
+                                    for name, arr in stacked_np.items()})
+                self.frame += 1
+        else:
+            self.frame += num_steps
+        return np.asarray(traj) if record else None
 
     # ------------------------------------------------------------------
     def _record_frame(self, stacked: dict):
@@ -231,3 +399,78 @@ class Solver:
         for name, frames in self._recorded.items():
             np.savez(os.path.join(self.record_path, name + "_p.npz"),
                      **frames)
+
+
+def make_device_global_solve(model: DeformableModel, dt: float,
+                             cast=jnp.asarray, dense_limit: int | None = None,
+                             cg_tol: float | None = None,
+                             cg_max_iters: int | None = None):
+    """Reusable device-side global solve for one PD local-global iteration.
+
+    Returns ``(prep, apply)``:
+
+    * ``prep(sn) -> ctx`` — once per step (masses term for the dense path,
+      the displacement-form constant ``-A_c s_n`` for CG);
+    * ``apply(c, sn, u_prev, ctx) -> (q, u)`` — once per iteration, where
+      ``c`` is the summed constraint rhs ``sum S^T p`` and ``u_prev`` warm-
+      starts the CG path (ignored by the dense path).
+
+    Below ``dense_limit`` (3N) this is a prefactored dense Cholesky; above
+    it a Jacobi-preconditioned CG in displacement form — no densification,
+    so it composes with shard_map at bunny/bridge scale.
+    """
+    dense_limit = Solver.DENSE_LIMIT if dense_limit is None else dense_limit
+    cg_tol = Solver.CG_TOL if cg_tol is None else cg_tol
+    cg_max_iters = (Solver.CG_MAX_ITERS if cg_max_iters is None
+                    else cg_max_iters)
+    n = model.n_verts
+    dt2 = dt * dt
+    mass_dt2 = cast(model.mass / dt2)
+
+    if 3 * n <= dense_limit:
+        A = build_global_matrix(model, dt)
+        chol = cast(np.linalg.cholesky(A.toarray()))
+
+        def prep(sn):
+            return mass_dt2[:, None] * sn
+
+        def apply(c, sn, u_prev, ctx):
+            q = jax.scipy.linalg.cho_solve(
+                (chol, True), (c + ctx).reshape(-1)).reshape(-1, 3)
+            return q, q - sn
+
+        return prep, apply
+
+    from animsnapbases_tpu.ops.cg import (
+        build_ell,
+        ell_matvec,
+        make_pcg_solver,
+    )
+
+    ac_rows, ac_cols, ac_vals = build_constraint_dim_coo(model)
+    mass_diag = np.asarray(model.mass / dt2, dtype=float)
+    diag = mass_diag.copy()
+    on_diag = ac_rows == ac_cols
+    np.add.at(diag, ac_rows[on_diag], ac_vals[on_diag])
+    # padded-ELL matvec (gather + batched dot, scatter-free) of the FULL
+    # per-dim matrix A_d = A_c + diag(mass/dt^2)
+    ell_cols, ell_vals = build_ell(ac_rows, ac_cols, ac_vals, n,
+                                   diag_add=mass_diag)
+    ecols = jnp.asarray(ell_cols)
+    evals = cast(ell_vals)
+
+    def matvec(x):
+        return ell_matvec(ecols, evals, x)
+
+    cg = make_pcg_solver(None, None, None, cast(diag), n, tol=cg_tol,
+                         max_iters=cg_max_iters, matvec=matvec)
+
+    def prep(sn):
+        # -A_c s_n = -(A_d - mass/dt^2) s_n
+        return mass_dt2[:, None] * sn - matvec(sn)
+
+    def apply(c, sn, u_prev, ctx):
+        u, _ = cg(c + ctx, u_prev)
+        return sn + u, u
+
+    return prep, apply

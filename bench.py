@@ -79,9 +79,17 @@ def gravity(model):
 def run_fom_and_bases():
     """Produce (and cache) all artifacts the reduced solver needs.
 
-    The FOM stage uses a host sparse LU per iteration; pinning JAX's default
-    device to the host CPU here avoids a device<->host roundtrip over the
-    (high-latency) TPU tunnel for every local/global sweep.
+    The FOM ground truth is recorded with exact host f64 LU solves on the
+    CPU: the recorded snapshots stay reproducible across rounds, and any
+    f32 perturbation would diverge at the chaotic free-swinging vertices
+    (Lyapunov growth), polluting the reduced-vs-FOM deviation stat.  The
+    device-CG full-order path (the default above the dense limit) is
+    benchmarked separately in scripts/bench_bases.py.
+
+    The whole artifact build is pinned to the host CPU so the cached bases
+    and DEIM selections are bit-reproducible across rounds (TPU f32 POD
+    flips argmax picks, shifting the reduced operating point and the
+    deviation stats).
     """
     import jax
 
@@ -98,14 +106,13 @@ def _run_fom_and_bases_impl():
 
     from animsnapbases_tpu.bases.position_reduction import (
         position_basis_from_trajectory, save_position_basis)
-    from animsnapbases_tpu.sim.reduced import prepare_reduced_group
     from animsnapbases_tpu.sim.solver import Solver
 
     V, F, name = load_mesh()
     log(f"[bench] mesh {name}: {len(V)} verts, {len(F)} tris")
 
     model = build_model(V, F)
-    solver = Solver()
+    solver = Solver(global_solve="host")
     solver.set_model(model)
 
     t0 = time.perf_counter()
@@ -113,7 +120,8 @@ def _run_fom_and_bases_impl():
     args = default_sim_args()
     args.dt = DT
     solver.prepare(args)
-    log(f"[bench] FOM prepare (sparse LU) {time.perf_counter() - t0:.1f}s")
+    log(f"[bench] FOM prepare ({solver._mode} global solve) "
+        f"{time.perf_counter() - t0:.1f}s")
 
     record = os.path.join(BENCH_DIR, "FOM")
     solver.store_assembly_matrices(record)
@@ -122,11 +130,8 @@ def _run_fom_and_bases_impl():
     solver.max_p_snapshots_num = FOM_FRAMES - 1
 
     t0 = time.perf_counter()
-    traj = []
-    for _ in range(FOM_FRAMES):
-        solver.step(gravity(model), num_iterations=FOM_ITERS)
-        traj.append(model.positions.copy())
-    traj = np.array(traj)
+    traj = solver.run_steps(gravity(model), FOM_FRAMES,
+                            num_iterations=FOM_ITERS, record=True)
     log(f"[bench] FOM {FOM_FRAMES} frames in {time.perf_counter() - t0:.1f}s")
 
     # constraint bases: pod_vectorized + DEIM per group, straight from the

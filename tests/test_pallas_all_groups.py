@@ -44,13 +44,15 @@ def _make_bend_cloth_model():
     return model
 
 
-def _reduced(make_model, basis_dir, pos_path, pallas_mode, groups):
+def _reduced(make_model, basis_dir, pos_path, pallas_mode, groups,
+             oversample=1.0):
     args = sim_args(
         constraint_projection_basis_type="deim_pod_vectorized",
         geom_interpolation_basis_dir=basis_dir,
         geom_interpolation_basis_file="basis.npz",
         position_reduced=True, position_num_components=16,
-        position_basis_file=pos_path)
+        position_basis_file=pos_path,
+        deim_oversample=oversample)
     for g in groups:
         flag, num = {
             "tets_strain": ("tet_strain_reduced",
@@ -86,16 +88,18 @@ def bend_setup(tmp_path_factory):
 
 
 def test_tet_groups_pallas_matches_xla(bar_setup):
-    """Equivalence of the fused tet kernels with the XLA path.  This
-    aggressive hyper-reduction setup (8 modes / 8 points for 60 tets at
-    wi=1e5) is chaotically unstable after a few steps — both paths diverge
-    identically — so equivalence is asserted within the stable window."""
+    """Equivalence of the fused tet kernels with the XLA path.  Square DEIM
+    at this aggressive setup (8 modes for 60 tets at wi=1e5) is chaotically
+    unstable, which made the equivalence assert sensitive to fp-ordering
+    noise in the recorded FOM fixture; oversampled DEIM (the documented
+    stabilizer, see README) keeps the hyper-reduced iteration contractive so
+    the assert tests the kernels, not the chaos."""
     basis_dir, pos_path, traj = bar_setup
     groups = ("tets_strain", "tets_deformation_gradient")
     s_ref, m_ref = _reduced(_make_bar_model, basis_dir, pos_path, "off",
-                            groups)
+                            groups, oversample=1.5)
     s_pal, m_pal = _reduced(_make_bar_model, basis_dir, pos_path,
-                            "interpret", groups)
+                            "interpret", groups, oversample=1.5)
     assert s_pal._run_jit is not None
     f = _gravity(m_ref)
     s_ref.step(f, num_iterations=6)
