@@ -178,14 +178,23 @@ class ConstraintComponents:
     # ------------------------------------------------------------------
     @log_time
     def compute_pod_vectorized(self, writer=None):
-        """One snapshot-POD of the flattened (e*p*3, F) matrix."""
+        """One snapshot-POD of the flattened (e*p*3, F) matrix.
+
+        When ``self.pod_mesh`` is set (a jax.sharding.Mesh), the Gram
+        matmul is sharded over its 'model' axis — the multi-chip bases
+        path (psum of per-shard X_s^T X_s)."""
         R = self.nonlinearSnapshots.snapTensor
         F = R.shape[0]
         e = self.nonlinearSnapshots.num_constained_elements
         p = self.nonlinearSnapshots.constraintsSize
 
         X = jnp.asarray(R.reshape(F, -1).T)        # (e*p*3, F)
-        U, S, _ = snapshot_pod(X)
+        mesh = getattr(self, "pod_mesh", None)
+        if mesh is not None:
+            from animsnapbases_tpu.ops.podlinalg import snapshot_pod_sharded
+            U, S, _ = snapshot_pod_sharded(X, mesh)
+        else:
+            U, S, _ = snapshot_pod(X)
         S = np.asarray(S)
         if writer is not None:
             for i, s in enumerate(S):

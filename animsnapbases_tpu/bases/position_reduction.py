@@ -15,18 +15,24 @@ import jax.numpy as jnp
 from animsnapbases_tpu.ops.podlinalg import snapshot_pod
 
 
-def position_basis_from_trajectory(traj: np.ndarray, r: int) -> np.ndarray:
+def position_basis_from_trajectory(traj: np.ndarray, r: int,
+                                   mesh=None) -> np.ndarray:
     """traj (F, N, 3) -> components (r, N, 3), per-dim orthonormal.
 
     Uses snapshot-POD per dim (Gram matmul + small eigh, MXU-friendly).
-    r is clipped to the number of frames.
+    r is clipped to the number of frames.  ``mesh`` shards the vertex axis
+    of the Gram matmul over its 'model' axis (multi-chip bases path).
     """
     F, N, _ = traj.shape
     r = min(r, F)
     comps = np.empty((r, N, 3))
     for d in range(3):
         X = jnp.asarray(traj[:, :, d].T)       # (N, F)
-        U, s, _ = snapshot_pod(X)
+        if mesh is not None:
+            from animsnapbases_tpu.ops.podlinalg import snapshot_pod_sharded
+            U, s, _ = snapshot_pod_sharded(X, mesh)
+        else:
+            U, s, _ = snapshot_pod(X)
         Ud = np.asarray(U[:, :r])
         # zero singular directions -> replace with orthonormal completion
         # (can happen when F_effective < r); QR keeps things orthonormal

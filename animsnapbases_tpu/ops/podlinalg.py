@@ -30,3 +30,43 @@ def snapshot_pod(X: jnp.ndarray):
     denom = jnp.where(s > 1e-12 * (s[0] + 1e-30), s, jnp.inf)
     U = (X @ W) / denom[None, :]
     return U, s, W.T
+
+
+def snapshot_pod_sharded(X, mesh, axis: str = "model"):
+    """Multi-chip :func:`snapshot_pod`: the snapshot rows (the big n axis —
+    vertices or constraint rows) are sharded over ``mesh[axis]``; the Gram
+    matrix is a ``psum`` of per-shard ``X_s^T X_s`` contributions over ICI;
+    the tiny F x F eigendecomposition runs replicated and the left vectors
+    are recovered shard-locally.  Exact same math as the single-device path
+    (SURVEY §5.8's TPU-native scale-out of the bases pipeline).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n, F = X.shape
+    nsh = mesh.shape[axis]
+    n_pad = -(-n // nsh) * nsh
+
+    def f(Xs):
+        G = jax.lax.psum(Xs.T @ Xs, axis)
+        w, W = jnp.linalg.eigh(G)
+        w = w[::-1]
+        W = W[:, ::-1]
+        s = jnp.sqrt(jnp.maximum(w, 0.0))
+        denom = jnp.where(s > 1e-12 * (s[0] + 1e-30), s, jnp.inf)
+        Us = (Xs @ W) / denom[None, :]
+        return Us, s, W.T
+
+    sharded = shard_map(f, mesh=mesh, in_specs=P(axis),
+                        out_specs=(P(axis), P(), P()))
+
+    @jax.jit
+    def run(X):
+        Xp = jnp.pad(X, ((0, n_pad - n), (0, 0)))
+        Us, s, Wt = sharded(Xp)
+        return Us[:n], s, Wt
+
+    return run(jnp.asarray(X))

@@ -10,6 +10,12 @@ The TPU-native scaling axes here are:
 * **element sharding (TP/SP analog)** — the constraint-element axis of the
   local stage split across a mesh axis with a psum of the assembled rhs,
   so one large simulation scales past a single chip's FLOPs/HBM.
+* **tensor-parallel reduced stepping** — the production hyper-reduced
+  solver's selected-element axis, displacement-form contraction, and
+  position lift sharded over the mesh (``reduced_tp``).
+* **sharded bases** — snapshot-POD Gram matmuls psum'd over the mesh
+  (``ops.podlinalg.snapshot_pod_sharded``), used by the constraint- and
+  position-basis pipelines.
 """
 
 from animsnapbases_tpu.parallel.ensemble import (
@@ -17,3 +23,4 @@ from animsnapbases_tpu.parallel.ensemble import (
     make_element_sharded_step,
     build_device_mesh,
 )
+from animsnapbases_tpu.parallel.reduced_tp import make_tp_reduced_step

@@ -1,0 +1,129 @@
+"""Tensor-parallel reduced stepping + sharded snapshot-POD on the virtual
+8-device CPU mesh (VERDICT r1 item 2: shard the PRODUCTION paths)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from animsnapbases_tpu.geometry.procedural import cloth_model
+from animsnapbases_tpu.ops.podlinalg import snapshot_pod, snapshot_pod_sharded
+from animsnapbases_tpu.parallel import build_device_mesh, make_tp_reduced_step
+from animsnapbases_tpu.sim.model import DeformableModel
+from test_sim_reduced_position import _reduced_solver, pipeline  # noqa: F401
+from test_sim_solver import gravity_forces, sim_args
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_tp_reduced_step_matches_single(pipeline):
+    """Selected-element TP sharding of the prepared reduced solver must
+    reproduce the single-device fully-reduced step exactly."""
+    basis_dir, pos_path, _ = pipeline
+    s1, m1 = _reduced_solver(basis_dir, pos_path, with_position=True)
+    mesh = build_device_mesh((4,), ("model",))
+    tp_step = make_tp_reduced_step(s1, mesh)
+
+    s2, m2 = _reduced_solver(basis_dir, pos_path, with_position=True)
+    f = gravity_forces(m1)
+    pos = m1.positions.copy()
+    vel = np.zeros_like(pos)
+    for _ in range(3):
+        pos, vel = tp_step(pos, vel, f, num_iterations=6)
+        s2.step(f, num_iterations=6)
+    np.testing.assert_allclose(np.asarray(pos), m2.positions, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(vel), m2.velocities, atol=1e-7)
+
+
+def _synthetic_reduced_solver(tmp_path, rows=101, cols=101, K=12, r=14):
+    """Reduced solver at >=10k verts with synthetic (random orthonormal)
+    bases — prepare-time correctness does not depend on basis provenance."""
+    rng = np.random.default_rng(0)
+    V, F = cloth_model(rows, cols)
+    V = V.copy()
+    V[:, 2] += 0.05 * V[:, 0]
+    model = DeformableModel(V, F, masses=np.full(len(V), 10.0),
+                            floor_collision=True, init_height_shift=3.0)
+    model.add_tri_constrain_strain(0.95, 1.05, wi=1e4)
+    model.add_edge_spring_constraint(wi=1e4)
+    model.compute_cloth_corner_indices()
+    model.fix_surface_side_vertices("left")
+
+    basis_dir = str(tmp_path / "bases")
+    for name, g in model.groups.items():
+        if name == "positional":
+            continue
+        ep = g.num * g.p
+        comps = rng.normal(size=(K, ep, 3)) / np.sqrt(ep)
+        Pt = np.sort(rng.choice(ep, size=K, replace=False))
+        gdir = os.path.join(basis_dir, name)
+        os.makedirs(gdir, exist_ok=True)
+        np.savez(os.path.join(gdir, "basis.npz"),
+                 components=comps, interpol_alphas=Pt // g.p, Pt=Pt,
+                 interpol_verts=np.array([]),
+                 interpol_alpha_ranges=np.arange(1, K + 1))
+
+    n = model.n_verts
+    comps = np.empty((r, n, 3))
+    for d in range(3):
+        Q, _ = np.linalg.qr(rng.normal(size=(n, r)))
+        comps[:, :, d] = Q.T
+    pos_path = str(tmp_path / "pos_basis.npz")
+    np.savez(pos_path, components=comps)
+
+    from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+
+    args = sim_args(
+        constraint_projection_basis_type="deim_pod_vectorized",
+        tri_strain_reduced=True, tri_strain_num_components=K,
+        edge_spring_reduced=True, edge_spring_num_components=K,
+        geom_interpolation_basis_dir=basis_dir,
+        geom_interpolation_basis_file="basis.npz",
+        position_reduced=True, position_num_components=r,
+        position_basis_file=pos_path)
+    solver = AnimSnapBasesSolver(args)
+    solver.set_model(model)
+    solver.prepare(args)
+    return solver, model
+
+
+def test_tp_reduced_step_at_scale(tmp_path):
+    """>=10k-vertex reduced model: sharded vs single-device equality."""
+    solver, model = _synthetic_reduced_solver(tmp_path)
+    assert model.n_verts >= 10000
+    mesh = build_device_mesh((4,), ("model",))
+    tp_step = make_tp_reduced_step(solver, mesh)
+
+    f = gravity_forces(model)
+    pos = model.positions.copy()
+    vel = np.zeros_like(pos)
+    q_tp, v_tp = tp_step(pos, vel, f, num_iterations=4)
+
+    targets = solver._cast(model.positional_targets(0))
+    q_1, v_1 = solver._step_jit(solver._cast(pos), solver._cast(vel),
+                                solver._cast(f), targets, num_iterations=4)
+    np.testing.assert_allclose(np.asarray(q_tp), np.asarray(q_1), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v_tp), np.asarray(v_1), atol=1e-7)
+
+
+def test_snapshot_pod_sharded_matches():
+    """Gram-psum POD over the mesh == single-device POD (>=10k rows)."""
+    rng = np.random.default_rng(1)
+    n, F = 12001, 18
+    modes = rng.normal(size=(n, F))
+    scales = np.geomspace(10.0, 0.1, F)
+    X = jnp.asarray(modes * scales)
+
+    mesh = build_device_mesh((8,), ("model",))
+    U1, s1, Vt1 = snapshot_pod(X)
+    U2, s2, Vt2 = snapshot_pod_sharded(X, mesh)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-10)
+    # eigenvector signs may flip between runs; align before comparing
+    signs = np.sign(np.sum(np.asarray(U1) * np.asarray(U2), axis=0))
+    np.testing.assert_allclose(np.asarray(U2) * signs, np.asarray(U1),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Vt2) * signs[:, None],
+                               np.asarray(Vt1), atol=1e-9)
