@@ -54,13 +54,14 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
                              floor: bool, floor_h: float,
                              n_sel: int,
                              interpret: bool = False):
-    """Build run(P (3,N), V (3,N), fext (3,N), rb_extra (3,r), num_steps,
+    """Build run(P (3,N), V (3,N), fext (3,N), rb_seq (T,3,r), num_steps,
     num_iterations) -> (P', V').
 
     iteration_terms: operand dict from ``prepare_fused_operands``;
-    U_liftT (3, r, N) and ut_acT (3, N, r) may be low-precision; rb_extra
-    carries the per-call positional-target contribution (zeros if none).
-    """
+    U_liftT (3, r, N) and ut_acT (3, N, r) may be low-precision; rb_seq
+    carries the per-STEP positional-target contribution (step i uses
+    ``rb_seq[min(i, T-1)]`` — T == 1 for static targets, a pow2-padded
+    timeline for animated ones, e.g. the poke scenarios)."""
     acc = jnp.float32 if U_liftT.dtype != np.float64 else jnp.float64
     r = inv3.shape[1]
     n = U_liftT.shape[2]
@@ -95,14 +96,19 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
             WT = wt_ref[:]
             G_allT = gall_ref[:]
             m_inv = minv_ref[:]
-            rb_extra = rbex_ref[:]
+            t_len = rbex_ref.shape[0]                  # (T, 3, r)
             # fext is constant across the whole call: fold dt^2 * f / m once
             fa = dt2 * f_ref[:] * m_inv
             mm_dtype = ulift_ref.dtype
             row_is_y = jax.lax.broadcasted_iota(jnp.int32, (3, n), 0) == 1
 
-            def step(_, carry):
+            def step(i, carry):
                 P, V = carry
+                # per-step positional-target term (animated schedules);
+                # index clamps so pow2 padding reuses compilations.
+                # Mosaic rejects dynamic_slice on VMEM values, but dynamic
+                # ref loads with pl.ds on the leading axis lower fine.
+                rb_extra = rbex_ref[pl.ds(jnp.minimum(i, t_len - 1), 1)][0]
                 sn = P + dt * V + fa
                 if floor:
                     sn = jnp.where(row_is_y & (sn < floor_h), floor_h, sn)

@@ -666,12 +666,19 @@ class AnimSnapBasesSolver:
                                      static_argnames=("num_iterations",))
 
             @partial(jax.jit, static_argnames=("num_iterations",))
-            def run_fn(positions, velocities, fext, targets, num_steps,
+            def run_fn(positions, velocities, fext, targets_seq, num_steps,
                        num_iterations):
-                # dynamic trip count: one compilation serves any num_steps
-                def body(_, carry):
+                # dynamic trip count: one compilation serves any num_steps.
+                # targets_seq (T, e, 3) is a per-frame positional-target
+                # timeline; T == 1 for static targets, and the index clamps
+                # so a pow2-padded timeline reuses compilations.
+                T = targets_seq.shape[0]
+
+                def body(i, carry):
                     p, v = carry
-                    return step_core(p, v, fext, targets, num_iterations)
+                    t = jnp.minimum(i, T - 1)
+                    return step_core(p, v, fext, targets_seq[t],
+                                     num_iterations)
 
                 p, v = jax.lax.fori_loop(0, num_steps, body,
                                          (positions, velocities))
@@ -791,48 +798,85 @@ class AnimSnapBasesSolver:
 
         return step
 
+    def _targets_timeline(self, num_steps):
+        """(T, e, 3) positional-target timeline for the next ``num_steps``
+        frames.  T == 1 when no target is frame-dependent; animated
+        timelines are padded to the next power of two (the device loops
+        clamp the index) so compilations are reused across run lengths."""
+        model = self.model
+        # frame shifts index by absolute frame and clamp at their last
+        # entry (ref Constraint_projections.py:77-113), so the timeline
+        # only needs to cover the longest REMAINING shift — beyond that
+        # the targets are constant and the device index clamp takes over
+        remaining = 0
+        for c in getattr(model, "_positional", []):
+            if (c["motion_type"] == "user_defined"
+                    and c["frame_shift"] is not None):
+                remaining = max(remaining,
+                                len(c["frame_shift"]) - self.frame)
+        if remaining <= 0:
+            return np.asarray(
+                model.positional_targets(self.frame))[None], False
+        t_eff = min(num_steps, remaining)
+        tl = np.stack([model.positional_targets(self.frame + t)
+                       for t in range(t_eff)])
+        t_pad = 1 << max(t_eff - 1, 0).bit_length()
+        if t_pad > t_eff:
+            tl = np.concatenate(
+                [tl, np.repeat(tl[-1:], t_pad - t_eff, axis=0)])
+        return tl, True
+
+    # a per-call rb timeline larger than this skips the resident kernel
+    # for that call (VMEM is budgeted at prepare time without knowing T)
+    RESIDENT_RB_SEQ_LIMIT = 4 * (1 << 20)
+
     def run_steps(self, fext, num_steps, num_iterations=10):
         """Advance ``num_steps`` steps fully on device (single dispatch).
-        Positional targets are held at the current frame's values."""
+        Animated positional targets (``user_defined`` frame shifts, e.g.
+        the poke scenarios, ref calbacks.py:824-839) are exact: the
+        per-frame target timeline ships to the device with the call."""
         if self._run_jit is None:
             for _ in range(num_steps):
                 self.step(fext, num_iterations)
             return
         model = self.model
+        targets_tl, animated = self._targets_timeline(num_steps)
         if getattr(self, "_resident", None) is not None:
             run_fn, perm, iperm = self._resident
             r = self.U.shape[1]
-            targets = model.positional_targets(self.frame)
-            if self._resident_utst is not None and len(targets):
-                rb_extra = np.stack(
-                    [self._resident_utst[d] @ targets[:, d]
-                     for d in range(3)])
+            if self._resident_utst is not None and targets_tl.shape[1]:
+                # rb_seq[t, d] = (U^T S^T)_d @ targets[t, :, d]
+                rb_seq = np.einsum("dre,ted->tdr", self._resident_utst,
+                                   targets_tl)
             else:
-                rb_extra = np.zeros((3, r))
-            P = self._cast(np.ascontiguousarray(model.positions[perm].T))
-            V = self._cast(np.ascontiguousarray(model.velocities[perm].T))
-            Fx = self._cast(np.ascontiguousarray(
-                np.asarray(fext)[perm].T))
-            try:
-                Pf, Vf = run_fn(P, V, Fx, self._cast(rb_extra), num_steps,
-                                num_iterations)
-            except Exception as e:
-                # Mosaic may only discover at compile time that the
-                # operands + staging exceed scoped VMEM; disable the
-                # resident path and continue on the per-step fused kernel
-                import warnings
-                warnings.warn("resident kernel failed to compile; "
-                              f"falling back to per-step path: {e}")
-                self._resident = None
-            else:
-                model.positions = np.asarray(Pf, dtype=float).T[iperm]
-                model.velocities = np.asarray(Vf, dtype=float).T[iperm]
-                self.frame += num_steps
-                return
-        targets = self._cast(model.positional_targets(self.frame))
+                rb_seq = np.zeros((1, 3, r))
+            if rb_seq.nbytes <= self.RESIDENT_RB_SEQ_LIMIT:
+                P = self._cast(np.ascontiguousarray(
+                    model.positions[perm].T))
+                V = self._cast(np.ascontiguousarray(
+                    model.velocities[perm].T))
+                Fx = self._cast(np.ascontiguousarray(
+                    np.asarray(fext)[perm].T))
+                try:
+                    Pf, Vf = run_fn(P, V, Fx, self._cast(rb_seq), num_steps,
+                                    num_iterations)
+                except Exception as e:
+                    # Mosaic may only discover at compile time that the
+                    # operands + staging exceed scoped VMEM; disable the
+                    # resident path and continue on the per-step fused
+                    # kernel
+                    import warnings
+                    warnings.warn("resident kernel failed to compile; "
+                                  f"falling back to per-step path: {e}")
+                    self._resident = None
+                else:
+                    model.positions = np.asarray(Pf, dtype=float).T[iperm]
+                    model.velocities = np.asarray(Vf, dtype=float).T[iperm]
+                    self.frame += num_steps
+                    return
         p, v = self._run_jit(self._cast(model.positions),
                              self._cast(model.velocities), self._cast(fext),
-                             targets, num_steps=num_steps,
+                             self._cast(targets_tl), num_steps=num_steps,
                              num_iterations=num_iterations)
         model.positions = np.asarray(p)
         model.velocities = np.asarray(v)
