@@ -107,6 +107,10 @@ class SimConfig:
         args.is_simulating = vis.get("is_simulating", args.is_simulating)
 
         solver = sp.get("solver_params", {})
+        # legacy schema (ref demos/config.json) keeps the vis flags inside
+        # the solver block
+        args.window_open = solver.get("window_open", args.window_open)
+        args.is_simulating = solver.get("is_simulating", args.is_simulating)
         args.solver = solver.get("name", args.solver)
         args.dt = solver.get("dt", args.dt)
         args.solver_iterations = solver.get("solver_iterations",
@@ -125,6 +129,7 @@ class SimConfig:
             "apply_constraints": "apply_constraints",
             "vert_bending_constraint": "vert_bending_constraint",
             "edge_spring_constraint": "edge_constraint",
+            "edge_constraint": "edge_constraint",   # legacy key (config.json)
             "tri_strain_constraint": "tri_strain_constraint",
             "tet_strain_constraint": "tet_strain_constraint",
             "tet_deformation_constraint": "tet_deformation_constraint",

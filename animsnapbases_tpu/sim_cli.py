@@ -17,6 +17,12 @@ def cli(argv=None):
                         choices=sorted(SCENARIOS))
     parser.add_argument("--config", type=str,
                         default="configs/demos/testing.json")
+    parser.add_argument("--solver", type=str, default=None,
+                        choices=("Solver", "animSnapBasesSolver"),
+                        help="override the config's solver (the reference "
+                             "CLI can override any JSON value; FOM "
+                             "recording uses Solver, reduced replay "
+                             "animSnapBasesSolver)")
     parser.add_argument("--record", action="store_true",
                         help="record constraint-projection snapshots")
     parser.add_argument("--record-positions", action="store_true",
@@ -34,6 +40,8 @@ def cli(argv=None):
 
     params = SimConfig(args_ns.config)
     sim_args = params.build_args()
+    if args_ns.solver is not None:
+        sim_args.solver = args_ns.solver
     if args_ns.output is not None:
         sim_args.output_dir = args_ns.output
 
