@@ -1,0 +1,98 @@
+"""Device-side (jit-composable) self-collision resolution.
+
+The reference resolves self-collisions on the host every step with a
+KD-tree (``Constraint_projections.py:1311-1378``); over a high-latency
+host<->TPU link that costs a round trip per step and breaks the
+device-resident paths.  This module is the masked O(n*k) equivalent: for
+every vertex, the k nearest triangle centroids are found on device
+(distance matrix + ``top_k`` — bounded by ``n * m`` memory, so gated to
+cloth-scale meshes), each candidate triangle is tested with a branchless
+closest-point-on-triangle, and all pushout corrections accumulate in
+parallel — the same math as :func:`collisions.resolve_self_collision_fast`
+(which accumulates into a copy, so parallel accumulation is behavior-
+identical up to candidate ties).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def closest_point_on_triangle(p, a, b, c):
+    """Branchless Ericson closest-point: p (3,), triangle (a, b, c) -> (3,).
+
+    Same region logic as the host ``_point_triangle_closest``; divisions are
+    guarded so unselected branches cannot inject NaNs.
+    """
+    def safe_div(num, den):
+        return num / jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+
+    ab = b - a
+    ac = c - a
+    ap = p - a
+    d1 = ab @ ap
+    d2 = ac @ ap
+    bp = p - b
+    d3 = ab @ bp
+    d4 = ac @ bp
+    cp = p - c
+    d5 = ab @ cp
+    d6 = ac @ cp
+    vc = d1 * d4 - d3 * d2
+    vb = d5 * d2 - d1 * d6
+    va = d3 * d6 - d5 * d4
+
+    p_ab = a + safe_div(d1, d1 - d3) * ab
+    p_ac = a + safe_div(d2, d2 - d6) * ac
+    p_bc = b + safe_div(d4 - d3, (d4 - d3) + (d5 - d6)) * (c - b)
+    denom = safe_div(1.0, va + vb + vc)
+    p_face = a + ab * (vb * denom) + ac * (vc * denom)
+
+    r1 = (d1 <= 0) & (d2 <= 0)
+    r2 = (d3 >= 0) & (d4 <= d3)
+    r3 = (d6 >= 0) & (d5 <= d6)
+    r4 = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    r5 = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    r6 = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+
+    out = p_face
+    out = jnp.where(r6, p_bc, out)
+    out = jnp.where(r5, p_ac, out)
+    out = jnp.where(r4, p_ab, out)
+    out = jnp.where(r3, c, out)
+    out = jnp.where(r2, b, out)
+    out = jnp.where(r1, a, out)
+    return out
+
+
+def resolve_self_collision_device(q, faces, min_dist: float = 0.001,
+                                  stiffness: float = 1.0, k: int = 5):
+    """Vertex-vs-nearest-triangles pushout, fully on device.
+
+    q (n, 3) float, faces (m, 3) int.  Returns corrected positions.
+    """
+    n = q.shape[0]
+    m = faces.shape[0]
+    k = min(k, m)
+    cent = q[faces].mean(axis=1)                            # (m, 3)
+    # squared centroid distances via the matmul identity (MXU-friendly)
+    d2 = (jnp.sum(q * q, axis=1)[:, None]
+          + jnp.sum(cent * cent, axis=1)[None, :]
+          - 2.0 * q @ cent.T)                               # (n, m)
+    _, idx = jax.lax.top_k(-d2, k)                          # (n, k)
+
+    cand = faces[idx]                                       # (n, k, 3)
+    own = jnp.any(cand == jnp.arange(n)[:, None, None], axis=-1)  # (n, k)
+    tri = q[cand]                                           # (n, k, 3, 3)
+
+    closest = jax.vmap(jax.vmap(closest_point_on_triangle,
+                                in_axes=(None, 0, 0, 0)),
+                       in_axes=(0, 0, 0, 0))(
+        q, tri[:, :, 0], tri[:, :, 1], tri[:, :, 2])        # (n, k, 3)
+    delta = q[:, None, :] - closest
+    d = jnp.linalg.norm(delta, axis=-1)                     # (n, k)
+    push = (~own) & (d > 1e-8) & (d < min_dist)
+    corr = (stiffness * (min_dist - d) / jnp.maximum(d, 1e-12))[..., None] \
+        * delta * push[..., None]
+    return q + corr.sum(axis=1)

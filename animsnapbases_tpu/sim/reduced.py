@@ -233,7 +233,13 @@ class AnimSnapBasesSolver:
         self._local_terms = None
         self._solve = None
         self._recorded: dict[str, dict[str, np.ndarray]] = {}
+        # False (default): off — documented deviation from the reference's
+        # unconditional per-step host resolvers (Simulators.py:529-530);
+        # True: host KD-tree passes; "device": jit-composable masked
+        # O(n*k) pass fused into the step (captured at prepare time).
         self.enable_self_collision = False
+        self._collision_mode = False
+        self._collide_jit = None
 
     # ------------------------------------------------------------------
     def _cast(self, x):
@@ -425,6 +431,8 @@ class AnimSnapBasesSolver:
         (run_fn, perm, iperm, fext_is_free) or None."""
         if getattr(self, "_fused_pack", None) is None:
             return None
+        if self._collision_mode == "device":
+            return None       # the collision pass cannot run in-kernel
         from animsnapbases_tpu.ops.pallas_reduced import (
             prepare_fused_operands,
         )
@@ -489,6 +497,23 @@ class AnimSnapBasesSolver:
         dt2 = dt * dt
         floor = model.floor_collision
         floor_h = model.floor_height
+
+        # capture the self-collision mode into the jitted step ("device"
+        # fuses the masked O(n*k) pass; changing the flag afterwards needs
+        # set_dirty + prepare)
+        self._collision_mode = self.enable_self_collision
+        if self._collision_mode == "device":
+            from animsnapbases_tpu.sim.collisions_device import (
+                resolve_self_collision_device,
+            )
+
+            faces_j = jnp.asarray(model.faces)
+
+            def collide(q):
+                return resolve_self_collision_device(q, faces_j)
+        else:
+            def collide(q):
+                return q
 
         full_groups = {name: g for name, g in model.groups.items()
                        if name not in self._reduced_groups}
@@ -613,6 +638,7 @@ class AnimSnapBasesSolver:
                 q = sn + jnp.einsum("nrd,rd->nd", U_mm,
                                     u.astype(U_mm.dtype),
                                     preferred_element_type=sn.dtype)
+                q = collide(q)
                 v = (q - positions) / dt
                 return q, v
 
@@ -637,6 +663,7 @@ class AnimSnapBasesSolver:
                     return sn + jnp.einsum("nrd,rd->nd", U, u)
 
                 q = jax.lax.fori_loop(0, num_iterations, body, sn)
+                q = collide(q)
                 v = (q - positions) / dt
                 return q, v
 
@@ -656,6 +683,7 @@ class AnimSnapBasesSolver:
                         (chol_full, True), b.reshape(-1)).reshape(-1, 3)
 
                 q = jax.lax.fori_loop(0, num_iterations, body, sn)
+                q = collide(q)
                 v = (q - positions) / dt
                 return q, v
         else:
@@ -711,8 +739,13 @@ class AnimSnapBasesSolver:
             q, v = self._step_jit(self._cast(model.positions),
                                   self._cast(model.velocities), fext,
                                   targets, num_iterations=num_iterations)
+            if (self.enable_self_collision == "device"
+                    and self._collision_mode != "device"):
+                # flag flipped after prepare: apply the pass out-of-band
+                q = self._collide_device(q)
+                v = (q - self._cast(model.positions)) / dt
             q_next = np.asarray(q)
-            if self.enable_self_collision:
+            if self.enable_self_collision is True:
                 q_next = collisions.resolve_self_collision_fast(
                     q_next, model.faces)
                 q_next = collisions.resolve_triangle_self_collisions(
@@ -756,8 +789,10 @@ class AnimSnapBasesSolver:
         if self.store_stacked_projections:
             self._record_frame(stacked)
 
+        if self.enable_self_collision == "device":
+            q = self._collide_device(q)
         q_next = np.asarray(q)
-        if self.enable_self_collision:
+        if self.enable_self_collision is True:
             q_next = collisions.resolve_self_collision_fast(q_next,
                                                             model.faces)
             q_next = collisions.resolve_triangle_self_collisions(
@@ -765,6 +800,17 @@ class AnimSnapBasesSolver:
         model.velocities = (q_next - model.positions) / dt
         model.positions = q_next
         self.frame += 1
+
+    def _collide_device(self, q):
+        if self._collide_jit is None:
+            from animsnapbases_tpu.sim.collisions_device import (
+                resolve_self_collision_device,
+            )
+
+            faces = jnp.asarray(self.model.faces)
+            self._collide_jit = jax.jit(
+                lambda q: resolve_self_collision_device(q, faces))
+        return self._collide_jit(self._cast(q))
 
     def make_batched_step(self, mesh=None, batch_axis: str = "data"):
         """Ensemble stepping: vmap the jitted step over a batch of
@@ -835,13 +881,18 @@ class AnimSnapBasesSolver:
         Animated positional targets (``user_defined`` frame shifts, e.g.
         the poke scenarios, ref calbacks.py:824-839) are exact: the
         per-frame target timeline ships to the device with the call."""
-        if self._run_jit is None:
+        if self._run_jit is None or self.enable_self_collision is True or (
+                self.enable_self_collision == "device"
+                and self._collision_mode != "device"):
+            # host resolvers (or an un-captured device pass) need the
+            # per-step loop
             for _ in range(num_steps):
                 self.step(fext, num_iterations)
             return
         model = self.model
         targets_tl, animated = self._targets_timeline(num_steps)
-        if getattr(self, "_resident", None) is not None:
+        if (getattr(self, "_resident", None) is not None
+                and not self.enable_self_collision):
             run_fn, perm, iperm = self._resident
             r = self.U.shape[1]
             if self._resident_utst is not None and targets_tl.shape[1]:

@@ -146,8 +146,15 @@ class Solver:
         self.record_path = ""
         self.max_p_snapshots_num = 200
         self._recorded: dict[str, dict[str, np.ndarray]] = {}
-        # collision passes (host-side; the reference runs them every step)
+        # self-collision passes.  False (default): off — a DOCUMENTED
+        # deviation from the reference, which runs both host resolvers
+        # unconditionally every step (Simulators.py:739-740; see README
+        # deviations).  True: the reference's host KD-tree passes.
+        # "device": the jit-composable masked O(n*k) vertex-triangle pass
+        # (sim/collisions_device.py) — stays on device, works with
+        # run_steps.
         self.enable_self_collision = False
+        self._collide_jit = None
 
     # ------------------------------------------------------------------
     def set_model(self, model):
@@ -298,8 +305,10 @@ class Solver:
         if self.store_stacked_projections:
             self._record_frame(stacked)
 
+        if self.enable_self_collision == "device":
+            q = self._collide_device(q)
         q_next = np.asarray(q)
-        if self.enable_self_collision:
+        if self.enable_self_collision is True:
             q_next = collisions.resolve_self_collision_fast(q_next,
                                                             model.faces)
             q_next = collisions.resolve_triangle_self_collisions(q_next,
@@ -307,6 +316,17 @@ class Solver:
         model.velocities = (q_next - model.positions) * dt_inv
         model.positions = q_next
         self.frame += 1
+
+    def _collide_device(self, q):
+        if self._collide_jit is None:
+            from animsnapbases_tpu.sim.collisions_device import (
+                resolve_self_collision_device,
+            )
+
+            faces = jnp.asarray(self.model.faces)
+            self._collide_jit = jax.jit(
+                lambda q: resolve_self_collision_device(q, faces))
+        return self._collide_jit(q)
 
     # ------------------------------------------------------------------
     def run_steps(self, fext, num_steps, num_iterations=10, record=False):
@@ -321,7 +341,7 @@ class Solver:
         recording dicts and the (T, N, 3) position trajectory is returned.
         """
         model = self.model
-        if self._sweep is None or self.enable_self_collision:
+        if self._sweep is None or self.enable_self_collision is True:
             # host-LU replay or host self-collision resolvers: per-step loop
             traj = []
             for _ in range(num_steps):
@@ -334,13 +354,22 @@ class Solver:
             [model.positional_targets(self.frame + t)
              for t in range(num_steps)]))
 
-        if self._run_scan is None:
+        collide = self.enable_self_collision == "device"
+        if self._run_scan is None or getattr(self, "_run_scan_collide",
+                                             None) != collide:
+            self._run_scan_collide = collide
             sweep = self._sweep_core
             mass = jnp.asarray(model.mass)
             dt = self.dt
             dt2 = dt * dt
             floor = model.floor_collision
             floor_h = model.floor_height
+            if collide:
+                from animsnapbases_tpu.sim.collisions_device import (
+                    resolve_self_collision_device,
+                )
+
+                faces = jnp.asarray(model.faces)
 
             def run(positions, velocities, fext_j, targets_seq,
                     num_iterations):
@@ -352,6 +381,8 @@ class Solver:
                     if floor:
                         sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
                     q, stacked = sweep(sn, targets, num_iterations)
+                    if collide:
+                        q = resolve_self_collision_device(q, faces)
                     return (q, (q - pos) / dt), (q, stacked)
 
                 (q, v), (traj, stacked_seq) = jax.lax.scan(

@@ -1,0 +1,166 @@
+"""Self-collision: device resolver equivalence with the host KD-tree pass,
+solver integration of all three modes, and the characterization test for
+the documented default-off deviation (the reference runs both host
+resolvers unconditionally every step, Simulators.py:529-530/739-740)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from animsnapbases_tpu.geometry.procedural import cloth_model
+from animsnapbases_tpu.sim import collisions
+from animsnapbases_tpu.sim.collisions_device import (
+    closest_point_on_triangle,
+    resolve_self_collision_device,
+)
+from animsnapbases_tpu.sim.model import DeformableModel
+from animsnapbases_tpu.sim.solver import Solver
+from test_sim_solver import gravity_forces, sim_args
+
+
+def _crumpled_cloth(scale=0.004, seed=0):
+    """A cloth scaled so vertex spacing is ~4x min_dist, crumpled so some
+    non-adjacent vertex/triangle pairs sit inside min_dist."""
+    V, F = cloth_model(8, 8)
+    rng = np.random.default_rng(seed)
+    V = V * scale
+    V = V + rng.normal(scale=0.3 * scale, size=V.shape)
+    return V, F
+
+
+def test_closest_point_matches_host():
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        tri = rng.normal(size=(3, 3))
+        p = rng.normal(size=3)
+        d_host, c_host = collisions._point_triangle_closest(p, *tri)
+        c_dev = np.asarray(closest_point_on_triangle(
+            jnp.asarray(p), *map(jnp.asarray, tri)))
+        np.testing.assert_allclose(c_dev, c_host, atol=1e-12)
+
+
+def test_device_resolver_matches_host():
+    V, F = _crumpled_cloth()
+    out_host = collisions.resolve_self_collision_fast(V, F)
+    assert np.abs(out_host - V).max() > 0      # contacts actually resolved
+    out_dev = np.asarray(resolve_self_collision_device(
+        jnp.asarray(V), jnp.asarray(F)))
+    np.testing.assert_allclose(out_dev, out_host, atol=1e-12)
+
+
+def _folded_cloth_model(mode):
+    """Two cloth layers 0.5*min_dist apart, pressed together by gravity."""
+    V, F = cloth_model(6, 12)
+    V = V * 0.004
+    # fold along y so rows 6..11 lie above rows 0..5
+    y = V[:, 1]
+    top = y > 5.5 * 0.004
+    V2 = V.copy()
+    V2[top, 1] = 11 * 0.004 - y[top]
+    V2[top, 2] += 0.0006
+    model = DeformableModel(V2, F, masses=np.full(len(V2), 10.0),
+                            floor_collision=False)
+    model.add_edge_spring_constraint(wi=1e4)
+    solver = Solver()
+    solver.enable_self_collision = mode
+    solver.set_model(model)
+    solver.prepare(sim_args())
+    return solver, model
+
+
+def _min_nonadjacent_distance(V, F):
+    dmin = np.inf
+    cent = V[F].mean(axis=1)
+    for vi in range(len(V)):
+        order = np.argsort(((cent - V[vi]) ** 2).sum(axis=1))[:5]
+        for fi in order:
+            if vi in F[fi]:
+                continue
+            d, _ = collisions._point_triangle_closest(V[vi], *V[F[fi]])
+            dmin = min(dmin, d)
+    return dmin
+
+
+def test_self_collision_gate_characterization():
+    """Characterizes the default-off deviation: on a self-contacting folded
+    cloth the resolvers keep the layers separated; with the gate off the
+    layers interpenetrate (squeeze below the host resolver's result)."""
+    s_off, m_off = _folded_cloth_model(False)
+    s_dev, m_dev = _folded_cloth_model("device")
+    f = np.zeros_like(m_off.positions)
+    f[:, 2] = -9.81 * 10.0 * 0.01     # squeeze the layers together
+    for _ in range(10):
+        s_off.step(f, num_iterations=4)
+        s_dev.step(f, num_iterations=4)
+    d_off = _min_nonadjacent_distance(m_off.positions, m_off.faces)
+    d_dev = _min_nonadjacent_distance(m_dev.positions, m_dev.faces)
+    assert d_dev > d_off, (d_dev, d_off)
+    assert d_dev > 4e-4                 # resolver holds ~min_dist apart
+
+
+def test_host_mode_runs_both_reference_passes():
+    s, m = _folded_cloth_model(True)
+    f = np.zeros_like(m.positions)
+    f[:, 2] = -9.81 * 10.0 * 0.01
+    for _ in range(3):
+        s.step(f, num_iterations=4)
+    assert np.isfinite(m.positions).all()
+
+
+def test_device_mode_run_steps_matches_step():
+    s1, m1 = _folded_cloth_model("device")
+    s2, m2 = _folded_cloth_model("device")
+    f = np.zeros_like(m1.positions)
+    f[:, 2] = -9.81 * 10.0 * 0.01
+    for _ in range(6):
+        s1.step(f, num_iterations=4)
+    s2.run_steps(f, 6, num_iterations=4)
+    np.testing.assert_allclose(m2.positions, m1.positions, atol=1e-9)
+
+
+def test_reduced_device_collision_captured(tmp_path):
+    """Reduced solver: 'device' mode is captured into the jitted step and
+    run_steps matches step()."""
+    from reduction_helpers import record_and_build_bases
+    from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+
+    def make_model():
+        V, F = cloth_model(5, 5)
+        V = V.copy() * 0.004
+        V[:, 2] += 0.1 * V[:, 0]
+        model = DeformableModel(V, F, masses=np.full(len(V), 10.0),
+                                floor_collision=False)
+        model.add_tri_constrain_strain(0.95, 1.05, wi=1e4)
+        model.add_edge_spring_constraint(wi=1e4)
+        return model
+
+    basis_dir, pos_path, _ = record_and_build_bases(tmp_path, make_model,
+                                                    sim_args())
+
+    def build():
+        args = sim_args(
+            constraint_projection_basis_type="deim_pod_vectorized",
+            tri_strain_reduced=True, tri_strain_num_components=8,
+            edge_spring_reduced=True, edge_spring_num_components=8,
+            geom_interpolation_basis_dir=basis_dir,
+            geom_interpolation_basis_file="basis.npz",
+            position_reduced=True, position_num_components=10,
+            position_basis_file=pos_path)
+        solver = AnimSnapBasesSolver(args)
+        model = make_model()
+        solver.enable_self_collision = "device"
+        solver.set_model(model)
+        solver.prepare(args)
+        return solver, model
+
+    s1, m1 = build()
+    assert s1._collision_mode == "device"
+    assert getattr(s1, "_resident", None) is None   # not in-kernel-able
+    s2, m2 = build()
+    f = np.zeros_like(m1.positions)
+    f[:, 1] = -9.81 * 10.0 * 0.01
+    for _ in range(5):
+        s1.step(f, num_iterations=4)
+    s2.run_steps(f, 5, num_iterations=4)
+    np.testing.assert_allclose(m2.positions, m1.positions, atol=1e-9)
+    assert np.isfinite(m1.positions).all()
