@@ -199,10 +199,24 @@ class ConstraintComponents:
         if writer is not None:
             for i, s in enumerate(S):
                 writer.writerow([i + 1, s])
-        C = np.asarray(U).T.reshape(F, e * p, -1).copy()   # (F, ep, 3)
         k = self.param.deim_desired_num_components
-        self.comps = C[:k] if k < C.shape[0] else C
-        self.numComp = self.comps.shape[0]
+        # snapshot_pod zero-fills columns past the numerical rank; keeping
+        # them would hand DEIM exactly-zero basis vectors (degenerate row
+        # selections).  Truncate to the rank and warn.
+        rank = int((S > 1e-12 * (S[0] + 1e-30)).sum())
+        if 0 < k and min(k, F) > rank:
+            import warnings
+            warnings.warn(f"pod_vectorized: requested {k} components but "
+                          f"the snapshot rank is {rank}; truncating")
+        k = min(k if k > 0 else F, rank)
+        # slice to the kept modes ON DEVICE before the host pull (large
+        # D2H fetches are slow on tunneled hosts), then fetch chunked
+        from animsnapbases_tpu.utils.transfer import to_host_chunked
+
+        Ck = to_host_chunked(U[:, :k].T)           # (k, e*p*3)
+        self.comps = np.ascontiguousarray(
+            Ck.reshape(k, e * p, -1)).astype(np.float64)
+        self.numComp = k
 
     @log_time
     def compute_pod(self, writer=None):
@@ -414,7 +428,16 @@ class ConstraintComponents:
                     c[:, i] = V[:, :, i] @ sol
                 r = c - vk
                 if np.allclose(r, 0):
-                    raise RuntimeError("zero residual in DEIM selection")
+                    # basis exhausted (mode k already captured on the
+                    # selected rows — e.g. a rank-deficient snapshot set):
+                    # keep the k selections made so far instead of picking
+                    # degenerate rows
+                    import warnings
+                    warnings.warn(f"DEIM: zero residual at mode {k}; "
+                                  f"truncating to {k} points")
+                    self.comps = self.comps[:k]
+                    self.numComp = k
+                    break
             idx = int(np.argmax((r ** 2).sum(axis=1)))
             e_points.append(idx // p)
             Pt.append(idx)

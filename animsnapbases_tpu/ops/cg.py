@@ -96,9 +96,10 @@ def make_pcg_solver(rows: np.ndarray, cols: np.ndarray, vals,
         # floor against all-zero rhs dims (flat cloth): converged at start
         rz0 = jnp.maximum(rz, jnp.finfo(rhs.dtype).tiny)
         # dtype-aware tolerance: float32 cannot reach 1e-11 relative — floor
-        # at ~10 eps so the loop stops at the precision floor instead of
-        # burning max_iters every solve
-        eff_tol = max(tol, 10.0 * float(jnp.finfo(rhs.dtype).eps))
+        # at ~50 eps so the loop stops at the precision floor instead of
+        # stalling to max_iters (f32 CG reliably reaches ~3e-6 relative in
+        # the preconditioned norm; tighter floors hit the rounding plateau)
+        eff_tol = max(tol, 50.0 * float(jnp.finfo(rhs.dtype).eps))
         thresh = (eff_tol * eff_tol) * rz0
 
         def cond(state):

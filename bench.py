@@ -76,6 +76,72 @@ def gravity(model):
     return f
 
 
+def build_group_basis(record, gname, p, num_modes, frames, work_dir,
+                      timings=None):
+    """Drive the PRODUCT bases pipeline (NonlinearSnapshots +
+    ConstraintComponents, pod_vectorized + row DEIM) on recorded
+    <group>_p.npz snapshots.  Returns (basis_npz_path, nl, cc); fills
+    ``timings`` (a dict) with per-stage wall-clock when given."""
+    from animsnapbases_tpu.bases.constraints import ConstraintComponents
+    from animsnapbases_tpu.config.bases_config import BasesConfig
+    from animsnapbases_tpu.snapshots.nonlinear import NonlinearSnapshots
+
+    elements = "_tris" if gname == "tris_strain" else "_edges"
+    cfg = {
+        "object": {"experiment_dir": work_dir + "/", "mesh": "bunny",
+                   "volumetric": False, "experiment": "bench_" + gname,
+                   "snap_format": ".off"},
+        "vertexPos_bases": {"computeState": {"compute": False}},
+        "constraintProj_bases": {
+            "computeState": {"compute": True, "run_main": True,
+                             "testingComputations": "_Release"},
+            "constraintType": {"name": gname, "elements": elements,
+                               "p_snaps_folder": "/x",
+                               "assembly_file_name": "assembly_ST.npz",
+                               "assembly_key": gname,
+                               "snaps_pattern_full_p": "/t.npz",
+                               "constrained_elements": "",
+                               "rowSize": p},
+            "snapshots": {"numFrames": frames, "frame_increment": 1,
+                          "preAlignement": "_noAlignement",
+                          "reduced_snaps_available": False},
+            "basis_type": "pod_vectorized", "interpolation_type": "deim",
+            "desired_num_components": num_modes, "bases_res_tol": 1e-20,
+            "dim": 3, "max_element_per_geom_vert": 10,
+            "rest_shape": "first", "massWeighted": "_nonWeighted",
+            "standarized": "_nonStandarized", "supported": "_Global",
+            "orthogonalized": "_nonOrthogonalized",
+            "store_sing_val": False, "store_to_files": True,
+            "run_tests": False, "visualize_geom_elements": False,
+            "visualize_elements_at_bases_num": 0},
+    }
+    param = BasesConfig.from_dict(cfg, results_dir=os.path.join(work_dir,
+                                                                "results"))
+    param.constProj_input_snapshots_pattern = os.path.join(
+        record, gname + "_p.npz")
+    param.constProj_weightedSt = os.path.join(record, "assembly_ST.npz")
+    param.ensure_dirs()
+
+    t = timings if timings is not None else {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        t[name] = t.get(name, 0.0) + time.perf_counter() - t0
+        return out
+
+    nl = NonlinearSnapshots(param)
+    nl.config()
+    timed("snapshots_prepare", nl.snapshots_prepare)
+    cc = ConstraintComponents(param, nl)
+    cc.config()
+    timed("pod", cc.compute_components_store_singvalues)
+    timed("post_process", cc.post_process_components)
+    timed("deim", cc.deim)
+    npz = timed("store", cc.store_components_n_interpol_points)
+    return npz, nl, cc
+
+
 def run_fom_and_bases():
     """Produce (and cache) all artifacts the reduced solver needs.
 
@@ -134,56 +200,26 @@ def _run_fom_and_bases_impl():
                             num_iterations=FOM_ITERS, record=True)
     log(f"[bench] FOM {FOM_FRAMES} frames in {time.perf_counter() - t0:.1f}s")
 
-    # constraint bases: pod_vectorized + DEIM per group, straight from the
-    # recorded tensors (no config indirection needed here)
-    from animsnapbases_tpu.ops.podlinalg import snapshot_pod
-    import jax.numpy as jnp
-
+    # constraint bases: pod_vectorized + row DEIM per group, through the
+    # PRODUCT pipeline (NonlinearSnapshots -> ConstraintComponents), so the
+    # benchmark exercises the code path users run
     basis_dir = os.path.join(BENCH_DIR, "bases")
     for gname in ("tris_strain", "edge_spring"):
-        data = np.load(os.path.join(record, gname + "_p.npz"))
-        frames = np.stack([data[str(i)] for i in range(FOM_FRAMES - 1)])
-        Fn, ep, _ = frames.shape
-        X = jnp.asarray(frames.reshape(Fn, -1).T)
-        U, S, _ = snapshot_pod(X)
-        comps = np.asarray(U).T.reshape(Fn, ep, 3)[:min(CONSTR_MODES, Fn)]
-
-        # row-wise DEIM
-        p = model.groups[gname].p
-        bases = comps.swapaxes(0, 1)
-        Pt, alphas = [], []
-        Vsel = None
-        for k in range(comps.shape[0]):
-            vk = bases[:, k, :]
-            if k == 0:
-                r = vk
-            else:
-                c = np.empty_like(vk)
-                for i in range(3):
-                    sol = np.linalg.lstsq(Vsel[Pt, :, i], vk[Pt, i],
-                                          rcond=None)[0]
-                    c[:, i] = Vsel[:, :, i] @ sol
-                r = c - vk
-            idx = int(np.argmax((r ** 2).sum(axis=1)))
-            Pt.append(idx)
-            alphas.append(idx // p)
-            Vsel = (vk[:, None, :] if Vsel is None
-                    else np.concatenate((Vsel, vk[:, None, :]), axis=1))
+        npz_path, nl, cc = build_group_basis(
+            record, gname, model.groups[gname].p, CONSTR_MODES,
+            frames=FOM_FRAMES - 1, work_dir=os.path.join(BENCH_DIR, "work"))
         gdir = os.path.join(basis_dir, gname)
         os.makedirs(gdir, exist_ok=True)
-        np.savez(os.path.join(gdir, "basis.npz"),
-                 components=comps,
-                 interpol_alphas=np.array(alphas),
-                 Pt=np.array(Pt),
-                 interpol_verts=np.array([]),
-                 interpol_alpha_ranges=np.arange(1, len(alphas) + 1))
-        log(f"[bench] {gname}: {comps.shape[0]} modes, "
-            f"{len(alphas)} interpolation points")
+        import shutil
+        shutil.copy(npz_path, os.path.join(gdir, "basis.npz"))
+        log(f"[bench] {gname}: {cc.numComp} modes, "
+            f"{len(cc.geom_alpha)} interpolation points")
 
     pos_basis = position_basis_from_trajectory(traj, POS_MODES)
     pos_path = os.path.join(BENCH_DIR, "pos_basis.npz")
     save_position_basis(pos_path, pos_basis)
 
+    np.save(os.path.join(BENCH_DIR, "traj.npy"), traj)
     np.save(os.path.join(BENCH_DIR, "traj_tail.npy"), traj[-1])
     meta = {"mesh": name, "n_verts": int(len(V)),
             "basis_dir": basis_dir, "pos_path": pos_path,
