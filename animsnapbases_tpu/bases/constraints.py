@@ -406,11 +406,28 @@ class ConstraintComponents:
     # ------------------------------------------------------------------
 
     @log_time
-    def deim(self):
-        """Classic row-wise DEIM on (ep, K, d) bases."""
+    def deim(self, device: bool | None = None):
+        """Classic row-wise DEIM on (ep, K, d) bases.
+
+        ``device=True`` runs the selection as one ``lax.scan`` on the
+        accelerator (:mod:`animsnapbases_tpu.ops.deim_scan`) — same greedy
+        recurrence, basis stays device-resident.  Default (None/False) is
+        the host f64 loop, which matches the reference's lstsq rounding
+        bit-for-bit (parity tests pin its selections).
+        """
         p = self.nonlinearSnapshots.constraintsSize
         d = self.nonlinearSnapshots.dim
         K = self.numComp
+        if device:
+            from animsnapbases_tpu.ops.deim_scan import deim_rows_host_result
+
+            Pt, alphas, ranges = deim_rows_host_result(
+                self.comps.swapaxes(0, 1), p, K)
+            self.geom_Pt = Pt
+            self.geom_alpha = alphas
+            self.geom_alpha_ranges = ranges
+            self.geom_interpol_verts = np.array(self.geom_interpol_verts)
+            return
         bases = self.comps.swapaxes(0, 1)     # (ep, K, d)
 
         Pt: list[int] = []

@@ -199,6 +199,20 @@ def main():
         f"({cc.numComp} modes, {nl.snapTensor.shape} tensor); "
         f"stages {json.dumps({k: round(v, 2) for k, v in stages.items()})}")
 
+    # device DEIM (lax.scan, the TPU product path — deim(device=True));
+    # must select the exact rows the host f64 loop picked
+    host_pt = cc.geom_Pt.copy()
+    dev_deim = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        cc.deim(device=True)
+        dev_deim.append(time.perf_counter() - t0)
+    picks_match = bool(np.array_equal(cc.geom_Pt, host_pt))
+    stages["deim_host"] = stages.pop("deim")
+    stages["deim"] = min(dev_deim[1:])
+    log(f"[bench-bases] device DEIM K={cc.numComp}: cold {dev_deim[0]:.2f}s,"
+        f" warm {stages['deim']:.3f}s; picks match host: {picks_match}")
+
     import jax.numpy as jnp
 
     from animsnapbases_tpu.bases import greedy
@@ -279,6 +293,7 @@ def main():
         "fom_recording_host_lu_s": round(fom_host, 2),
         "fom_recording_device_cg_s": round(fom_cg, 2),
         "reference_committed_time_logs_s": 0.0955,
+        "device_deim_picks_match_host": picks_match,
         "nl_tensor_shape": list(nl.snapTensor.shape),
         "traj_shape": list(traj.shape),
         "k_nl": int(cc.numComp), "k_pos": int(K_POS),

@@ -140,6 +140,21 @@ def test_deim_matches_oracle(tmp_path):
     np.testing.assert_array_equal(cc.geom_alpha_ranges, np.arange(1, 7))
 
 
+def test_deim_device_scan_matches_host(tmp_path):
+    """The lax.scan device DEIM selects the exact rows the host f64 loop
+    (and therefore the reference) selects."""
+    X = synthetic_p_tensor(F=16, e=12, p=2, seed=3)
+    cc = make_cc(tmp_path, X, K=8)
+    cc.compute_pod_vectorized()
+    cc.deim()
+    host_pt = cc.geom_Pt.copy()
+    host_alpha = cc.geom_alpha.copy()
+    cc.deim(device=True)
+    np.testing.assert_array_equal(cc.geom_Pt, host_pt)
+    np.testing.assert_array_equal(cc.geom_alpha, host_alpha)
+    np.testing.assert_array_equal(cc.geom_alpha_ranges, np.arange(1, 9))
+
+
 def test_deim_blocks_selects_blocks(tmp_path):
     """Block-DEIM pairs with block-structured bases (pca_blocks), matching
     the reference's config pairing."""
