@@ -106,3 +106,99 @@ class PolyscopeViewer:
 def show_session(session, steps_per_frame: int = 1) -> None:
     """Convenience entry point: ``show_session(InteractiveSession(args))``."""
     PolyscopeViewer(session, steps_per_frame).show()
+
+
+# ---------------------------------------------------------------------------
+# live BASIS viewers — polyscope equivalents of the reference's mayavi
+# animation window (utils/process.py:253-291) and traitsui SPLOC component
+# viewer (:293-375); headless PNG twins live in analysis/viewer.py
+# ---------------------------------------------------------------------------
+
+def component_frame(rest: np.ndarray, comp: np.ndarray,
+                    activation: float) -> np.ndarray:
+    """Deformed positions for one component at the given activation."""
+    return rest + activation * comp
+
+
+class AnimationPlayer:
+    """Play an animation ``.h5`` (``verts``/``tris`` schema) live with an
+    imgui frame slider + play/pause, like the reference's mayavi window."""
+
+    def __init__(self, h5_path: str, fps: int = 30):
+        from animsnapbases_tpu.io.h5anim import read_animation_h5
+
+        self.verts, self.tris, _ = read_animation_h5(h5_path)
+        self.frame = 0
+        self.playing = True
+        self.fps = fps
+        self._surf = None
+
+    def _callback(self) -> None:
+        changed, self.frame = psim.SliderInt("frame", self.frame, 0,
+                                             len(self.verts) - 1)
+        _, self.playing = psim.Checkbox("play", self.playing)
+        if self.playing and not changed:
+            self.frame = (self.frame + 1) % len(self.verts)
+        self._surf.update_vertex_positions(self.verts[self.frame])
+
+    def show(self) -> None:
+        require_polyscope()
+        ps.init()
+        ps.set_up_dir("y_up")
+        self._surf = ps.register_surface_mesh("animation", self.verts[0],
+                                              self.tris)
+        ps.set_user_callback(self._callback)
+        ps.show()
+        ps.clear_user_callback()
+
+
+class ComponentViewer:
+    """Browse basis components live: component index + activation sliders,
+    displacement magnitude as a vertex scalar (the reference's SPLOC
+    viewer behavior)."""
+
+    def __init__(self, components_h5: str):
+        from animsnapbases_tpu.io.h5anim import read_components_h5
+
+        rest, tris, comps, names = read_components_h5(components_h5)
+        self.rest = rest
+        self.tris = tris
+        self.comps = comps - rest[None]     # stored as rest + component
+        self.names = list(names)
+        self.index = 0
+        self.activation = 1.0
+        self._surf = None
+
+    def _callback(self) -> None:
+        _, self.index = psim.SliderInt("component", self.index, 0,
+                                       len(self.comps) - 1)
+        _, self.activation = psim.SliderFloat("activation", self.activation,
+                                              -2.0, 2.0)
+        if self.index < len(self.names):
+            psim.TextUnformatted(str(self.names[self.index]))
+        c = self.comps[self.index]
+        self._surf.update_vertex_positions(
+            component_frame(self.rest, c, self.activation))
+        self._surf.add_scalar_quantity("|displacement|",
+                                       np.linalg.norm(c, axis=1),
+                                       enabled=True)
+
+    def show(self) -> None:
+        require_polyscope()
+        ps.init()
+        ps.set_up_dir("y_up")
+        self._surf = ps.register_surface_mesh("components", self.rest,
+                                              self.tris)
+        ps.set_user_callback(self._callback)
+        ps.show()
+        ps.clear_user_callback()
+
+
+def view_anim_live(h5_path: str, fps: int = 30) -> None:
+    require_polyscope()
+    AnimationPlayer(h5_path, fps).show()
+
+
+def view_components_live(components_h5: str) -> None:
+    require_polyscope()
+    ComponentViewer(components_h5).show()

@@ -118,6 +118,41 @@ def test_polyscope_binding_gated():
         ps_viewer.PolyscopeViewer(session=None)
 
 
+def test_live_basis_viewers_gated(tmp_path):
+    """The live animation/component viewers (reference mayavi/traitsui
+    equivalents, utils/process.py:253-375) load their h5 data without
+    polyscope and fail loudly only at show() time."""
+    import numpy as np
+
+    from animsnapbases_tpu.analysis import ps_viewer
+    from animsnapbases_tpu.geometry.procedural import cloth_model
+    from animsnapbases_tpu.io.h5anim import (write_animation_h5,
+                                             write_components_h5)
+
+    V, F = cloth_model(4, 4)
+    anim = np.stack([V + 0.01 * i for i in range(5)])
+    anim_path = str(tmp_path / "anim.h5")
+    write_animation_h5(anim_path, anim, F)
+    comp_path = str(tmp_path / "comps.h5")
+    comps = np.stack([V + 0.1 * (i + 1) for i in range(3)])
+    write_components_h5(comp_path, V, F, comps)
+
+    player = ps_viewer.AnimationPlayer(anim_path)
+    assert player.verts.shape == (5, len(V), 3)
+    viewer = ps_viewer.ComponentViewer(comp_path)
+    assert viewer.comps.shape == (3, len(V), 3)
+    np.testing.assert_allclose(
+        ps_viewer.component_frame(V, viewer.comps[1], 2.0),
+        V + 2 * (comps[1] - V), atol=1e-12)
+
+    if ps_viewer.HAVE_POLYSCOPE:
+        pytest.skip("polyscope present; gating path not exercised")
+    with pytest.raises(RuntimeError, match="polyscope"):
+        player.show()
+    with pytest.raises(RuntimeError, match="polyscope"):
+        ps_viewer.view_components_live(comp_path)
+
+
 def test_decimate_to_face_ratio():
     from animsnapbases_tpu.geometry.mesh import (boundary_facets,
                                                  decimate_to_face_ratio)
