@@ -12,12 +12,15 @@ formula (:mod:`animsnapbases_tpu.ops.strain2d`).
 Data layout is dims-leading / elements-last so the element axis maps to VPU
 lanes: positions are (3, n_sel), per-element scalars are (1, m).
 
-All five constraint group kinds are fused (DEIM row form): ``tris_strain``
-(closed-form 2x2 clamp), ``edge_spring``, ``tets_strain`` and
-``tets_deformation_gradient`` (entry-wise Jacobi 3x3,
-:mod:`animsnapbases_tpu.ops.strain3d`), and ``verts_bending`` (star
-Laplacian as one matmul).  Block-form interpolation falls back to the XLA
-path.
+All five constraint group kinds are fused, in BOTH interpolation forms:
+DEIM row form (one selected projection row per element) and block form
+(deim_pca_blocks / geom selection — all p rows of each selected element).
+``tris_strain`` uses the closed-form 2x2 clamp, ``tets_strain`` /
+``tets_deformation_gradient`` the entry-wise Jacobi 3x3
+(:mod:`animsnapbases_tpu.ops.strain3d`), ``verts_bending`` the star
+Laplacian as one matmul.  Block form emits the p rows as row-major blocks
+(all elements' row 0, then row 1, ...) and the W matrix columns are
+permuted to match at pack time — no on-device interleaving.
 """
 
 from __future__ import annotations
@@ -45,34 +48,52 @@ def _onehot(rows: np.ndarray, n_cols: int, dtype) -> np.ndarray:
     return g
 
 
+def _block_major(W: np.ndarray, p: int) -> np.ndarray:
+    """Permute W (d, out, m*p) from element-major to row-major blocks
+    (all elements' row 0, then row 1, ...) — the kernel's block emitters
+    concatenate per-row outputs along the element axis."""
+    d, out, mp = W.shape
+    m = mp // p
+    return np.ascontiguousarray(
+        W.reshape(d, out, m, p).transpose(0, 1, 3, 2).reshape(d, out, mp))
+
+
 def pack_tris_strain(subset_data: dict, lookup: np.ndarray, W: np.ndarray,
-                     row_select: np.ndarray, dtype) -> dict:
-    """Host-side packing of a DEIM-selected tri-strain group.
+                     row_select: np.ndarray | None, dtype) -> dict:
+    """Host-side packing of a selected tri-strain group.
 
     subset_data: sliced SoA rest data (global vertex ids); lookup maps global
-    vertex id -> selected-union index; W (3, r, m); row_select (m,) picks one
-    of the 2 projection rows per element."""
+    vertex id -> selected-union index.  Row form (``row_select`` (m,) picks
+    one of the 2 projection rows per element, W (3, r, m)) or block form
+    (``row_select`` None, W (3, r, 2m) element-major — permuted here)."""
     faces = lookup[np.asarray(subset_data["faces"])]
     m = faces.shape[0]
     n_sel = int(lookup.max()) + 1 if len(lookup) else 0
     P = np.asarray(subset_data["P"])          # (m, 3, 2)
     D = np.asarray(subset_data["DmInv"])      # (m, 2, 2)
-    row_is0 = (row_select % 2 == 0).astype(dtype)
+    block = row_select is None
+    arrays = [
+        P[:, :, 0].T.astype(dtype),                    # P0T (3, m)
+        P[:, :, 1].T.astype(dtype),                    # P1T (3, m)
+        np.stack([D[:, 0, 0], D[:, 0, 1],
+                  D[:, 1, 0], D[:, 1, 1]]).astype(dtype),   # (4, m)
+    ]
+    if not block:
+        row_is0 = (row_select % 2 == 0).astype(dtype)
+        arrays.append(row_is0[None, :])                # (1, m)
+        Wp = W
+    else:
+        Wp = _block_major(W, 2)
     return {
         "kind": "tris_strain",
+        "block": block,
         "gathers": [
             _onehot(faces[:, 0], n_sel, dtype),
             _onehot(faces[:, 1], n_sel, dtype),
             _onehot(faces[:, 2], n_sel, dtype),
         ],
-        "arrays": [
-            P[:, :, 0].T.astype(dtype),                    # P0T (3, m)
-            P[:, :, 1].T.astype(dtype),                    # P1T (3, m)
-            np.stack([D[:, 0, 0], D[:, 0, 1],
-                      D[:, 1, 0], D[:, 1, 1]]).astype(dtype),   # (4, m)
-            row_is0[None, :],                              # (1, m)
-        ],
-        "WT": np.ascontiguousarray(W.transpose(0, 2, 1)).astype(dtype),
+        "arrays": arrays,
+        "WT": np.ascontiguousarray(Wp.transpose(0, 2, 1)).astype(dtype),
         "smin": float(subset_data["sigma_min"]),
         "smax": float(subset_data["sigma_max"]),
     }
@@ -97,29 +118,37 @@ def pack_edge_spring(subset_data: dict, lookup: np.ndarray, W: np.ndarray,
 
 
 def pack_tets(kind: str, subset_data: dict, lookup: np.ndarray,
-              W: np.ndarray, row_select: np.ndarray, dtype) -> dict:
-    """tets_strain / tets_deformation_gradient group packing (DEIM row
-    form): 4 one-hot gathers, DmInv as 9 entry rows, per-element selected
-    projection row index (0..2)."""
+              W: np.ndarray, row_select: np.ndarray | None, dtype) -> dict:
+    """tets_strain / tets_deformation_gradient group packing: 4 one-hot
+    gathers, DmInv as 9 entry rows.  Row form carries the per-element
+    selected projection row index (0..2); block form (``row_select`` None)
+    emits all 3 rows with W permuted to row-major blocks."""
     el = lookup[np.asarray(subset_data["elements"])]
     n_sel = int(lookup.max()) + 1 if len(lookup) else 0
     D = np.asarray(subset_data["DmInv"])       # (m, 3, 3)
-    rsel = (row_select % 3).astype(np.int64)
+    block = row_select is None
+    arrays = [
+        np.stack([D[:, i, j] for i in range(3)
+                  for j in range(3)]).astype(dtype),      # (9, m)
+    ]
+    if not block:
+        rsel = (row_select % 3).astype(np.int64)
+        arrays.append((rsel == 0).astype(dtype)[None, :])     # (1, m)
+        arrays.append((rsel == 1).astype(dtype)[None, :])
+        Wp = W
+    else:
+        Wp = _block_major(W, 3)
     out = {
         "kind": kind,
+        "block": block,
         "gathers": [
             _onehot(el[:, 0], n_sel, dtype),
             _onehot(el[:, 1], n_sel, dtype),
             _onehot(el[:, 2], n_sel, dtype),
             _onehot(el[:, 3], n_sel, dtype),
         ],
-        "arrays": [
-            np.stack([D[:, i, j] for i in range(3)
-                      for j in range(3)]).astype(dtype),      # (9, m)
-            (rsel == 0).astype(dtype)[None, :],               # (1, m)
-            (rsel == 1).astype(dtype)[None, :],
-        ],
-        "WT": np.ascontiguousarray(W.transpose(0, 2, 1)).astype(dtype),
+        "arrays": arrays,
+        "WT": np.ascontiguousarray(Wp.transpose(0, 2, 1)).astype(dtype),
     }
     if kind == "tets_strain":
         out["smin"] = float(subset_data["sigma_min"])
@@ -162,10 +191,12 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=a.dtype)
 
 
-def _tri_p(gathered, arrays, smin, smax):
-    """Pre-gathered vertex slices -> selected projection rows (3, m)."""
+def _tri_p(gathered, arrays, smin, smax, block=False):
+    """Pre-gathered vertex slices -> projection rows: (3, m) in row form
+    (one selected row per element), (3, 2m) row-major blocks in block
+    form."""
     V1, V2, V3 = gathered
-    P0T, P1T, Dm, row_is0 = arrays
+    P0T, P1T, Dm = arrays[:3]
     e1 = V2 - V1
     e2 = V3 - V1
     # Ds2d = P^T [e1 e2]  (per element 2x2), F = Ds2d @ DmInv
@@ -179,17 +210,22 @@ def _tri_p(gathered, arrays, smin, smax):
     F10 = c_ * D00 + d_ * D10
     F11 = c_ * D01 + d_ * D11
     f00, f01, f10, f11 = clamped_fhat_2x2(F00, F01, F10, F11, smin, smax)
+    if block:
+        # pi column j of element: P0*f0j + P1*f1j — emit both rows
+        return jnp.concatenate([P0T * f00 + P1T * f10,
+                                P0T * f01 + P1T * f11], axis=1)  # (3, 2m)
     # pi row j of element: (P @ Fhat)[:, j]; select row 0 or 1 per element
+    row_is0 = arrays[3]
     fh0 = jnp.where(row_is0 > 0, f00, f01)                 # (1, m)
     fh1 = jnp.where(row_is0 > 0, f10, f11)
     return P0T * fh0 + P1T * fh1                           # (3, m)
 
 
-def _tet_p(gathered, arrays, kind, smin, smax):
-    """tets_strain / tets_deformation_gradient selected projection rows
-    (3, m)."""
+def _tet_p(gathered, arrays, kind, smin, smax, block=False):
+    """tets_strain / tets_deformation_gradient projection rows: (3, m) in
+    row form, (3, 3m) row-major blocks in block form."""
     V1, V2, V3, V4 = gathered
-    Dm, r0, r1 = arrays
+    Dm = arrays[0]
     ds = [V1 - V4, V2 - V4, V3 - V4]          # Ds columns, each (3, m)
     D = [Dm[k:k + 1] for k in range(9)]       # DmInv entries (1, m)
     # F[i][j] = sum_k Ds[k][i] * DmInv[k][j]
@@ -198,13 +234,18 @@ def _tet_p(gathered, arrays, kind, smin, smax):
               for i in range(3) for j in range(3))
     if kind == "tets_strain":
         P9 = tet_strain_fhat(F, smin, smax)
-        # projection rows are Fhat rows: p_sel[d] = Fhat[rsel][d]
+        # projection rows are Fhat rows: p[j][d] = Fhat[j][d]
         rows = [P9[0:3], P9[3:6], P9[6:9]]
     else:
         R9 = polar_rotation(F)
-        # projection pi = R^T: p_sel[d] = R[d][rsel]
+        # projection pi = R^T: p[j][d] = R[d][j]
         rows = [(R9[0], R9[3], R9[6]), (R9[1], R9[4], R9[7]),
                 (R9[2], R9[5], R9[8])]
+    if block:
+        blocks = [jnp.concatenate([rows[j][d] for d in range(3)], axis=0)
+                  for j in range(3)]           # each (3, m)
+        return jnp.concatenate(blocks, axis=1)              # (3, 3m)
+    r0, r1 = arrays[1], arrays[2]
     r2 = 1.0 - r0 - r1
     return jnp.concatenate(
         [r0 * rows[0][d] + r1 * rows[1][d] + r2 * rows[2][d]
@@ -238,14 +279,17 @@ def _spring_p(gathered, arrays):
 
 
 TERM_DISPATCH = {
-    "tris_strain": lambda g, a, smin, smax, pflips: _tri_p(g, a, smin, smax),
-    "edge_spring": lambda g, a, smin, smax, pflips: _spring_p(g, a),
-    "tets_strain": lambda g, a, smin, smax, pflips: _tet_p(
-        g, a, "tets_strain", smin, smax),
-    "tets_deformation_gradient": lambda g, a, smin, smax, pflips: _tet_p(
-        g, a, "tets_deformation_gradient", smin, smax),
-    "verts_bending": lambda g, a, smin, smax, pflips: _bending_p(
-        g, a, pflips),
+    "tris_strain": lambda g, a, smin, smax, pflips, block=False: _tri_p(
+        g, a, smin, smax, block),
+    "edge_spring": lambda g, a, smin, smax, pflips, block=False: _spring_p(
+        g, a),
+    "tets_strain": lambda g, a, smin, smax, pflips, block=False: _tet_p(
+        g, a, "tets_strain", smin, smax, block),
+    "tets_deformation_gradient":
+        lambda g, a, smin, smax, pflips, block=False: _tet_p(
+            g, a, "tets_deformation_gradient", smin, smax, block),
+    "verts_bending": lambda g, a, smin, smax, pflips, block=False:
+        _bending_p(g, a, pflips),
 }
 
 
@@ -262,7 +306,8 @@ def prepare_fused_operands(groups: list[dict], U_selT: np.ndarray,
     g_off = 0
     for g in groups:
         layout.append((g["kind"], len(g["arrays"]), g.get("smin"),
-                       g.get("smax"), g.get("prevent_flips", True)))
+                       g.get("smax"), g.get("prevent_flips", True),
+                       g.get("block", False)))
         flat_arrays.extend(g["arrays"])
         wt_blocks.append(np.asarray(g["WT"]))
         slices = []
@@ -339,23 +384,13 @@ def build_fused_reduced_iterations(groups: list[dict], U_selT: np.ndarray,
                 # the element axis -> single rhs matmul per dim
                 p_parts = []
                 off = 0
-                for (kind, cnt, smin, smax, pflips), slices in zip(
+                for (kind, cnt, smin, smax, pflips, block), slices in zip(
                         layout, gather_slices):
                     arrs = garrs[off:off + cnt]
                     off += cnt
                     gathered = [Vall[:, s:s + m] for s, m in slices]
-                    if kind == "tris_strain":
-                        p_parts.append(_tri_p(gathered, arrs, smin, smax))
-                    elif kind == "edge_spring":
-                        p_parts.append(_spring_p(gathered, arrs))
-                    elif kind in ("tets_strain",
-                                  "tets_deformation_gradient"):
-                        p_parts.append(_tet_p(gathered, arrs, kind, smin,
-                                              smax))
-                    elif kind == "verts_bending":
-                        p_parts.append(_bending_p(gathered, arrs, pflips))
-                    else:
-                        raise ValueError(kind)
+                    p_parts.append(TERM_DISPATCH[kind](
+                        gathered, arrs, smin, smax, pflips, block))
                 pT = (p_parts[0] if len(p_parts) == 1
                       else jnp.concatenate(p_parts, axis=1))   # (3, m_tot)
                 rb = rbc + jnp.concatenate(

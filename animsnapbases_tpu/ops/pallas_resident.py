@@ -123,13 +123,13 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
                     Vall = _dot(qT, G_allT, acc)
                     p_parts = []
                     off = 0
-                    for (kind, cnt, smin, smax, pflips), slices in zip(
-                            layout, gather_slices):
+                    for (kind, cnt, smin, smax, pflips, block), slices in \
+                            zip(layout, gather_slices):
                         arrs = garrs[off:off + cnt]
                         off += cnt
                         gathered = [Vall[:, s:s + m] for s, m in slices]
                         p_parts.append(term_dispatch[kind](
-                            gathered, arrs, smin, smax, pflips))
+                            gathered, arrs, smin, smax, pflips, block))
                     pT = (p_parts[0] if len(p_parts) == 1
                           else jnp.concatenate(p_parts, axis=1))
                     rb = rb_const + jnp.concatenate(

@@ -25,8 +25,8 @@ with four TPU-first upgrades:
    one dispatch instead of one per step — essential when the host-TPU link
    has latency (production serving, axon tunnels).
 
-4. When every group is hyper-reduced in DEIM row form and the VMEM budget
-   fits, ``run_steps`` upgrades further to the resident multi-step Pallas
+4. When every group is hyper-reduced (row or block form) and the VMEM
+   budget fits, ``run_steps`` upgrades further to the resident multi-step Pallas
    kernel (:mod:`animsnapbases_tpu.ops.pallas_resident`): the whole
    ``steps x iterations`` loop in one kernel with the state and
    (optionally bf16) reduction matrices living in VMEM — 4-7x the
@@ -374,7 +374,7 @@ class AnimSnapBasesSolver:
 
     def _try_build_pallas(self, union: np.ndarray, remapped: dict):
         """Build the fused Pallas iteration kernel when every reduced group
-        is fusible (tris_strain / edge_spring in DEIM row form).  Returns
+        is fusible (all five kinds, DEIM row form or block form).  Returns
         the runner or None (XLA fallback)."""
         if self.pallas_mode == "off" or len(union) == 0:
             return None
@@ -401,8 +401,9 @@ class AnimSnapBasesSolver:
         for name, rg in self._reduced_groups.items():
             sub = remapped[name]
             W = rg.W.astype(np_dtype)
-            if name not in FUSIBLE_KINDS or rg.row_select is None:
-                return None   # only the DEIM row form is fused
+            if name not in FUSIBLE_KINDS:
+                return None
+            # row form (rg.row_select set) and block form (None) both fuse
             if name == "tris_strain":
                 packed.append(pack_tris_strain(sub, ident, W, rg.row_select,
                                                np_dtype))

@@ -1,6 +1,7 @@
 """Reduced solver with block-form interpolation (deim_pca_blocks /
 geom_pca_blocks_withSt reduction types): full blocks of each selected
-element are evaluated, XLA path (block form is not Pallas-fused)."""
+element are evaluated — on the XLA path and (with position reduction)
+through the fused/resident Pallas kernels."""
 
 import os
 
@@ -70,11 +71,32 @@ def block_basis(tmp_path_factory):
              Pt=np.array(Pt),
              interpol_verts=np.array([]),
              interpol_alpha_ranges=np.arange(1, K + 1))
-    return basis_dir, np.array(traj)
+
+    # edge-spring POD+DEIM basis + position basis so the fully-reduced
+    # (Pallas-eligible) configuration is constructible
+    from reduction_helpers import pod_deim_basis
+    from animsnapbases_tpu.bases.position_reduction import (
+        position_basis_from_trajectory,
+        save_position_basis,
+    )
+
+    # block-structured (p=1) basis for edge springs: pca_blocks with p=1
+    es = np.load(os.path.join(record, "edge_spring_p.npz"))
+    es_frames = np.stack([es[str(i)] for i in range(20)])
+    es_basis = pod_deim_basis(es_frames, 1, 8)
+    # reinterpret the row-DEIM output as block form (p=1: identical)
+    es_dir = os.path.join(basis_dir, "edge_spring")
+    os.makedirs(es_dir, exist_ok=True)
+    np.savez(os.path.join(es_dir, "basis.npz"), **es_basis)
+
+    traj = np.array(traj)
+    pos_path = str(tmp / "pos_basis.npz")
+    save_position_basis(pos_path, position_basis_from_trajectory(traj, 12))
+    return basis_dir, traj, pos_path
 
 
 def test_block_form_reduced_runs_and_tracks(block_basis):
-    basis_dir, traj = block_basis
+    basis_dir, traj, _ = block_basis
     args = sim_args(
         constraint_projection_basis_type="deim_pca_blocks",
         tri_strain_reduced=True, tri_strain_num_components=6,
@@ -96,3 +118,48 @@ def test_block_form_reduced_runs_and_tracks(block_basis):
     scale = np.abs(traj[-1]).max()
     err = np.abs(model.positions - traj[-1]).max() / scale
     assert err < 0.15, f"block-form reduced sim deviates: {err}"
+
+
+def _block_reduced(basis_dir, pos_path, pallas_mode):
+    args = sim_args(
+        constraint_projection_basis_type="deim_pca_blocks",
+        tri_strain_reduced=True, tri_strain_num_components=6,
+        edge_spring_reduced=True, edge_spring_num_components=6,
+        geom_interpolation_basis_dir=basis_dir,
+        geom_interpolation_basis_file="basis.npz",
+        position_reduced=True, position_num_components=12,
+        position_basis_file=pos_path)
+    solver = AnimSnapBasesSolver(args, pallas_mode=pallas_mode)
+    _, model = make_cloth_solver(rows=5, cols=5, wi=1e4, tilt=0.15)
+    solver.set_model(model)
+    solver.prepare(args)
+    return solver, model
+
+
+def test_block_form_pallas_matches_xla(block_basis):
+    """Block-form interpolation through the FUSED Pallas kernel (interpret
+    mode) must match the XLA path — the W columns are permuted to row-major
+    blocks at pack time."""
+    basis_dir, traj, pos_path = block_basis
+    s_ref, m_ref = _block_reduced(basis_dir, pos_path, "off")
+    s_pal, m_pal = _block_reduced(basis_dir, pos_path, "interpret")
+    assert s_pal._reduced_groups["tris_strain"].row_select is None
+    assert s_pal._run_jit is not None
+    f = gravity_forces(m_ref)
+    for _ in range(5):
+        s_ref.step(f, num_iterations=6)
+        s_pal.step(f, num_iterations=6)
+    np.testing.assert_allclose(m_pal.positions, m_ref.positions, atol=1e-6)
+
+
+def test_block_form_resident_matches_step_loop(block_basis):
+    """Block form through the RESIDENT multi-step kernel (interpret)."""
+    basis_dir, traj, pos_path = block_basis
+    s_res, m_res = _block_reduced(basis_dir, pos_path, "interpret")
+    assert getattr(s_res, "_resident", None) is not None
+    s_ref, m_ref = _block_reduced(basis_dir, pos_path, "off")
+    f = gravity_forces(m_ref)
+    s_res.run_steps(f, 8, num_iterations=6)
+    for _ in range(8):
+        s_ref.step(f, num_iterations=6)
+    np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-6)
