@@ -136,14 +136,23 @@ def make_element_sharded_step(model, dt, mesh: Mesh,
     # above it (the projection fan-out is the sharded work; the solve is
     # small next to it at scale and needs full q anyway)
     prep, apply = make_device_global_solve(model, dt, cast)
-    # positional constraints project to fixed targets (frame 0) — their
-    # S^T p term is constant; precompute it replicated instead of sharding
+    # positional constraints: S^T is tiny, kept replicated; the returned
+    # step accepts per-call targets (animated schedules), defaulting to the
+    # build-time frame's values
     pos_g = model.groups.get("positional")
     if pos_g is not None:
-        ST = pos_g.assembly_scipy(n)
-        b_pos = cast(ST @ np.asarray(model.positional_targets(0)))
+        ST_pos = pos_g.assembly_scipy(n)
+        st_r = jnp.asarray(ST_pos.tocoo().row)
+        st_c = jnp.asarray(ST_pos.tocoo().col)
+        st_v = cast(ST_pos.tocoo().data)
+        targets0 = cast(np.asarray(model.positional_targets(0)))
+
+        def pos_term(targets):
+            gath = st_v[:, None] * targets[st_c]
+            return jax.ops.segment_sum(gath, st_r, num_segments=n)
     else:
-        b_pos = None
+        targets0 = None
+        pos_term = None
 
     # build padded, shard-ready group arrays
     sharded_groups = []
@@ -221,12 +230,13 @@ def make_element_sharded_step(model, dt, mesh: Mesh,
         out_specs=P())
 
     @jax.jit
-    def step(positions, velocities, fext):
+    def _step(positions, velocities, fext, targets):
         a = fext / mass[:, None]
         sn = positions + dt * velocities + dt2 * a
         if floor:
             sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
         ctx = prep(sn)
+        b_pos = pos_term(targets) if pos_term is not None else None
 
         def body(_, carry):
             q, u = carry
@@ -238,5 +248,11 @@ def make_element_sharded_step(model, dt, mesh: Mesh,
         q, _ = jax.lax.fori_loop(0, num_iterations, body,
                                  (sn, jnp.zeros_like(sn)))
         return q, (q - positions) / dt
+
+    def step(positions, velocities, fext, targets=None):
+        t = targets0 if targets is None else cast(targets)
+        if t is None:
+            t = jnp.zeros((0, 3))
+        return _step(positions, velocities, fext, t)
 
     return step

@@ -55,8 +55,8 @@ def make_tp_reduced_step(solver, mesh: Mesh, elem_axis: str = "model"):
     prepared reduced solver's work sharded over ``mesh[elem_axis]``.
 
     Requires a fully-reduced prepare (position reduction + every constraint
-    group hyper-reduced).  Positional-constraint targets are held at the
-    current frame (as in the ensemble paths).
+    group hyper-reduced).  Positional-constraint targets default to the
+    build-time frame's values; animated schedules pass per-call ``targets``.
     """
     model = solver.model
     if not solver.reduced_position or solver.U is None:
@@ -90,12 +90,20 @@ def make_tp_reduced_step(solver, mesh: Mesh, elem_axis: str = "model"):
     pos_g = model.groups.get("positional")
     if pos_g is not None:
         ST = pos_g.assembly_scipy(n)
-        targets0 = np.asarray(model.positional_targets(solver.frame))
-        rb_extra = cast(np.stack(
-            [solver.U[:, :, d].T @ (ST @ targets0[:, d])
-             for d in range(3)], axis=1))               # (r, 3)
+        # precompose U^T S^T per dim: (3, r, e_pos) — the returned step
+        # accepts per-call targets (animated schedules)
+        utst = cast(np.stack([solver.U[:, :, d].T @ ST.toarray()
+                              for d in range(3)]))
+        targets0 = cast(np.asarray(
+            model.positional_targets(solver.frame)))
+
+        def rb_extra_of(targets):
+            return jnp.einsum("dre,ed->rd", utst, targets)
     else:
-        rb_extra = cast(np.zeros((r, 3)))
+        targets0 = jnp.zeros((0, 3))
+
+        def rb_extra_of(targets):
+            return jnp.zeros((r, 3))
 
     # ---- per-group sharded operands -----------------------------------
     metas = []            # (name, p, statics, row_form)
@@ -178,7 +186,7 @@ def make_tp_reduced_step(solver, mesh: Mesh, elem_axis: str = "model"):
         out_specs=(P(elem_axis), P()))
 
     @jax.jit
-    def run(positions, velocities, fext, num_iterations):
+    def run(positions, velocities, fext, targets, num_iterations):
         a = fext / mass[:, None]
         sn = positions + dt * velocities + dt2 * a
         if floor:
@@ -186,13 +194,14 @@ def make_tp_reduced_step(solver, mesh: Mesh, elem_axis: str = "model"):
         sn_sel = sn[union_j]
         sn_pad = jnp.pad(sn, ((0, n_pad - n), (0, 0)))
         q_pad, _ = sharded(jnp.asarray(num_iterations), sn_pad, U_pad,
-                           utac_pad, sn_sel, rb_extra, U_sel, inv3,
-                           *group_arrays)
+                           utac_pad, sn_sel, rb_extra_of(targets), U_sel,
+                           inv3, *group_arrays)
         q = q_pad[:n]
         return q, (q - positions) / dt
 
-    def step(positions, velocities, fext, num_iterations=10):
-        return run(cast(positions), cast(velocities), cast(fext),
+    def step(positions, velocities, fext, num_iterations=10, targets=None):
+        t = targets0 if targets is None else cast(targets)
+        return run(cast(positions), cast(velocities), cast(fext), t,
                    num_iterations)
 
     return step

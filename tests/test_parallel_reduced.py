@@ -109,6 +109,76 @@ def test_tp_reduced_step_at_scale(tmp_path):
     np.testing.assert_allclose(np.asarray(v_tp), np.asarray(v_1), atol=1e-7)
 
 
+def test_tp_reduced_step_animated_targets(pipeline):
+    """Per-call positional targets through the sharded step match the
+    single-device step with the same animated schedule."""
+    basis_dir, pos_path, _ = pipeline
+    s1, m1 = _reduced_solver(basis_dir, pos_path, with_position=True)
+    shift = np.zeros((8, 3))
+    shift[:, 2] = np.linspace(0.0, 0.4, 8)
+    m1.add_positional_constraint(7, wi=1e6, motion_type="user_defined",
+                                 frame_shift=shift)
+    s1.set_dirty()
+    s1.prepare(s1.args)
+    mesh = build_device_mesh((4,), ("model",))
+    tp_step = make_tp_reduced_step(s1, mesh)
+
+    s2, m2 = _reduced_solver(basis_dir, pos_path, with_position=True)
+    m2.add_positional_constraint(7, wi=1e6, motion_type="user_defined",
+                                 frame_shift=shift)
+    s2.set_dirty()
+    s2.prepare(s2.args)
+
+    f = gravity_forces(m1)
+    pos = m1.positions.copy()
+    vel = np.zeros_like(pos)
+    for frame in range(4):
+        targets = m1.positional_targets(frame)
+        pos, vel = tp_step(pos, vel, f, num_iterations=4, targets=targets)
+        s2.step(f, num_iterations=4)
+    np.testing.assert_allclose(np.asarray(pos), m2.positions, atol=1e-8)
+
+
+def test_element_sharded_step_animated_targets():
+    """Per-call targets through the element-sharded full-order step."""
+    import jax.numpy as jnp
+
+    from animsnapbases_tpu.parallel import make_element_sharded_step
+    from animsnapbases_tpu.sim.solver import Solver
+    from test_sim_solver import sim_args as _sim_args
+
+    def build():
+        V, F = cloth_model(5, 5)
+        m = DeformableModel(V, F, masses=np.full(len(V), 10.0),
+                            floor_collision=True, init_height_shift=3.0)
+        m.add_tri_constrain_strain(0.95, 1.05, wi=1e4)
+        m.add_edge_spring_constraint(wi=1e4)
+        shift = np.zeros((6, 3))
+        shift[:, 2] = np.linspace(0.0, 0.3, 6)
+        m.add_positional_constraint(3, wi=1e6, motion_type="user_defined",
+                                    frame_shift=shift)
+        return m
+
+    mesh = build_device_mesh((4,), ("model",))
+    model = build()
+    step = make_element_sharded_step(model, 0.016, mesh, num_iterations=4)
+    f = gravity_forces(model)
+    pos = jnp.asarray(model.positions)
+    vel = jnp.zeros_like(pos)
+    for frame in range(3):
+        targets = model.positional_targets(frame)
+        pos, vel = step(pos, vel, jnp.asarray(f), targets=targets)
+
+    ref_model = build()
+    ref = Solver()
+    ref.set_model(ref_model)
+    ref.prepare(_sim_args())
+    for _ in range(3):
+        ref.step(f, num_iterations=4)
+    np.testing.assert_allclose(np.asarray(pos), ref_model.positions,
+                               atol=1e-8)
+
+
 def test_snapshot_pod_sharded_matches():
     """Gram-psum POD over the mesh == single-device POD (>=10k rows)."""
     rng = np.random.default_rng(1)
