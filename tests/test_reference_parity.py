@@ -303,6 +303,66 @@ def test_splocs_energy_trajectory_matches_reference(ref_cc, capsys):
                                ref_erms, rtol=1e-4)
 
 
+def test_geom_selection_matches_reference(ref_cc, tmp_path):
+    """Geometric interpolation-point selection (constraintsComponents.py:
+    618-731), both residual spaces: identical interpol verts/elements/Pt
+    on the same block-structured basis + St operator."""
+    import scipy.sparse
+
+    from animsnapbases_tpu.geometry.procedural import cloth_model
+    from test_bases_constraints import make_cc
+
+    V, F = cloth_model(5, 5)
+    e, p, K = len(F), 2, 4
+    rng = np.random.default_rng(7)
+    comps = rng.normal(size=(K * p, e * p, 3))
+
+    rows = np.repeat(F[:, 0], p)
+    St = scipy.sparse.coo_matrix(
+        (rng.normal(size=e * p), (rows, np.arange(e * p))),
+        shape=(len(V), e * p)).tocsr()
+
+    def run_ref(pos_space):
+        obj = ref_cc.__new__(ref_cc)
+        obj.nonlinearSnapshots = types.SimpleNamespace(
+            snapTensor=np.zeros((2, e * p, 3)), constraintsSize=p,
+            num_constained_elements=e, dim=3, ele_type="_tris", tris=F)
+        obj.param = types.SimpleNamespace(
+            geom_ele_per_vert=3, constProj_snapshots_type="tris_strain",
+            deim_desired_num_components=K)
+        obj.comps = comps.copy()
+        obj.numComp = K
+        obj.St = St
+        obj.geom_interpol_verts = []
+        obj.geom_block_form_utilizing_differential_operator(
+            error_in_pos_space=pos_space)
+        return obj
+
+    def run_ours(pos_space, sub):
+        cc = make_cc(sub, np.zeros((2, e * p, 3)), p=2,
+                     basis_type="pca_blocks", interpolation="geom",
+                     K=K, ele_per_vert=3)
+        cc.St = St
+        cc.nonlinearSnapshots.tris = F
+        cc.nonlinearSnapshots.verts = V
+        cc.nonlinearSnapshots.ele_type = "_tris"
+        cc.comps = comps.copy()
+        cc.numComp = K
+        cc.geom_block_form_utilizing_differential_operator(
+            error_in_pos_space=pos_space)
+        return cc
+
+    for i, pos_space in enumerate((True, False)):
+        ref = run_ref(pos_space)
+        ours = run_ours(pos_space, tmp_path / f"g{i}")
+        np.testing.assert_array_equal(ours.geom_Pt, ref.geom_Pt)
+        np.testing.assert_array_equal(ours.geom_alpha, ref.geom_alpha)
+        np.testing.assert_array_equal(ours.geom_alpha_ranges,
+                                      ref.geom_alpha_ranges)
+        np.testing.assert_array_equal(ours.geom_interpol_verts,
+                                      ref.geom_interpol_verts)
+
+
 def test_pca_blocks_with_st_reference_indexing_bug_characterized(ref_cc):
     """The St-driven blockwise variant: the reference's inner loop runs
     ``for idx in range(len(elems))`` — deflating blocks 0..len(elems)-1
