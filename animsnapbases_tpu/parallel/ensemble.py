@@ -28,7 +28,6 @@ except ImportError:  # older jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from animsnapbases_tpu.sim import projections
-from animsnapbases_tpu.sim.solver import build_global_matrix
 
 
 def build_device_mesh(shape: tuple[int, ...], axis_names: tuple[str, ...],
