@@ -468,11 +468,27 @@ class ConstraintComponents:
         self.geom_interpol_verts = np.array(self.geom_interpol_verts)
 
     @log_time
-    def deim_blocksForm(self):
-        """Block-DEIM: selects whole p-row blocks."""
+    def deim_blocksForm(self, device: bool | None = None):
+        """Block-DEIM: selects whole p-row blocks.
+
+        ``device=True`` runs the selection as one ``lax.scan`` on the
+        accelerator (:mod:`animsnapbases_tpu.ops.deim_scan`); the host f64
+        loop stays the default (reference-rounding-exact)."""
         p = self.nonlinearSnapshots.constraintsSize
         d = self.nonlinearSnapshots.dim
         K = self.numComp
+        if device:
+            from animsnapbases_tpu.ops.deim_scan import (
+                deim_blocks_host_result,
+            )
+
+            Pt, alphas, ranges = deim_blocks_host_result(
+                self.comps.swapaxes(0, 1), p, K)
+            self.geom_Pt = Pt
+            self.geom_alpha = alphas
+            self.geom_alpha_ranges = ranges
+            self.geom_interpol_verts = np.array(self.geom_interpol_verts)
+            return
         bases = self.comps.swapaxes(0, 1)     # (ep, Kp, d)
 
         Pt: list[int] = []

@@ -155,6 +155,20 @@ def test_deim_device_scan_matches_host(tmp_path):
     np.testing.assert_array_equal(cc.geom_alpha_ranges, np.arange(1, 9))
 
 
+def test_block_deim_device_scan_matches_host(tmp_path):
+    X = synthetic_p_tensor(F=16, e=12, p=2, seed=5)
+    cc = make_cc(tmp_path, X, basis_type="pca_blocks",
+                 interpolation="deim_block", K=5)
+    cc.compute_pca_blocks()
+    cc.deim_blocksForm()
+    host = (cc.geom_Pt.copy(), cc.geom_alpha.copy(),
+            cc.geom_alpha_ranges.copy())
+    cc.deim_blocksForm(device=True)
+    np.testing.assert_array_equal(cc.geom_Pt, host[0])
+    np.testing.assert_array_equal(cc.geom_alpha, host[1])
+    np.testing.assert_array_equal(cc.geom_alpha_ranges, host[2])
+
+
 def test_deim_blocks_selects_blocks(tmp_path):
     """Block-DEIM pairs with block-structured bases (pca_blocks), matching
     the reference's config pairing."""
