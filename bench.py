@@ -302,12 +302,12 @@ def main():
         f"max {d.max():.4f} (max is a few chaotic free-swinging verts)")
     assert np.isfinite(model.positions).all()
 
-    # timing: device-resident multi-step, best of 4 (tunnel load makes
+    # timing: device-resident multi-step, best of 6 (tunnel load makes
     # single chunks noisy; each chunk is well under a second)
     chunk = 15000
     solver.run_steps(f, 50, num_iterations=10)      # warmup/compile
     best = float("inf")
-    for _ in range(4):
+    for _ in range(6):
         t0 = time.perf_counter()
         solver.run_steps(f, chunk, num_iterations=10)
         dt_wall = time.perf_counter() - t0
