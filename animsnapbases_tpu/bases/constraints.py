@@ -217,6 +217,9 @@ class ConstraintComponents:
         self.comps = np.ascontiguousarray(
             Ck.reshape(k, e * p, -1)).astype(np.float64)
         self.numComp = k
+        # keep the device-resident modes so deim(device=True) skips the
+        # host->device round trip of the basis
+        self._comps_device = U[:, :k].T.reshape(k, e * p, -1)
 
     @log_time
     def compute_pod(self, writer=None):
@@ -370,6 +373,11 @@ class ConstraintComponents:
     @log_time
     def post_process_components(self):
         snaps = self.nonlinearSnapshots
+        if (self.param.constProj_standarize or self.param.constProj_orthogonal
+                or self.param.constProj_massWeight):
+            # comps change below: the device-resident copy kept for the
+            # device DEIM is stale
+            self._comps_device = None
         if self.param.constProj_standarize:
             self.comps = self.comps / snaps.pre_scale_factor
             self.comps = self.comps + snaps.mean[np.newaxis]
@@ -421,8 +429,12 @@ class ConstraintComponents:
         if device:
             from animsnapbases_tpu.ops.deim_scan import deim_rows_host_result
 
-            Pt, alphas, ranges = deim_rows_host_result(
-                self.comps.swapaxes(0, 1), p, K)
+            comps_dev = getattr(self, "_comps_device", None)
+            bases_in = (comps_dev.swapaxes(0, 1)
+                        if comps_dev is not None
+                        and comps_dev.shape[0] == self.comps.shape[0]
+                        else self.comps.swapaxes(0, 1))
+            Pt, alphas, ranges = deim_rows_host_result(bases_in, p, K)
             self.geom_Pt = Pt
             self.geom_alpha = alphas
             self.geom_alpha_ranges = ranges
