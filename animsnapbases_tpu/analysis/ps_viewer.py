@@ -132,13 +132,23 @@ class AnimationPlayer:
         self.playing = True
         self.fps = fps
         self._surf = None
+        self._last_advance = None
 
     def _callback(self) -> None:
+        import time
+
         changed, self.frame = psim.SliderInt("frame", self.frame, 0,
                                              len(self.verts) - 1)
         _, self.playing = psim.Checkbox("play", self.playing)
+        # wall-clock-paced playback (the render loop's rate is arbitrary)
+        now = time.monotonic()
         if self.playing and not changed:
-            self.frame = (self.frame + 1) % len(self.verts)
+            if (self._last_advance is None
+                    or now - self._last_advance >= 1.0 / self.fps):
+                self.frame = (self.frame + 1) % len(self.verts)
+                self._last_advance = now
+        else:
+            self._last_advance = now
         self._surf.update_vertex_positions(self.verts[self.frame])
 
     def show(self) -> None:

@@ -435,11 +435,22 @@ class ConstraintComponents:
                         and comps_dev.shape[0] == self.comps.shape[0]
                         else self.comps.swapaxes(0, 1))
             Pt, alphas, ranges = deim_rows_host_result(bases_in, p, K)
-            self.geom_Pt = Pt
-            self.geom_alpha = alphas
-            self.geom_alpha_ranges = ranges
-            self.geom_interpol_verts = np.array(self.geom_interpol_verts)
-            return
+            if len(np.unique(Pt)) < len(Pt):
+                # rank-exhausted basis: the device scan has no truncation
+                # guard (its masked solve goes singular and the argmax
+                # degenerates into repeats) — the host loop detects the
+                # zero residual and truncates with a warning
+                import warnings
+                warnings.warn("device DEIM produced duplicate selections "
+                              "(rank-deficient basis); falling back to the "
+                              "host loop")
+            else:
+                self.geom_Pt = Pt
+                self.geom_alpha = alphas
+                self.geom_alpha_ranges = ranges
+                self.geom_interpol_verts = np.array(
+                    self.geom_interpol_verts)
+                return
         bases = self.comps.swapaxes(0, 1)     # (ep, K, d)
 
         Pt: list[int] = []
@@ -496,11 +507,20 @@ class ConstraintComponents:
 
             Pt, alphas, ranges = deim_blocks_host_result(
                 self.comps.swapaxes(0, 1), p, K)
-            self.geom_Pt = Pt
-            self.geom_alpha = alphas
-            self.geom_alpha_ranges = ranges
-            self.geom_interpol_verts = np.array(self.geom_interpol_verts)
-            return
+            if len(np.unique(alphas)) < len(alphas):
+                # rank-exhausted basis: fall back to the host loop, which
+                # detects the zero residual (same guard as deim())
+                import warnings
+                warnings.warn("device block-DEIM produced duplicate "
+                              "selections (rank-deficient basis); falling "
+                              "back to the host loop")
+            else:
+                self.geom_Pt = Pt
+                self.geom_alpha = alphas
+                self.geom_alpha_ranges = ranges
+                self.geom_interpol_verts = np.array(
+                    self.geom_interpol_verts)
+                return
         bases = self.comps.swapaxes(0, 1)     # (ep, Kp, d)
 
         Pt: list[int] = []
@@ -519,7 +539,14 @@ class ConstraintComponents:
                     c[:, :, i] = V[:, :, i] @ sol
                 r = c - vk
                 if np.allclose(r, 0):
-                    raise RuntimeError("zero residual in block-DEIM selection")
+                    # basis exhausted: keep the selections made so far
+                    # (same policy as deim())
+                    import warnings
+                    warnings.warn(f"block-DEIM: zero residual at mode {k}; "
+                                  f"truncating to {k} blocks")
+                    self.comps = self.comps[:k * p]
+                    self.numComp = k
+                    break
             idx = int(np.argmax((r ** 2).sum(axis=(1, 2))))
             alpha = idx // p
             e_points.append(alpha)

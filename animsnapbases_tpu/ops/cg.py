@@ -93,8 +93,13 @@ def make_pcg_solver(rows: np.ndarray, cols: np.ndarray, vals,
         r = rhs - matvec(x)
         z = dinv[:, None] * r
         rz = jnp.sum(r * z, axis=0)                       # (3,)
+        # the tolerance is relative to a WARM-START-INDEPENDENT scale (the
+        # preconditioned rhs norm): relative to the initial residual, a
+        # good warm start would demand a further eff_tol reduction below
+        # the rounding floor and spin to max_iters doing nothing
+        rhs_z = jnp.sum(rhs * (dinv[:, None] * rhs), axis=0)
         # floor against all-zero rhs dims (flat cloth): converged at start
-        rz0 = jnp.maximum(rz, jnp.finfo(rhs.dtype).tiny)
+        rz0 = jnp.maximum(rhs_z, jnp.finfo(rhs.dtype).tiny)
         # dtype-aware tolerance: float32 cannot reach 1e-11 relative — floor
         # at ~50 eps so the loop stops at the precision floor instead of
         # stalling to max_iters (f32 CG reliably reaches ~3e-6 relative in

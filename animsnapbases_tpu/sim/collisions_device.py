@@ -66,14 +66,27 @@ def closest_point_on_triangle(p, a, b, c):
     return out
 
 
+# hard gate on the O(n*m) candidate-distance matrix: above this the pass
+# would allocate GBs inside the jitted step — fail loudly instead (the
+# host KD-tree resolvers handle big meshes)
+MAX_PAIRS = 150_000_000
+
+
 def resolve_self_collision_device(q, faces, min_dist: float = 0.001,
-                                  stiffness: float = 1.0, k: int = 5):
+                                  stiffness: float = 1.0, k: int = 5,
+                                  max_pairs: int = MAX_PAIRS):
     """Vertex-vs-nearest-triangles pushout, fully on device.
 
     q (n, 3) float, faces (m, 3) int.  Returns corrected positions.
     """
     n = q.shape[0]
     m = faces.shape[0]
+    if n * m > max_pairs:
+        raise ValueError(
+            f"device self-collision materializes an (n={n}, m={m}) "
+            f"distance matrix ({n * m * 4 / 1e9:.1f} GB) — beyond the "
+            f"{max_pairs / 1e6:.0f}M-pair gate.  Use the host resolvers "
+            f"(enable_self_collision=True) for meshes this large.")
     k = min(k, m)
     cent = q[faces].mean(axis=1)                            # (m, 3)
     # squared centroid distances via the matmul identity (MXU-friendly)
@@ -96,3 +109,15 @@ def resolve_self_collision_device(q, faces, min_dist: float = 0.001,
     corr = (stiffness * (min_dist - d) / jnp.maximum(d, 1e-12))[..., None] \
         * delta * push[..., None]
     return q + corr.sum(axis=1)
+
+
+def make_collide_jit(faces):
+    """Jitted ``q -> resolved q`` closure over a FIXED face array.
+
+    Solvers cache the result keyed on the faces object and must rebuild it
+    when the model changes (stale faces silently push against the wrong
+    triangles — XLA clamps out-of-range gathers instead of erroring)."""
+    import jax
+
+    faces_j = jnp.asarray(faces)
+    return jax.jit(lambda q: resolve_self_collision_device(q, faces_j))

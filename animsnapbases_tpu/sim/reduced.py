@@ -251,6 +251,7 @@ class AnimSnapBasesSolver:
 
     def set_model(self, model):
         self.model = model
+        self._collide_jit = None     # faces-keyed cache is now stale
         self.set_dirty()
 
     def set_dirty(self):
@@ -805,12 +806,10 @@ class AnimSnapBasesSolver:
     def _collide_device(self, q):
         if self._collide_jit is None:
             from animsnapbases_tpu.sim.collisions_device import (
-                resolve_self_collision_device,
+                make_collide_jit,
             )
 
-            faces = jnp.asarray(self.model.faces)
-            self._collide_jit = jax.jit(
-                lambda q: resolve_self_collision_device(q, faces))
+            self._collide_jit = make_collide_jit(self.model.faces)
         return self._collide_jit(self._cast(q))
 
     def make_batched_step(self, mesh=None, batch_axis: str = "data"):
@@ -847,31 +846,11 @@ class AnimSnapBasesSolver:
 
     def _targets_timeline(self, num_steps):
         """(T, e, 3) positional-target timeline for the next ``num_steps``
-        frames.  T == 1 when no target is frame-dependent; animated
-        timelines are padded to the next power of two (the device loops
-        clamp the index) so compilations are reused across run lengths."""
-        model = self.model
-        # frame shifts index by absolute frame and clamp at their last
-        # entry (ref Constraint_projections.py:77-113), so the timeline
-        # only needs to cover the longest REMAINING shift — beyond that
-        # the targets are constant and the device index clamp takes over
-        remaining = 0
-        for c in getattr(model, "_positional", []):
-            if (c["motion_type"] == "user_defined"
-                    and c["frame_shift"] is not None):
-                remaining = max(remaining,
-                                len(c["frame_shift"]) - self.frame)
-        if remaining <= 0:
-            return np.asarray(
-                model.positional_targets(self.frame))[None], False
-        t_eff = min(num_steps, remaining)
-        tl = np.stack([model.positional_targets(self.frame + t)
-                       for t in range(t_eff)])
-        t_pad = 1 << max(t_eff - 1, 0).bit_length()
-        if t_pad > t_eff:
-            tl = np.concatenate(
-                [tl, np.repeat(tl[-1:], t_pad - t_eff, axis=0)])
-        return tl, True
+        frames — see :func:`solver.positional_targets_timeline`."""
+        from animsnapbases_tpu.sim.solver import positional_targets_timeline
+
+        return positional_targets_timeline(self.model, self.frame,
+                                           num_steps)
 
     # a per-call rb timeline larger than this skips the resident kernel
     # for that call (VMEM is budgeted at prepare time without knowing T)

@@ -159,6 +159,8 @@ class Solver:
     # ------------------------------------------------------------------
     def set_model(self, model):
         self.model = model
+        self._collide_jit = None     # faces-keyed cache is now stale
+        self._run_scan = None
         self.set_dirty()
 
     def set_dirty(self):
@@ -320,12 +322,10 @@ class Solver:
     def _collide_device(self, q):
         if self._collide_jit is None:
             from animsnapbases_tpu.sim.collisions_device import (
-                resolve_self_collision_device,
+                make_collide_jit,
             )
 
-            faces = jnp.asarray(self.model.faces)
-            self._collide_jit = jax.jit(
-                lambda q: resolve_self_collision_device(q, faces))
+            self._collide_jit = make_collide_jit(self.model.faces)
         return self._collide_jit(q)
 
     # ------------------------------------------------------------------
@@ -350,14 +350,12 @@ class Solver:
                     traj.append(model.positions.copy())
             return np.array(traj) if record else None
 
-        targets_tl = jnp.asarray(np.stack(
-            [model.positional_targets(self.frame + t)
-             for t in range(num_steps)]))
-
+        recording = record or self.store_stacked_projections
         collide = self.enable_self_collision == "device"
-        if self._run_scan is None or getattr(self, "_run_scan_collide",
-                                             None) != collide:
-            self._run_scan_collide = collide
+        key = (collide, recording)
+        if self._run_scan is None or getattr(self, "_run_scan_key",
+                                             None) != key:
+            self._run_scan_key = key
             sweep = self._sweep_core
             mass = jnp.asarray(model.mass)
             dt = self.dt
@@ -371,31 +369,79 @@ class Solver:
 
                 faces = jnp.asarray(model.faces)
 
-            def run(positions, velocities, fext_j, targets_seq,
-                    num_iterations):
-                a = fext_j / mass[:, None]
+            def one_step(pos, vel, a, targets, num_iterations):
+                sn_raw = pos + dt * vel + dt2 * a
+                if floor:
+                    sn = sn_raw.at[:, 1].set(
+                        jnp.maximum(sn_raw[:, 1], floor_h))
+                else:
+                    sn = sn_raw
+                q, stacked = sweep(sn, targets, num_iterations)
+                if collide:
+                    q = resolve_self_collision_device(q, faces)
+                # corrections convention matches step() /
+                # resolve_floor_collision: -(clamped - raw)
+                return q, (q - pos) / dt, sn_raw - sn, stacked
 
-                def body(carry, targets):
-                    pos, vel = carry
-                    sn = pos + dt * vel + dt2 * a
-                    if floor:
-                        sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
-                    q, stacked = sweep(sn, targets, num_iterations)
-                    if collide:
-                        q = resolve_self_collision_device(q, faces)
-                    return (q, (q - pos) / dt), (q, stacked)
+            if recording:
+                # per-step outputs force a scan: one compile per distinct
+                # num_steps (recording runs have a fixed frame budget)
+                def run(positions, velocities, fext_j, targets_seq,
+                        num_iterations):
+                    a = fext_j / mass[:, None]
 
-                (q, v), (traj, stacked_seq) = jax.lax.scan(
-                    body, (positions, velocities), targets_seq)
-                return q, v, traj, stacked_seq
+                    def body(carry, targets):
+                        pos, vel = carry
+                        q, v, corr, stacked = one_step(
+                            pos, vel, a, targets, num_iterations)
+                        return (q, v), (q, stacked, corr)
+
+                    (q, v), (traj, stacked_seq, corrs) = jax.lax.scan(
+                        body, (positions, velocities), targets_seq)
+                    return q, v, traj, stacked_seq, corrs[-1]
+            else:
+                # no outputs: dynamic-trip-count fori_loop — one compile
+                # serves any num_steps and nothing is stacked in HBM
+                def run(positions, velocities, fext_j, targets_seq,
+                        num_iterations, num_steps):
+                    a = fext_j / mass[:, None]
+                    T = targets_seq.shape[0]
+                    corr0 = jnp.zeros_like(positions)
+
+                    def body(i, carry):
+                        pos, vel, _ = carry
+                        q, v, corr, _ = one_step(
+                            pos, vel, a, targets_seq[jnp.minimum(i, T - 1)],
+                            num_iterations)
+                        return q, v, corr
+
+                    q, v, corr = jax.lax.fori_loop(
+                        0, num_steps, body,
+                        (positions, velocities, corr0))
+                    return q, v, None, None, corr
 
             self._run_scan = jax.jit(run)
 
-        q, v, traj, stacked_seq = self._run_scan(
-            jnp.asarray(model.positions), jnp.asarray(model.velocities),
-            jnp.asarray(fext), targets_tl, num_iterations)
+        if recording:
+            # the scan consumes one target row per step
+            targets_tl = jnp.asarray(np.stack(
+                [model.positional_targets(self.frame + t)
+                 for t in range(num_steps)]))
+            q, v, traj, stacked_seq, corr = self._run_scan(
+                jnp.asarray(model.positions), jnp.asarray(model.velocities),
+                jnp.asarray(fext), targets_tl, num_iterations)
+        else:
+            tl, _ = positional_targets_timeline(model, self.frame,
+                                                num_steps)
+            q, v, traj, stacked_seq, corr = self._run_scan(
+                jnp.asarray(model.positions), jnp.asarray(model.velocities),
+                jnp.asarray(fext), jnp.asarray(tl), num_iterations,
+                num_steps)
         model.positions = np.asarray(q)
         model.velocities = np.asarray(v)
+        if model.floor_collision:
+            # same convention as resolve_floor_collision: raw - clamped
+            model.positions_corrections = np.asarray(corr)
         if self.store_stacked_projections:
             stacked_np = {name: np.asarray(arr)
                           for name, arr in stacked_seq.items()}
@@ -430,6 +476,34 @@ class Solver:
         for name, frames in self._recorded.items():
             np.savez(os.path.join(self.record_path, name + "_p.npz"),
                      **frames)
+
+
+def positional_targets_timeline(model: DeformableModel, frame: int,
+                                num_steps: int):
+    """(T, e, 3) per-frame positional-target timeline starting at ``frame``.
+
+    Frame shifts index by absolute frame and clamp at their last entry
+    (ref Constraint_projections.py:77-113), so the timeline only covers
+    the longest REMAINING shift — T == 1 when nothing is animated; animated
+    timelines are padded to the next power of two (device loops clamp the
+    index) so compilations are reused across run lengths.  Returns
+    (timeline, animated).
+    """
+    remaining = 0
+    for c in getattr(model, "_positional", []):
+        if (c["motion_type"] == "user_defined"
+                and c["frame_shift"] is not None):
+            remaining = max(remaining, len(c["frame_shift"]) - frame)
+    if remaining <= 0:
+        return np.asarray(model.positional_targets(frame))[None], False
+    t_eff = min(num_steps, remaining)
+    tl = np.stack([model.positional_targets(frame + t)
+                   for t in range(t_eff)])
+    t_pad = 1 << max(t_eff - 1, 0).bit_length()
+    if t_pad > t_eff:
+        tl = np.concatenate(
+            [tl, np.repeat(tl[-1:], t_pad - t_eff, axis=0)])
+    return tl, True
 
 
 def make_device_global_solve(model: DeformableModel, dt: float,

@@ -72,6 +72,25 @@ class _Anything(types.ModuleType):
         return [] if name == "__all__" else _Dummy()
 
 
+import contextlib
+import tempfile
+
+
+@contextlib.contextmanager
+def _quiet_reference():
+    """Run reference code without polluting stdout (our artifact stream is
+    the single JSON line) or the repo root (its @log_time decorator writes
+    function_timings.txt in CWD)."""
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as tmp:
+        os.chdir(tmp)
+        try:
+            with contextlib.redirect_stdout(sys.stderr):
+                yield
+        finally:
+            os.chdir(cwd)
+
+
 def load_reference_modules():
     for name in _STUBS:
         if name not in sys.modules:
@@ -283,13 +302,16 @@ def main():
     # ---- REFERENCE (its own code, this CPU, same tensors) -------------
     ref_cc_cls, ref_pc_cls = load_reference_modules()
     X = nl.snapTensor.copy()
-    ref_pod, ref_deim = zip(*[
-        time_reference_nonlinear(ref_cc_cls, X, 2, K_NL) for _ in range(2)])
-    ref_pod, ref_deim = min(ref_pod), min(ref_deim)
+    with _quiet_reference():
+        ref_pod, ref_deim = zip(*[
+            time_reference_nonlinear(ref_cc_cls, X, 2, K_NL)
+            for _ in range(2)])
+        ref_pod, ref_deim = min(ref_pod), min(ref_deim)
     log(f"[bench-bases] reference pod_vectorized {ref_pod:.2f}s, "
         f"deim {ref_deim:.2f}s (CPU, same tensor, best of 2)")
-    ref_pos = min(time_reference_position_pca(ref_pc_cls, traj, K_POS)
-                  for _ in range(2))
+    with _quiet_reference():
+        ref_pos = min(time_reference_position_pca(ref_pc_cls, traj, K_POS)
+                      for _ in range(2))
     log(f"[bench-bases] reference greedy PCA K={K_POS}: {ref_pos:.2f}s "
         f"(CPU, same trajectory, best of 2)")
 
@@ -303,7 +325,8 @@ def main():
     W0 = np.asarray(W)[:, :SPLOCS_K].copy()
     ours_splocs = min(time_ours_splocs(traj, geod, C0, W0)
                       for _ in range(2))
-    ref_splocs = time_reference_splocs(ref_pc_cls, traj, geod, C0, W0)
+    with _quiet_reference():
+        ref_splocs = time_reference_splocs(ref_pc_cls, traj, geod, C0, W0)
     log(f"[bench-bases] SPLOCS K={SPLOCS_K} x{SPLOCS_ITERS} iters: ours "
         f"{ours_splocs:.2f}s (best of 2), reference {ref_splocs:.2f}s "
         f"(CPU, same warm start + geodesic oracle)")

@@ -93,6 +93,51 @@ def test_full_solver_run_steps_matches_step():
                                        s_a._recorded[name][k], atol=1e-9)
 
 
+def test_cg_warm_start_converges_immediately():
+    """The stopping rule is relative to the rhs (warm-start independent):
+    re-solving from the previous solution must cost ~no iterations, not
+    spin to max_iters chasing an unreachable reduction of an already-tiny
+    initial residual."""
+    import scipy.sparse
+
+    from animsnapbases_tpu.ops.cg import make_pcg_solver
+
+    rng = np.random.default_rng(0)
+    n = 200
+    A = scipy.sparse.random(n, n, density=0.05, random_state=1)
+    A = (A @ A.T + 10 * scipy.sparse.eye(n)).tocoo()
+    rhs = rng.normal(size=(n, 3))
+    solve = make_pcg_solver(A.row, A.col, A.data, A.diagonal(), n,
+                            tol=1e-10, max_iters=500)
+    x, it_cold = solve(rhs)
+    assert 0 < int(it_cold) < 500
+    x2, it_warm = solve(rhs, x0=x)
+    assert int(it_warm) <= 1
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-9)
+
+
+def test_run_steps_multiple_lengths_and_corrections():
+    """The non-recording run_steps path serves any num_steps from one
+    compiled program and reports the final step's floor corrections."""
+    m_a, m_b = _cloth(6, 6), _cloth(6, 6)
+    m_a.positions[:, 1] -= 2.95      # graze the floor
+    m_b.positions[:, 1] -= 2.95
+    s_a = Solver(global_solve="cg")
+    s_a.set_model(m_a)
+    s_a.prepare(sim_args())
+    s_b = Solver(global_solve="cg")
+    s_b.set_model(m_b)
+    s_b.prepare(sim_args())
+    fext = gravity_forces(m_a)
+    for n_steps in (3, 5, 2):
+        s_a.run_steps(fext, n_steps, num_iterations=4)
+    for _ in range(10):
+        s_b.step(fext, num_iterations=4)
+    np.testing.assert_allclose(m_a.positions, m_b.positions, atol=1e-8)
+    np.testing.assert_allclose(s_a.model.positions_corrections,
+                               s_b.model.positions_corrections, atol=1e-9)
+
+
 def test_cg_matches_dense_tet_bar():
     def bar():
         V, T, F, _ = bar_model(4, 2, 2)

@@ -98,6 +98,33 @@ def test_self_collision_gate_characterization():
     assert d_dev > 4e-4                 # resolver holds ~min_dist apart
 
 
+def test_device_collision_size_gate():
+    """Beyond the O(n*m) pair gate the device pass must fail loudly, not
+    OOM opaquely inside jit."""
+    V, F = _crumpled_cloth()
+    with pytest.raises(ValueError, match="distance matrix"):
+        resolve_self_collision_device(jnp.asarray(V), jnp.asarray(F),
+                                      max_pairs=10)
+
+
+def test_collide_cache_invalidated_on_set_model():
+    """The faces-keyed jitted collision pass must not survive a model swap
+    (stale faces silently push against the wrong triangles)."""
+    s, m = _folded_cloth_model("device")
+    f = np.zeros_like(m.positions)
+    s.step(f, num_iterations=2)
+    assert s._collide_jit is not None
+    V2, F2 = cloth_model(4, 4)
+    m2 = DeformableModel(V2 * 0.004, F2, masses=np.full(len(V2), 10.0),
+                         floor_collision=False)
+    m2.add_edge_spring_constraint(wi=1e4)
+    s.set_model(m2)
+    assert s._collide_jit is None
+    s.prepare(sim_args())
+    s.step(np.zeros_like(m2.positions), num_iterations=2)
+    assert np.isfinite(m2.positions).all()
+
+
 def test_host_mode_runs_both_reference_passes():
     s, m = _folded_cloth_model(True)
     f = np.zeros_like(m.positions)
