@@ -32,7 +32,14 @@ def cli(argv=None):
     parser.add_argument("--cpu", action="store_true",
                         help="force the JAX CPU backend (the axon plugin "
                              "ignores JAX_PLATFORMS)")
+    parser.add_argument("--list", action="store_true",
+                        help="list available scenarios and exit")
     args_ns = parser.parse_args(argv)
+
+    if args_ns.list:
+        for name in sorted(SCENARIOS):
+            print(name)
+        return None
 
     if args_ns.cpu:
         import jax
