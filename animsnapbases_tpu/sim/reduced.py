@@ -823,7 +823,7 @@ class AnimSnapBasesSolver:
             raise RuntimeError("batched stepping needs the jitted path "
                                "(dense/reduced global solve)")
         core = self._step_jit
-        targets = self._cast(self.model.positional_targets(self.frame))
+        targets0 = self._cast(self.model.positional_targets(self.frame))
 
         spec = None
         if mesh is not None:
@@ -832,7 +832,8 @@ class AnimSnapBasesSolver:
             spec = NamedSharding(mesh, P(batch_axis))
 
         @partial(jax.jit, static_argnames=("num_iterations",))
-        def step(positions, velocities, fext, num_iterations=10):
+        def _step(positions, velocities, fext, targets,
+                  num_iterations=10):
             if spec is not None:
                 positions = jax.lax.with_sharding_constraint(positions, spec)
                 velocities = jax.lax.with_sharding_constraint(velocities,
@@ -841,6 +842,12 @@ class AnimSnapBasesSolver:
                 lambda p, v, f: core(p, v, f, targets,
                                      num_iterations=num_iterations)
             )(positions, velocities, fext)
+
+        def step(positions, velocities, fext, num_iterations=10,
+                 targets=None):
+            t = targets0 if targets is None else self._cast(targets)
+            return _step(positions, velocities, fext, t,
+                         num_iterations=num_iterations)
 
         return step
 

@@ -33,3 +33,38 @@ def test_batched_reduced_matches_single(pipeline):
     out = np.asarray(p)
     for b in range(B):
         np.testing.assert_allclose(out[b], m2.positions, atol=1e-9)
+
+
+def test_batched_reduced_per_call_targets(pipeline):
+    """Animated positional targets pass through the batched step."""
+    basis_dir, pos_path, _ = pipeline
+
+    def build():
+        solver, model = _reduced_solver(basis_dir, pos_path,
+                                        with_position=True)
+        shift = np.zeros((6, 3))
+        shift[:, 2] = np.linspace(0.0, 0.3, 6)
+        model.add_positional_constraint(7, wi=1e6,
+                                        motion_type="user_defined",
+                                        frame_shift=shift)
+        solver.set_dirty()
+        solver.prepare(solver.args)
+        return solver, model
+
+    s1, m1 = build()
+    mesh = build_device_mesh((4,), ("data",))
+    step = s1.make_batched_step(mesh)
+    B = 4
+    pos = np.tile(m1.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    f = np.tile(gravity_forces(m1), (B, 1, 1))
+    for frame in range(3):
+        pos, vel = step(pos, vel, f, num_iterations=4,
+                        targets=m1.positional_targets(frame))
+
+    s2, m2 = build()
+    for _ in range(3):
+        s2.step(gravity_forces(m2), num_iterations=4)
+    out = np.asarray(pos)
+    for b in range(B):
+        np.testing.assert_allclose(out[b], m2.positions, atol=1e-9)
