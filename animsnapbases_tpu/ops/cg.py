@@ -68,15 +68,59 @@ def ell_matvec(cols_pad, vals_pad, x):
     return jnp.einsum("nk,nkd->nd", vals_pad, x[cols_pad])
 
 
+def pcg_solve(matvec, dinv, rhs, x0=None, tol: float = 1e-12,
+              max_iters: int = 400):
+    """Jacobi-preconditioned CG on an (n, d) right-hand side; functional
+    core — ``matvec``/``dinv``/``rhs`` may all be traced arguments, so a
+    single compilation serves every re-prepared system of the same shape.
+
+    ``tol`` is relative to the preconditioned RHS norm — a WARM-START-
+    INDEPENDENT scale (relative to the initial residual, a good warm start
+    would demand a further reduction below the rounding floor and spin to
+    max_iters doing nothing).
+    """
+    x = jnp.zeros_like(rhs) if x0 is None else x0
+    r = rhs - matvec(x)
+    z = dinv[:, None] * r
+    rz = jnp.sum(r * z, axis=0)                       # (d,)
+    rhs_z = jnp.sum(rhs * (dinv[:, None] * rhs), axis=0)
+    # floor against all-zero rhs dims (flat cloth): converged at start
+    rz0 = jnp.maximum(rhs_z, jnp.finfo(rhs.dtype).tiny)
+    # dtype-aware tolerance: float32 cannot reach 1e-11 relative — floor
+    # at ~50 eps so the loop stops at the precision floor instead of
+    # stalling to max_iters (f32 CG reliably reaches ~3e-6 relative in
+    # the preconditioned norm; tighter floors hit the rounding plateau)
+    eff_tol = max(tol, 50.0 * float(jnp.finfo(rhs.dtype).eps))
+    thresh = (eff_tol * eff_tol) * rz0
+
+    def cond(state):
+        _, r, z, p, rz, it = state
+        return jnp.logical_and(it < max_iters, jnp.any(rz > thresh))
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap, axis=0),
+                                 jnp.finfo(rhs.dtype).tiny)
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * Ap
+        z = dinv[:, None] * r
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = rz_new / jnp.maximum(rz, jnp.finfo(rhs.dtype).tiny)
+        p = z + beta[None, :] * p
+        return x, r, z, p, rz_new, it + 1
+
+    x, _, _, _, _, it = jax.lax.while_loop(
+        cond, body, (x, r, z, z, rz, jnp.asarray(0)))
+    return x, it
+
+
 def make_pcg_solver(rows: np.ndarray, cols: np.ndarray, vals,
                     diag, n: int, *, tol: float = 1e-12,
                     max_iters: int = 400, matvec=None):
     """Build ``solve(rhs (n,3), x0) -> (x, iters)`` for the SPD matrix given
     in COO form (or a custom ``matvec``), with Jacobi preconditioning.
-
-    ``tol`` is relative: the loop stops when every dim's preconditioned
-    residual norm-squared has dropped below ``tol**2`` times its initial
-    value, or at ``max_iters``.
+    Closure-based wrapper over :func:`pcg_solve`.
     """
     dinv = 1.0 / jnp.asarray(diag)
 
@@ -89,44 +133,7 @@ def make_pcg_solver(rows: np.ndarray, cols: np.ndarray, vals,
             return coo_matvec(rows_j, cols_j, vals_j, x, n)
 
     def solve(rhs, x0=None, max_iterations=max_iters):
-        x = jnp.zeros_like(rhs) if x0 is None else x0
-        r = rhs - matvec(x)
-        z = dinv[:, None] * r
-        rz = jnp.sum(r * z, axis=0)                       # (3,)
-        # the tolerance is relative to a WARM-START-INDEPENDENT scale (the
-        # preconditioned rhs norm): relative to the initial residual, a
-        # good warm start would demand a further eff_tol reduction below
-        # the rounding floor and spin to max_iters doing nothing
-        rhs_z = jnp.sum(rhs * (dinv[:, None] * rhs), axis=0)
-        # floor against all-zero rhs dims (flat cloth): converged at start
-        rz0 = jnp.maximum(rhs_z, jnp.finfo(rhs.dtype).tiny)
-        # dtype-aware tolerance: float32 cannot reach 1e-11 relative — floor
-        # at ~50 eps so the loop stops at the precision floor instead of
-        # stalling to max_iters (f32 CG reliably reaches ~3e-6 relative in
-        # the preconditioned norm; tighter floors hit the rounding plateau)
-        eff_tol = max(tol, 50.0 * float(jnp.finfo(rhs.dtype).eps))
-        thresh = (eff_tol * eff_tol) * rz0
-
-        def cond(state):
-            _, r, z, p, rz, it = state
-            return jnp.logical_and(it < max_iterations,
-                                   jnp.any(rz > thresh))
-
-        def body(state):
-            x, r, z, p, rz, it = state
-            Ap = matvec(p)
-            alpha = rz / jnp.maximum(jnp.sum(p * Ap, axis=0),
-                                     jnp.finfo(rhs.dtype).tiny)
-            x = x + alpha[None, :] * p
-            r = r - alpha[None, :] * Ap
-            z = dinv[:, None] * r
-            rz_new = jnp.sum(r * z, axis=0)
-            beta = rz_new / jnp.maximum(rz, jnp.finfo(rhs.dtype).tiny)
-            p = z + beta[None, :] * p
-            return x, r, z, p, rz_new, it + 1
-
-        x, _, _, _, _, it = jax.lax.while_loop(
-            cond, body, (x, r, z, z, rz, jnp.asarray(0)))
-        return x, it
+        return pcg_solve(matvec, dinv, rhs, x0, tol=tol,
+                         max_iters=max_iterations)
 
     return solve

@@ -201,6 +201,7 @@ class Solver:
                                            self.max_p_snapshots_num)
         A = build_global_matrix(self.model, self.dt)
         n3 = A.shape[0]
+        dt2 = self.dt * self.dt
         mode = self.global_solve
         if mode == "auto":
             mode = "dense" if n3 <= self.DENSE_LIMIT else "cg"
@@ -208,15 +209,42 @@ class Solver:
         self._use_dense = mode == "dense"
         self._chol = None
         self._solve = None
+        # the sweep takes every value that changes under fix/release
+        # (masses -> factorization) as a traced ARGUMENT, so schedule
+        # events that only change values reuse the compiled program
+        # (closure constants are baked into the HLO and defeat the
+        # persistent compilation cache)
         if mode == "dense":
-            dense = jnp.asarray(A.toarray())
-            self._chol = jax.jit(jnp.linalg.cholesky)(dense)
-            self._chol.block_until_ready()
+            self._chol = jnp.asarray(np.linalg.cholesky(A.toarray()))
+            self._sweep_args = (jnp.asarray(self.model.mass / dt2),
+                                self._chol)
+        elif mode == "cg":
+            from animsnapbases_tpu.ops.cg import build_ell
+
+            ac_rows, ac_cols, ac_vals = build_constraint_dim_coo(self.model)
+            mass_diag = np.asarray(self.model.mass / dt2, dtype=float)
+            diag = mass_diag.copy()
+            on_diag = ac_rows == ac_cols
+            np.add.at(diag, ac_rows[on_diag], ac_vals[on_diag])
+            ell_cols, ell_vals = build_ell(ac_rows, ac_cols, ac_vals,
+                                           self.model.n_verts,
+                                           diag_add=mass_diag)
+            self._sweep_args = (jnp.asarray(mass_diag),
+                                jnp.asarray(ell_cols),
+                                jnp.asarray(ell_vals),
+                                jnp.asarray(1.0 / diag))
         elif mode == "host":
             self._solve = scipy.sparse.linalg.factorized(A)
-        elif mode != "cg":
+        else:
             raise ValueError(f"unknown global_solve mode {mode!r}")
-        self._local = make_local_stage(self.model)
+        # the local stage closes over the groups' rest data: rebuild (and
+        # re-jit the sweep) only when the group structure itself changed
+        local_key = tuple((name, id(g))
+                          for name, g in self.model.groups.items())
+        if getattr(self, "_local_key", None) != local_key:
+            self._local = make_local_stage(self.model)
+            self._local_key = local_key
+            self._sweep_key = None
         self._build_sweep()
         self.set_clean()
 
@@ -227,35 +255,56 @@ class Solver:
         The CG path solves in displacement form ``A_d u = c(q) - A_c s_n``,
         ``q = s_n + u``: the pinned-mass (1e10) rhs terms cancel
         analytically, so the solve runs at elastic scale (float32-safe) and
-        ``u`` warm-starts the next iteration's CG.
+        ``u`` warm-starts the next iteration's CG.  Factorization values
+        (Cholesky factor / ELL matrix / Jacobi diagonal / masses) are
+        traced arguments — see prepare().
         """
         if self._mode == "host":
             self._sweep = None
             return
+        key = (self._mode, self._local_key)
+        if getattr(self, "_sweep_key", None) == key \
+                and self._sweep is not None:
+            return
+        self._sweep_key = key
         local = self._local
-        if self._mode == "dense":
-            dt2 = self.dt * self.dt
-            mass_dt2 = jnp.asarray(self.model.mass / dt2)
-            chol = self._chol
 
-            def prep(sn):
+        if self._mode == "dense":
+            def prep(sn, mats):
+                mass_dt2, chol = mats
                 return mass_dt2[:, None] * sn
 
-            def apply(c, sn, u_prev, ctx):
+            def apply(c, sn, u_prev, ctx, mats):
+                mass_dt2, chol = mats
                 q = jax.scipy.linalg.cho_solve(
                     (chol, True), (c + ctx).reshape(-1)).reshape(-1, 3)
                 return q, q - sn
         else:
-            prep, apply = make_device_global_solve(
-                self.model, self.dt, dense_limit=0, cg_tol=self.CG_TOL,
-                cg_max_iters=self.CG_MAX_ITERS)
+            from animsnapbases_tpu.ops.cg import ell_matvec, pcg_solve
 
-        def sweep(sn, targets, num_iterations):
-            ctx = prep(sn)
+            cg_tol, cg_max = self.CG_TOL, self.CG_MAX_ITERS
+
+            def prep(sn, mats):
+                mass_dt2, ecols, evals, dinv = mats
+                # -A_c s_n = -(A_d - mass/dt^2) s_n
+                return mass_dt2[:, None] * sn - ell_matvec(ecols, evals, sn)
+
+            def apply(c, sn, u_prev, ctx, mats):
+                mass_dt2, ecols, evals, dinv = mats
+
+                def matvec(x):
+                    return ell_matvec(ecols, evals, x)
+
+                u, _ = pcg_solve(matvec, dinv, c + ctx, u_prev,
+                                 tol=cg_tol, max_iters=cg_max)
+                return sn + u, u
+
+        def sweep(sn, targets, num_iterations, *mats):
+            ctx = prep(sn, mats)
 
             def it(q, u):
                 c, stacked = local(q, targets)
-                q, u = apply(c, sn, u, ctx)
+                q, u = apply(c, sn, u, ctx, mats)
                 return q, u, stacked
 
             q, u, stacked = it(sn, jnp.zeros_like(sn))
@@ -291,7 +340,7 @@ class Solver:
 
         if self._sweep is not None:
             q, stacked = self._sweep(jnp.asarray(sn), targets,
-                                     num_iterations)
+                                     num_iterations, *self._sweep_args)
         else:
             # host sparse-LU loop (reference-equivalent replay path)
             masses_term_j = jnp.asarray(
@@ -352,12 +401,11 @@ class Solver:
 
         recording = record or self.store_stacked_projections
         collide = self.enable_self_collision == "device"
-        key = (collide, recording)
+        key = (collide, recording, self._sweep_key)
         if self._run_scan is None or getattr(self, "_run_scan_key",
                                              None) != key:
             self._run_scan_key = key
             sweep = self._sweep_core
-            mass = jnp.asarray(model.mass)
             dt = self.dt
             dt2 = dt * dt
             floor = model.floor_collision
@@ -369,14 +417,14 @@ class Solver:
 
                 faces = jnp.asarray(model.faces)
 
-            def one_step(pos, vel, a, targets, num_iterations):
+            def one_step(pos, vel, a, targets, num_iterations, mats):
                 sn_raw = pos + dt * vel + dt2 * a
                 if floor:
                     sn = sn_raw.at[:, 1].set(
                         jnp.maximum(sn_raw[:, 1], floor_h))
                 else:
                     sn = sn_raw
-                q, stacked = sweep(sn, targets, num_iterations)
+                q, stacked = sweep(sn, targets, num_iterations, *mats)
                 if collide:
                     q = resolve_self_collision_device(q, faces)
                 # corrections convention matches step() /
@@ -387,13 +435,13 @@ class Solver:
                 # per-step outputs force a scan: one compile per distinct
                 # num_steps (recording runs have a fixed frame budget)
                 def run(positions, velocities, fext_j, targets_seq,
-                        num_iterations):
+                        num_iterations, mass, *mats):
                     a = fext_j / mass[:, None]
 
                     def body(carry, targets):
                         pos, vel = carry
                         q, v, corr, stacked = one_step(
-                            pos, vel, a, targets, num_iterations)
+                            pos, vel, a, targets, num_iterations, mats)
                         return (q, v), (q, stacked, corr)
 
                     (q, v), (traj, stacked_seq, corrs) = jax.lax.scan(
@@ -403,7 +451,7 @@ class Solver:
                 # no outputs: dynamic-trip-count fori_loop — one compile
                 # serves any num_steps and nothing is stacked in HBM
                 def run(positions, velocities, fext_j, targets_seq,
-                        num_iterations, num_steps):
+                        num_iterations, num_steps, mass, *mats):
                     a = fext_j / mass[:, None]
                     T = targets_seq.shape[0]
                     corr0 = jnp.zeros_like(positions)
@@ -412,7 +460,7 @@ class Solver:
                         pos, vel, _ = carry
                         q, v, corr, _ = one_step(
                             pos, vel, a, targets_seq[jnp.minimum(i, T - 1)],
-                            num_iterations)
+                            num_iterations, mats)
                         return q, v, corr
 
                     q, v, corr = jax.lax.fori_loop(
@@ -422,6 +470,7 @@ class Solver:
 
             self._run_scan = jax.jit(run)
 
+        mass_j = jnp.asarray(model.mass)
         if recording:
             # the scan consumes one target row per step
             targets_tl = jnp.asarray(np.stack(
@@ -429,14 +478,15 @@ class Solver:
                  for t in range(num_steps)]))
             q, v, traj, stacked_seq, corr = self._run_scan(
                 jnp.asarray(model.positions), jnp.asarray(model.velocities),
-                jnp.asarray(fext), targets_tl, num_iterations)
+                jnp.asarray(fext), targets_tl, num_iterations, mass_j,
+                *self._sweep_args)
         else:
             tl, _ = positional_targets_timeline(model, self.frame,
                                                 num_steps)
             q, v, traj, stacked_seq, corr = self._run_scan(
                 jnp.asarray(model.positions), jnp.asarray(model.velocities),
                 jnp.asarray(fext), jnp.asarray(tl), num_iterations,
-                num_steps)
+                num_steps, mass_j, *self._sweep_args)
         model.positions = np.asarray(q)
         model.velocities = np.asarray(v)
         if model.floor_collision:
