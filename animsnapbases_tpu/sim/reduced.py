@@ -54,6 +54,15 @@ from animsnapbases_tpu.sim.solver import (
     unflatten,
 )
 
+@partial(jax.jit, static_argnames=("T",))
+def _slice_rb_schedule(rb_full, start, T):
+    """(T, 3, r) window of the device-resident rb timeline starting at
+    frame ``start``, clamped at the schedule end (matching the frame-shift
+    clamp semantics, ref Constraint_projections.py:77-113)."""
+    idx = jnp.minimum(start + jnp.arange(T), rb_full.shape[0] - 1)
+    return rb_full[idx]
+
+
 GROUP_ARG_NAMES = {
     "verts_bending": ("vert_bending_reduced", "vert_bending_num_components"),
     "edge_spring": ("edge_spring_reduced", "edge_spring_num_components"),
@@ -240,6 +249,7 @@ class AnimSnapBasesSolver:
         self.enable_self_collision = False
         self._collision_mode = False
         self._collide_jit = None
+        self._rb_sched = None
 
     # ------------------------------------------------------------------
     def _cast(self, x):
@@ -256,6 +266,7 @@ class AnimSnapBasesSolver:
 
     def set_dirty(self):
         self.dirty = True
+        self._rb_sched = None        # positional schedule may have changed
 
     def set_clean(self):
         self.dirty = False
@@ -462,6 +473,12 @@ class AnimSnapBasesSolver:
             return None
         if mm_dtype.itemsize == 8 and not interpret:
             return None          # no native f64 dots in Mosaic
+        # per-call rb-timeline allowance: whatever the operand estimate
+        # leaves under ~80 MB of the 100 MB scoped limit (capped at 32 MB)
+        # — lets animated schedules run 8-16k-step chunks in one dispatch
+        self._rb_seq_limit = int(min(32 * (1 << 20),
+                                     max(80 * (1 << 20) - budget,
+                                         self.RESIDENT_RB_SEQ_LIMIT)))
 
         perm = np.concatenate([union,
                                np.setdiff1d(np.arange(n), union)])
@@ -476,6 +493,7 @@ class AnimSnapBasesSolver:
 
         pos_group = self.model.groups.get("positional")
         self._resident_utst = None
+        self._rb_sched = None
         if pos_group is not None:
             ST = pos_group.assembly_scipy(n)
             self._resident_utst = np.stack(
@@ -859,6 +877,33 @@ class AnimSnapBasesSolver:
         return positional_targets_timeline(self.model, self.frame,
                                            num_steps)
 
+    def _build_rb_schedule(self):
+        """Device-resident rb timeline for the FULL animated positional
+        schedule (uploaded once; per-call chunks are sliced on device).
+
+        ``rb[t, d] = (U^T S^T)_d @ targets(t)[:, d]`` decomposes into a
+        static term plus, per ``user_defined`` constraint i, a rank-1 term
+        ``shift_i[t, d] * utst[d, :, i]`` — so the whole timeline is built
+        from the tiny (T_i, 3) shift arrays in O(T·r) per constraint,
+        instead of a per-``run_steps``-call (T, e, 3) host einsum + H2D
+        transfer (which capped the animated poke path at ~9k steps/s over
+        the tunnel)."""
+        utst = self._resident_utst                       # (3, r, e_pos)
+        model = self.model
+        p0 = np.asarray(model.groups["positional"].data["p0"], dtype=float)
+        rb_static = np.einsum("dre,ed->dr", utst, p0)    # (3, r)
+        anim = [(i, np.asarray(c["frame_shift"], dtype=float))
+                for i, c in enumerate(model._positional)
+                if c["motion_type"] == "user_defined"
+                and c["frame_shift"] is not None]
+        T_total = max(len(sh) for _, sh in anim)
+        rb = np.repeat(rb_static[None], T_total, axis=0)  # (T, 3, r)
+        t_idx = np.arange(T_total)
+        for i, sh in anim:
+            shf = sh[np.minimum(t_idx, len(sh) - 1)]      # (T, 3)
+            rb += shf[:, :, None] * utst[None, :, :, i]
+        return self._cast(rb)
+
     # a per-call rb timeline larger than this skips the resident kernel
     # for that call (VMEM is budgeted at prepare time without knowing T)
     RESIDENT_RB_SEQ_LIMIT = 4 * (1 << 20)
@@ -883,12 +928,21 @@ class AnimSnapBasesSolver:
             run_fn, perm, iperm = self._resident
             r = self.U.shape[1]
             if self._resident_utst is not None and targets_tl.shape[1]:
-                # rb_seq[t, d] = (U^T S^T)_d @ targets[t, :, d]
-                rb_seq = np.einsum("dre,ted->tdr", self._resident_utst,
-                                   targets_tl)
+                if animated:
+                    # device-resident schedule, sliced on device: no host
+                    # einsum / H2D transfer inside the stepping loop
+                    if self._rb_sched is None:
+                        self._rb_sched = self._build_rb_schedule()
+                    rb_seq = _slice_rb_schedule(self._rb_sched, self.frame,
+                                                targets_tl.shape[0])
+                else:
+                    # static targets: one (1, 3, r) host contraction
+                    rb_seq = np.einsum("dre,ted->tdr", self._resident_utst,
+                                       targets_tl)
             else:
                 rb_seq = np.zeros((1, 3, r))
-            if rb_seq.nbytes <= self.RESIDENT_RB_SEQ_LIMIT:
+            if rb_seq.nbytes <= getattr(self, "_rb_seq_limit",
+                                        self.RESIDENT_RB_SEQ_LIMIT):
                 P = self._cast(np.ascontiguousarray(
                     model.positions[perm].T))
                 V = self._cast(np.ascontiguousarray(

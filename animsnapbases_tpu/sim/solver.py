@@ -547,8 +547,18 @@ def positional_targets_timeline(model: DeformableModel, frame: int,
     if remaining <= 0:
         return np.asarray(model.positional_targets(frame))[None], False
     t_eff = min(num_steps, remaining)
-    tl = np.stack([model.positional_targets(frame + t)
-                   for t in range(t_eff)])
+    # vectorized over frames: one fancy-index per animated constraint
+    # instead of t_eff python-level positional_targets(frame+t) calls
+    # (the host build would otherwise rival the device step time on
+    # multi-thousand-step animated chunks)
+    p0 = model.groups["positional"].data["p0"]
+    tl = np.repeat(np.asarray(p0, dtype=float)[None], t_eff, axis=0)
+    frames = frame + np.arange(t_eff)
+    for i, c in enumerate(model._positional):
+        if (c["motion_type"] == "user_defined"
+                and c["frame_shift"] is not None):
+            shift = c["frame_shift"]
+            tl[:, i] += shift[np.minimum(frames, len(shift) - 1)]
     t_pad = 1 << max(t_eff - 1, 0).bit_length()
     if t_pad > t_eff:
         tl = np.concatenate(

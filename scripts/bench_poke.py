@@ -1,0 +1,114 @@
+"""Benchmark: reduced-PD throughput with ANIMATED positional targets.
+
+Round-1 VERDICT item 3: the flagship throughput number only covered
+constraint schedules that never move, because ``run_steps`` froze the
+positional targets at the entry frame.  Round 2 ships a per-frame target
+timeline with each device dispatch (``sim/reduced.py:run_steps``); this
+bench measures the same bunny reduced-PD pipeline as ``bench.py`` but with
+a poke-style ``user_defined`` z-shift trajectory (ref
+``demos/calbacks.py:650-686,824-839``) driving one pinned vertex, so every
+step consumes a different target.
+
+Reuses the bench.py artifact cache.  Prints ONE JSON line:
+  {"metric": "reduced_pd_steps_per_sec_bunny_poke", "value": N,
+   "unit": "steps/s", "vs_baseline": N / 10000}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+
+import bench  # noqa: E402  (repo-root bench.py: cache + solver builders)
+
+# chunk of steps per device dispatch.  Power of two so the padded target
+# timeline hits one compilation; the per-call rb timeline
+# (16384 * 3 * 64 modes * 4 B = 12.6 MB) stays under the dynamic VMEM
+# allowance the solver computes at prepare time (~32 MB at bunny scale).
+CHUNK = 16384
+N_CHUNKS = 6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(bench.BENCH_DIR, "xla_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        bench.log(f"[bench_poke] compilation cache unavailable: {e}")
+
+    backend = jax.default_backend()
+    dtype = jnp.float32 if backend == "tpu" else None
+    bench.log(f"[bench_poke] backend={backend}")
+
+    meta = bench.run_fom_and_bases()
+    solver, model = bench.build_reduced_solver(meta, dtype)
+
+    # poke trajectory long enough that the targets stay animated for the
+    # whole timed run (warmup + N_CHUNKS * CHUNK steps)
+    from animsnapbases_tpu.demos.poke import create_poke_z_motion_with_jumps
+
+    total = (N_CHUNKS + 2) * CHUNK
+    cycles = total // 48 + 1
+    shift = create_poke_z_motion_with_jumps(f_l=40, f_j=8, k=cycles,
+                                            z_range=0.05)
+    assert len(shift) >= total
+    # poke the vertex nearest the centroid (free region of the bunny)
+    vi = int(np.argmin(np.linalg.norm(
+        model.positions - model.positions.mean(axis=0), axis=1)))
+    model.add_positional_constraint(vi, wi=1e7, motion_type="user_defined",
+                                    frame_shift=shift)
+    solver.set_dirty()
+    t0 = time.perf_counter()
+    solver.prepare(solver.args)
+    bench.log(f"[bench_poke] re-prepare with poke constraint "
+              f"{time.perf_counter() - t0:.1f}s")
+
+    f = bench.gravity(model)
+    p0, v0 = model.positions.copy(), model.velocities.copy()
+
+    def reset():
+        # each chunk replays the same 16k poke frames from the same state:
+        # an undamped sim poked for 100k+ consecutive frames resonates out
+        # of distribution (the reference's poke demos run a few hundred
+        # frames), which would measure divergence, not throughput
+        model.positions, model.velocities = p0.copy(), v0.copy()
+        solver.frame = 0
+
+    t0 = time.perf_counter()
+    solver.run_steps(f, CHUNK, num_iterations=10)       # warmup/compile
+    bench.log(f"[bench_poke] first chunk (compile) "
+              f"{time.perf_counter() - t0:.1f}s")
+    assert np.isfinite(model.positions).all()
+
+    best = float("inf")
+    for _ in range(N_CHUNKS):
+        reset()
+        t0 = time.perf_counter()
+        solver.run_steps(f, CHUNK, num_iterations=10)
+        best = min(best, time.perf_counter() - t0)
+    steps_per_sec = CHUNK / best
+    bench.log(f"[bench_poke] {CHUNK} animated-target steps in {best:.3f}s "
+              f"-> {steps_per_sec:,.0f} steps/s")
+    assert np.isfinite(model.positions).all()
+
+    print(json.dumps({
+        "metric": "reduced_pd_steps_per_sec_bunny_poke",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / bench.BASELINE_STEPS_PER_SEC,
+                             3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
