@@ -182,19 +182,34 @@ class ConstraintComponents:
 
         When ``self.pod_mesh`` is set (a jax.sharding.Mesh), the Gram
         matmul is sharded over its 'model' axis — the multi-chip bases
-        path (psum of per-shard X_s^T X_s)."""
+        path (psum of per-shard X_s^T X_s).  On a non-CPU default backend
+        the single-device variant runs the host BLAS twin instead
+        (:func:`snapshot_pod_host`): the snapshots are host artifacts and
+        the modes are stored back to host, so the device round trip is
+        pure link bandwidth (~200 MB at bunny scale — 7s over the axon
+        tunnel vs <1s of host BLAS)."""
         R = self.nonlinearSnapshots.snapTensor
         F = R.shape[0]
         e = self.nonlinearSnapshots.num_constained_elements
         p = self.nonlinearSnapshots.constraintsSize
 
-        X = jnp.asarray(R.reshape(F, -1).T)        # (e*p*3, F)
         mesh = getattr(self, "pod_mesh", None)
+        # effective platform honours a jax.default_device(cpu) scope (the
+        # CPU-pinned artifact builds), which default_backend() ignores
+        _dd = getattr(jax.config, "jax_default_device", None)
+        platform = _dd.platform if _dd is not None else jax.default_backend()
         if mesh is not None:
             from animsnapbases_tpu.ops.podlinalg import snapshot_pod_sharded
-            U, S, _ = snapshot_pod_sharded(X, mesh)
+            U, S, _ = snapshot_pod_sharded(jnp.asarray(R.reshape(F, -1).T),
+                                           mesh)
+        elif platform != "cpu":
+            from animsnapbases_tpu.ops.podlinalg import snapshot_pod_host
+            _k_req = self.param.deim_desired_num_components
+            U, S, _ = snapshot_pod_host(R.reshape(F, -1).T,
+                                        n_modes=_k_req if _k_req > 0
+                                        else None)
         else:
-            U, S, _ = snapshot_pod(X)
+            U, S, _ = snapshot_pod(jnp.asarray(R.reshape(F, -1).T))
         S = np.asarray(S)
         if writer is not None:
             for i, s in enumerate(S):
@@ -209,17 +224,21 @@ class ConstraintComponents:
             warnings.warn(f"pod_vectorized: requested {k} components but "
                           f"the snapshot rank is {rank}; truncating")
         k = min(k if k > 0 else F, rank)
-        # slice to the kept modes ON DEVICE before the host pull (large
-        # D2H fetches are slow on tunneled hosts), then fetch chunked
-        from animsnapbases_tpu.utils.transfer import to_host_chunked
+        if isinstance(U, np.ndarray):
+            Ck = U[:, :k].T                        # (k, e*p*3), host
+            self._comps_device = None
+        else:
+            # slice to the kept modes ON DEVICE before the host pull
+            # (large D2H fetches are slow on tunneled hosts), fetch
+            # chunked, and keep the device-resident modes so
+            # deim(device=True) skips the host->device round trip
+            from animsnapbases_tpu.utils.transfer import to_host_chunked
 
-        Ck = to_host_chunked(U[:, :k].T)           # (k, e*p*3)
+            Ck = to_host_chunked(U[:, :k].T)       # (k, e*p*3)
+            self._comps_device = U[:, :k].T.reshape(k, e * p, -1)
         self.comps = np.ascontiguousarray(
             Ck.reshape(k, e * p, -1)).astype(np.float64)
         self.numComp = k
-        # keep the device-resident modes so deim(device=True) skips the
-        # host->device round trip of the basis
-        self._comps_device = U[:, :k].T.reshape(k, e * p, -1)
 
     @log_time
     def compute_pod(self, writer=None):
@@ -456,7 +475,13 @@ class ConstraintComponents:
         Pt: list[int] = []
         e_points: list[int] = []
         e_range: list[int] = []
-        V = None
+        # selected modes kept per-dim TRANSPOSED and preallocated:
+        # VT[i, :k] is the C-contiguous (k, ep) view of V[:, :k, i].T, so
+        # the residual matvec streams contiguous rows and nothing is
+        # reallocated per iteration (the reference's growing concatenate
+        # copies ~14 GB over a K=100 bunny run)
+        VT = np.empty((d, K, bases.shape[0]))
+        sel = np.empty(K, dtype=np.int64)
         for k in range(K):
             vk = bases[:, k, :]               # (ep, d)
             if k == 0:
@@ -464,8 +489,10 @@ class ConstraintComponents:
             else:
                 c = np.empty(vk.shape)
                 for i in range(d):
-                    sol = np.linalg.lstsq(V[Pt, :, i], vk[Pt, i], rcond=None)[0]
-                    c[:, i] = V[:, :, i] @ sol
+                    # VT[i, :k][:, sel].T == V[Pt, :, i] (same values)
+                    sol = np.linalg.lstsq(VT[i, :k][:, sel[:k]].T,
+                                          vk[sel[:k], i], rcond=None)[0]
+                    c[:, i] = sol @ VT[i, :k]   # == V[:, :, i] @ sol
                 r = c - vk
                 if np.allclose(r, 0):
                     # basis exhausted (mode k already captured on the
@@ -482,8 +509,8 @@ class ConstraintComponents:
             e_points.append(idx // p)
             Pt.append(idx)
             e_range.append(len(e_points))
-            V = (vk[:, None, :] if V is None
-                 else np.concatenate((V, vk[:, None, :]), axis=1))
+            sel[k] = idx
+            VT[:, k, :] = vk.T
 
         self.geom_Pt = np.array(Pt)
         self.geom_alpha = np.array(e_points)
@@ -526,17 +553,23 @@ class ConstraintComponents:
         Pt: list[int] = []
         e_points: list[int] = []
         e_range: list[int] = []
-        V = None
+        # preallocated per-dim transposed storage, as in deim(): no
+        # per-iteration concatenate, contiguous streaming matmuls
+        VT = np.empty((d, K * p, bases.shape[0]))
+        sel = np.empty(K * p, dtype=np.int64)
         for k in range(K):
-            vk = bases[:, k * p:(k + 1) * p, :]  # (ep, p, d)
+            kp = k * p
+            vk = bases[:, kp:kp + p, :]       # (ep, p, d)
             if k == 0:
                 r = vk
             else:
                 c = np.empty(vk.shape)
                 for i in range(d):
-                    sol = np.linalg.lstsq(V[Pt, :, i], vk[Pt, :, i],
+                    # VT[i, :kp][:, sel].T == V[Pt, :, i] (same values)
+                    sol = np.linalg.lstsq(VT[i, :kp][:, sel[:kp]].T,
+                                          vk[sel[:kp], :, i],
                                           rcond=None)[0]
-                    c[:, :, i] = V[:, :, i] @ sol
+                    c[:, :, i] = (sol.T @ VT[i, :kp]).T
                 r = c - vk
                 if np.allclose(r, 0):
                     # basis exhausted: keep the selections made so far
@@ -544,7 +577,7 @@ class ConstraintComponents:
                     import warnings
                     warnings.warn(f"block-DEIM: zero residual at mode {k}; "
                                   f"truncating to {k} blocks")
-                    self.comps = self.comps[:k * p]
+                    self.comps = self.comps[:kp]
                     self.numComp = k
                     break
             idx = int(np.argmax((r ** 2).sum(axis=(1, 2))))
@@ -552,7 +585,9 @@ class ConstraintComponents:
             e_points.append(alpha)
             Pt.extend(alpha * p + m for m in range(p))
             e_range.append(len(e_points))
-            V = vk if V is None else np.concatenate((V, vk), axis=1)
+            sel[kp:kp + p] = alpha * p + np.arange(p)
+            for i in range(d):
+                VT[i, kp:kp + p] = vk[:, :, i].T
 
         self.geom_Pt = np.array(Pt)
         self.geom_alpha = np.array(e_points)

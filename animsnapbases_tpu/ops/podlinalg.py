@@ -32,6 +32,42 @@ def snapshot_pod(X: jnp.ndarray):
     return U, s, W.T
 
 
+def snapshot_pod_host(X, n_modes: int | None = None):
+    """Host (numpy f64) twin of :func:`snapshot_pod` — same Gram-matrix
+    method of snapshots, same zero-fill convention.
+
+    For host-resident snapshot matrices (the bases pipeline reads them from
+    ``.npz``/``.bin`` artifacts) consumed back on the host (the modes are
+    stored to ``.npz``), the POD is bandwidth-bound, not FLOP-bound: at
+    bunny scale the device path ships ~200 MB over the host<->TPU link for
+    ~14 GFLOP of matmul.  When that link is slow (tunneled hosts), the BLAS
+    Gram path wins by an order of magnitude; device/sharded paths remain
+    for device-resident or multi-chip snapshots.
+
+    ``n_modes`` restricts the returned left vectors to the leading modes
+    (U is (n, n_modes)); the full singular-value vector is returned either
+    way so callers can rank-truncate.  The Gram matmul runs as one dsyrk
+    (half the GEMM flops).
+    """
+    import numpy as np
+    from scipy.linalg import blas
+
+    X = np.asarray(X, dtype=np.float64)
+    F = X.shape[1]
+    k = F if n_modes is None else min(int(n_modes), F)
+    Xf = X if X.flags.c_contiguous or X.flags.f_contiguous else (
+        np.ascontiguousarray(X))
+    G = blas.dsyrk(1.0, Xf, trans=1, lower=0)       # upper triangle of X^T X
+    G = np.triu(G) + np.triu(G, 1).T
+    w, W = np.linalg.eigh(G)
+    w = w[::-1]
+    W = np.ascontiguousarray(W[:, ::-1])
+    s = np.sqrt(np.maximum(w, 0.0))
+    denom = np.where(s > 1e-12 * (s[0] + 1e-30), s, np.inf)
+    U = Xf @ (W[:, :k] / denom[None, :k])
+    return U, s, W.T
+
+
 def snapshot_pod_sharded(X, mesh, axis: str = "model"):
     """Multi-chip :func:`snapshot_pod`: the snapshot rows (the big n axis —
     vertices or constraint rows) are sharded over ``mesh[axis]``; the Gram

@@ -85,6 +85,27 @@ def test_resident_animated_targets_match_step_loop(pipeline):
     np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-5)
 
 
+def test_resident_animated_targets_past_schedule_end(pipeline):
+    """Chunked resident replay that runs PAST the poke schedule's last
+    frame: the device-resident rb timeline must clamp to its final value
+    (frame-shift clamp semantics), exactly like the per-frame step()."""
+    basis_dir, pos_path, _ = pipeline
+    s_res, m_res = _solver(basis_dir, pos_path, "interpret")
+    _add_poke(s_res, m_res)              # 18-frame schedule
+    assert s_res._resident is not None
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off")
+    _add_poke(s_ref, m_ref)
+    f = gravity_forces(m_ref)
+
+    for n in (10, 10, 10):               # 30 frames total, 12 past the end
+        s_res.run_steps(f, n, num_iterations=6)
+    for _ in range(30):
+        s_ref.step(f, num_iterations=6)
+
+    assert s_res.frame == 30
+    np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-5)
+
+
 def test_run_jit_animated_targets_match_step_loop(pipeline):
     """Same poke replay through the XLA run_steps path (pallas off),
     split into chunks the way scenario schedules drive it."""
