@@ -46,6 +46,42 @@ def estimate_vmem_bytes(n_verts: int, r: int, n_sel: int, g_total: int,
     return big + state + small + (1 << 20)
 
 
+def _make_iteration_loop(layout, gather_slices, term_dispatch, garrs,
+                         WT, G_allT, usel_inv, r, acc):
+    """The hyper-reduced local-global iteration loop shared by the
+    resident kernels: iterate(snT_sel (3, n_sel), rb_const (3, r),
+    num_iterations) -> rb (3, r)."""
+    def iterate(snT_sel, rb_const, num_iterations):
+        def body(_, inner):
+            qT, _ = inner
+            Vall = _dot(qT, G_allT, acc)
+            p_parts = []
+            off = 0
+            for (kind, cnt, smin, smax, pflips, block), slices in \
+                    zip(layout, gather_slices):
+                arrs = garrs[off:off + cnt]
+                off += cnt
+                gathered = [Vall[:, s:s + m] for s, m in slices]
+                p_parts.append(term_dispatch[kind](
+                    gathered, arrs, smin, smax, pflips, block))
+            pT = (p_parts[0] if len(p_parts) == 1
+                  else jnp.concatenate(p_parts, axis=1))
+            rb = rb_const + jnp.concatenate(
+                [_dot(pT[d:d + 1], WT[d], acc) for d in range(3)],
+                axis=0)
+            qT_new = snT_sel + jnp.concatenate(
+                [_dot(rb[d:d + 1], usel_inv[d], acc)
+                 for d in range(3)], axis=0)
+            return qT_new, rb
+
+        rb0 = jnp.zeros((3, r), dtype=snT_sel.dtype)
+        _, rb = jax.lax.fori_loop(0, num_iterations, body,
+                                  (snT_sel, rb0))
+        return rb
+
+    return iterate
+
+
 def build_resident_multistep(iteration_terms, gather_slices, layout,
                              G_allT: np.ndarray, WT_all: np.ndarray,
                              usel_inv: np.ndarray, inv3: np.ndarray,
@@ -78,9 +114,8 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
                     jnp.asarray(mass_inv)]
     n_const = len(const_inputs) + len(flat_arrays)
 
-    @partial(jax.jit, static_argnames=("num_iterations",))
-    def _run(P0, V0, fext, rb_extra, steps_arr, consts, arrays,
-             num_iterations):
+    def _body(P0, V0, fext, rb_extra, steps_arr, consts, arrays,
+              num_iterations):
         (usel_inv_a, inv3_a, WT_a, G_a, Ulift_a, utac_a, minv_a) = consts
         def kernel(*refs):
             (steps_ref, p_ref, v_ref, f_ref, rbex_ref, uselinv_ref, inv_ref,
@@ -96,11 +131,17 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
             WT = wt_ref[:]
             G_allT = gall_ref[:]
             m_inv = minv_ref[:]
-            t_len = rbex_ref.shape[0]                  # (T, 3, r)
+            t_len = rbex_ref.shape[0] // 3     # rb timeline as (3T, r):
+            # 2D layout tiles densely and the per-step dynamic load is a
+            # sublane-offset slice — a (T, 3, r) layout pads every (3, r)
+            # step entry to an (8, 128) tile (5x VMEM, ~10 us/step loads)
             # fext is constant across the whole call: fold dt^2 * f / m once
             fa = dt2 * f_ref[:] * m_inv
             mm_dtype = ulift_ref.dtype
             row_is_y = jax.lax.broadcasted_iota(jnp.int32, (3, n), 0) == 1
+            iterate = _make_iteration_loop(layout, gather_slices,
+                                           term_dispatch, garrs, WT,
+                                           G_allT, usel_inv, r, acc)
 
             def step(i, carry):
                 P, V = carry
@@ -108,7 +149,8 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
                 # index clamps so pow2 padding reuses compilations.
                 # Mosaic rejects dynamic_slice on VMEM values, but dynamic
                 # ref loads with pl.ds on the leading axis lower fine.
-                rb_extra = rbex_ref[pl.ds(jnp.minimum(i, t_len - 1), 1)][0]
+                rb_extra = rbex_ref[
+                    pl.ds(3 * jnp.minimum(i, t_len - 1), 3)]
                 sn = P + dt * V + fa
                 if floor:
                     sn = jnp.where(row_is_y & (sn < floor_h), floor_h, sn)
@@ -117,32 +159,7 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
                     [_dot(sn[d:d + 1].astype(mm_dtype), utac_ref[d], acc)
                      for d in range(3)], axis=0)             # (3, r)
                 snT_sel = sn[:, :n_sel]
-
-                def body(_, inner):
-                    qT, _ = inner
-                    Vall = _dot(qT, G_allT, acc)
-                    p_parts = []
-                    off = 0
-                    for (kind, cnt, smin, smax, pflips, block), slices in \
-                            zip(layout, gather_slices):
-                        arrs = garrs[off:off + cnt]
-                        off += cnt
-                        gathered = [Vall[:, s:s + m] for s, m in slices]
-                        p_parts.append(term_dispatch[kind](
-                            gathered, arrs, smin, smax, pflips, block))
-                    pT = (p_parts[0] if len(p_parts) == 1
-                          else jnp.concatenate(p_parts, axis=1))
-                    rb = rb_const + jnp.concatenate(
-                        [_dot(pT[d:d + 1], WT[d], acc) for d in range(3)],
-                        axis=0)
-                    qT_new = snT_sel + jnp.concatenate(
-                        [_dot(rb[d:d + 1], usel_inv[d], acc)
-                         for d in range(3)], axis=0)
-                    return qT_new, rb
-
-                rb0 = jnp.zeros((3, r), dtype=sn.dtype)
-                _, rb = jax.lax.fori_loop(0, num_iterations, body,
-                                          (snT_sel, rb0))
+                rb = iterate(snT_sel, rb_const, num_iterations)
                 u = jnp.concatenate(
                     [_dot(rb[d:d + 1], inv[d], acc) for d in range(3)],
                     axis=0)                                   # (3, r)
@@ -177,7 +194,21 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
                        pl.BlockSpec(memory_space=pltpu.VMEM)),
             compiler_params=compiler_params,
             interpret=interpret,
-        )(steps_arr, P0, V0, fext, rb_extra, *consts, *arrays)
+        )(steps_arr, P0, V0, fext,
+          rb_extra.reshape(-1, rb_extra.shape[-1]), *consts, *arrays)
+
+    _run = partial(jax.jit, static_argnames=("num_iterations",))(_body)
+
+    @partial(jax.jit, static_argnames=("num_iterations", "t_window"))
+    def _run_windowed(P0, V0, fext, rb_full, start, steps_arr, consts,
+                      arrays, num_iterations, t_window):
+        # window slice fused into the SAME dispatch as the kernel call —
+        # a separate jit for the slice costs a full host round trip per
+        # chunk on tunneled hosts
+        idx = jnp.minimum(start + jnp.arange(t_window),
+                          rb_full.shape[0] - 1)
+        return _body(P0, V0, fext, rb_full[idx], steps_arr, consts,
+                     arrays, num_iterations)
 
     def run(P0, V0, fext, rb_extra, num_steps, num_iterations):
         # operands passed as traced args (not closure constants): keeps the
@@ -187,4 +218,238 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
                     tuple(const_inputs), tuple(flat_arrays),
                     num_iterations)
 
+    def run_windowed(P0, V0, fext, rb_full, start, t_window, num_steps,
+                     num_iterations):
+        """One-dispatch animated stepping: slices the (T_total, 3, r)
+        device-resident rb schedule at ``start`` (clamped) inside the same
+        jit as the kernel."""
+        steps_arr = jnp.asarray([[num_steps]], dtype=jnp.int32)
+        return _run_windowed(P0, V0, fext, rb_full,
+                             jnp.asarray(start, dtype=jnp.int32),
+                             steps_arr, tuple(const_inputs),
+                             tuple(flat_arrays), num_iterations,
+                             t_window)
+
+    run.windowed = run_windowed
+    return run
+
+
+def build_resident_affine(iteration_terms, gather_slices, layout,
+                          G_allT: np.ndarray, WT_all: np.ndarray,
+                          usel_inv: np.ndarray, inv3: np.ndarray,
+                          U_liftT: np.ndarray, ut_acT: np.ndarray,
+                          M_utac: np.ndarray, U_selT: np.ndarray,
+                          mass_inv: np.ndarray, dt: float,
+                          n_sel: int, rebase_every: int = 256,
+                          interpret: bool = False):
+    """Affine-coordinate resident kernel: contact-free steps never touch
+    the full vertex space.
+
+    With the floor clamp off (and no other full-space nonlinearity inside
+    the step) the PD recursion stays in the affine subspace
+    ``span{P_entry, V_entry, fa} (+) range(U)``: positions/velocities are
+    carried as (3, 3) base coefficients plus (3, r) reduced coordinates,
+    so the per-step cost drops from two full (r x N) matvec pairs to a few
+    r x r contractions — the (3, N) state is materialized once per call
+    (and at periodic REBASES, see below), not once per step.
+
+    Exactness: identical math to :func:`build_resident_multistep` with
+    ``floor=False`` — the gravity/step recursions are linear and the
+    nonlinear constraint projections only ever read the n_sel selected
+    vertices, whose values are reconstructed exactly from the affine
+    coordinates.
+
+    Rebasing: the fa-coefficient of the velocity grows by 1/dt per step;
+    left unchecked it reaches ~1e6 over long chunks and f32 cancellation
+    eats the state.  Every ``rebase_every`` steps the kernel re-anchors
+    the base pair (b0, b1) at the CURRENT materialized state and resets
+    the coefficients — bounding all coefficients to O(rebase_every) — and
+    re-projects the new bases through ut_acT (same bf16-storage rounding
+    the standard kernel pays on every step's ``U^T A_c sn`` matvec).
+
+    M_utac (3, r, r) = per-dim ``(U^T A_c) U`` (f32, host-precomputed);
+    U_selT (3, r, n_sel) = plain selected-vertex basis rows (f32).
+    """
+    acc = jnp.float32 if U_liftT.dtype != np.float64 else jnp.float64
+    r = inv3.shape[1]
+    n = U_liftT.shape[2]
+    dt2 = dt * dt
+    state_dtype = mass_inv.dtype
+
+    flat_arrays = [jnp.asarray(g) for g in iteration_terms["flat_arrays"]]
+    term_dispatch = iteration_terms["dispatch"]
+
+    const_inputs = [jnp.asarray(usel_inv), jnp.asarray(inv3),
+                    jnp.asarray(WT_all), jnp.asarray(G_allT),
+                    jnp.asarray(U_liftT), jnp.asarray(ut_acT),
+                    jnp.asarray(M_utac), jnp.asarray(U_selT),
+                    jnp.asarray(mass_inv)]
+    n_const = len(const_inputs) + len(flat_arrays)
+
+    def _body(P0, V0, fext, rb_extra, steps_arr, consts, arrays,
+              num_iterations):
+        def kernel(*refs):
+            (steps_ref, p_ref, v_ref, f_ref, rbex_ref, uselinv_ref, inv_ref,
+             wt_ref, gall_ref, ulift_ref, utac_ref, mutac_ref, uselt_ref,
+             minv_ref) = refs[:14]
+            garrs = [ref[:] for ref in refs[14:14 + len(flat_arrays)]]
+            (out_p_ref, out_v_ref, b0_ref, b1_ref, bu0_ref,
+             bu1_ref) = refs[14 + len(flat_arrays):]
+
+            usel_inv = uselinv_ref[:]
+            inv = inv_ref[:]
+            WT = wt_ref[:]
+            G_allT = gall_ref[:]
+            mutac = mutac_ref[:]
+            uselT = uselt_ref[:]
+            m_inv = minv_ref[:]
+            t_len = rbex_ref.shape[0] // 3   # (3T, r) layout, see above
+            fa = dt2 * f_ref[:] * m_inv                 # constant per call
+            mm_dtype = ulift_ref.dtype
+            iterate = _make_iteration_loop(layout, gather_slices,
+                                           term_dispatch, garrs, WT,
+                                           G_allT, usel_inv, r, acc)
+            # base-coefficient selectors (identity rows over
+            # [b0, b1, fa]) built in-kernel: pallas cannot capture host
+            # constants
+            _col = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
+            e0 = (_col == 0).astype(fa.dtype)
+            e1 = (_col == 1).astype(fa.dtype)
+            e2 = (_col == 2).astype(fa.dtype)
+            fa_sel = fa[:, :n_sel]
+            bu_fa = jnp.concatenate(
+                [_dot(fa[d:d + 1].astype(mm_dtype), utac_ref[d], acc)
+                 for d in range(3)], axis=0)            # (3, r)
+
+            def project_base(X):
+                """(3, r) rows of X through U^T A_c (bf16-storage dots)."""
+                return jnp.concatenate(
+                    [_dot(X[d:d + 1].astype(mm_dtype), utac_ref[d], acc)
+                     for d in range(3)], axis=0)
+
+            def materialize(a, w):
+                """(3, N) state from base coefficients + reduced coords."""
+                out = (a[:, 0:1] * b0_ref[:] + a[:, 1:2] * b1_ref[:]
+                       + a[:, 2:3] * fa)
+                return out + jnp.concatenate(
+                    [_dot(w[d:d + 1].astype(mm_dtype), ulift_ref[d], acc)
+                     for d in range(3)], axis=0)
+
+            # anchor the bases at the entry state
+            b0_ref[:] = p_ref[:]
+            b1_ref[:] = v_ref[:]
+            bu0_ref[:] = project_base(p_ref[:])
+            bu1_ref[:] = project_base(v_ref[:])
+
+            def step(i, carry):
+                ap, av, wp, wv = carry
+
+                do = jnp.logical_and(
+                    i > 0,
+                    jax.lax.rem(i, jnp.asarray(rebase_every,
+                                               dtype=i.dtype)) == 0)
+
+                @pl.when(do)
+                def _rebase():
+                    Pf = materialize(ap, wp)
+                    Vf = materialize(av, wv)
+                    b0_ref[:] = Pf
+                    b1_ref[:] = Vf
+                    bu0_ref[:] = project_base(Pf)
+                    bu1_ref[:] = project_base(Vf)
+
+                ap_ = jnp.where(do, e0, ap)
+                av_ = jnp.where(do, e1, av)
+                wp_ = jnp.where(do, jnp.zeros_like(wp), wp)
+                wv_ = jnp.where(do, jnp.zeros_like(wv), wv)
+
+                rb_ex = rbex_ref[pl.ds(3 * jnp.minimum(i, t_len - 1), 3)]
+                asn = ap_ + dt * av_ + e2
+                wsn = wp_ + dt * wv_
+                rb_lin = (asn[:, 0:1] * bu0_ref[:]
+                          + asn[:, 1:2] * bu1_ref[:]
+                          + asn[:, 2:3] * bu_fa
+                          + jnp.concatenate(
+                              [_dot(wsn[d:d + 1], mutac[d], acc)
+                               for d in range(3)], axis=0))
+                rb_const = rb_ex - rb_lin
+                snT_sel = (asn[:, 0:1] * b0_ref[:, :n_sel]
+                           + asn[:, 1:2] * b1_ref[:, :n_sel]
+                           + asn[:, 2:3] * fa_sel
+                           + jnp.concatenate(
+                               [_dot(wsn[d:d + 1], uselT[d], acc)
+                                for d in range(3)], axis=0))
+                rb = iterate(snT_sel, rb_const, num_iterations)
+                u = jnp.concatenate(
+                    [_dot(rb[d:d + 1], inv[d], acc) for d in range(3)],
+                    axis=0)
+                wq = wsn + u
+                # aq == asn and (aq - ap)/dt == av + e2/dt exactly: update
+                # the coefficients without the cancellation-prone subtract
+                return asn, av_ + e2 / dt, wq, (wq - wp_) / dt
+
+            z = jnp.zeros((3, r), dtype=fa.dtype)
+            ap, av, wp, wv = jax.lax.fori_loop(
+                0, steps_ref[0, 0], step, (e0, e1, z, z))
+            out_p_ref[:] = materialize(ap, wp)
+            out_v_ref[:] = materialize(av, wv)
+
+        out_shape = (jax.ShapeDtypeStruct((3, n), P0.dtype),
+                     jax.ShapeDtypeStruct((3, n), P0.dtype))
+        in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                    * (4 + n_const))
+        compiler_params = None
+        if not interpret:
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * (1 << 20))
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            scratch_shapes=[pltpu.VMEM((3, n), jnp.dtype(state_dtype)),
+                            pltpu.VMEM((3, n), jnp.dtype(state_dtype)),
+                            pltpu.VMEM((3, r), jnp.dtype(state_dtype)),
+                            pltpu.VMEM((3, r), jnp.dtype(state_dtype))],
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(steps_arr, P0, V0, fext,
+          rb_extra.reshape(-1, rb_extra.shape[-1]), *consts, *arrays)
+
+    _run = partial(jax.jit, static_argnames=("num_iterations",))(_body)
+
+    @partial(jax.jit, static_argnames=("num_iterations", "t_window"))
+    def _run_windowed(P0, V0, fext, rb_full, start, steps_arr, consts,
+                      arrays, num_iterations, t_window):
+        # window slice fused into the SAME dispatch as the kernel call —
+        # a separate jit for the slice costs a full host round trip per
+        # chunk on tunneled hosts
+        idx = jnp.minimum(start + jnp.arange(t_window),
+                          rb_full.shape[0] - 1)
+        return _body(P0, V0, fext, rb_full[idx], steps_arr, consts,
+                     arrays, num_iterations)
+
+    def run(P0, V0, fext, rb_extra, num_steps, num_iterations):
+        # operands passed as traced args (not closure constants): keeps the
+        # HLO small and the persistent compilation cache effective
+        steps_arr = jnp.asarray([[num_steps]], dtype=jnp.int32)
+        return _run(P0, V0, fext, rb_extra, steps_arr,
+                    tuple(const_inputs), tuple(flat_arrays),
+                    num_iterations)
+
+    def run_windowed(P0, V0, fext, rb_full, start, t_window, num_steps,
+                     num_iterations):
+        """One-dispatch animated stepping: slices the (T_total, 3, r)
+        device-resident rb schedule at ``start`` (clamped) inside the same
+        jit as the kernel."""
+        steps_arr = jnp.asarray([[num_steps]], dtype=jnp.int32)
+        return _run_windowed(P0, V0, fext, rb_full,
+                             jnp.asarray(start, dtype=jnp.int32),
+                             steps_arr, tuple(const_inputs),
+                             tuple(flat_arrays), num_iterations,
+                             t_window)
+
+    run.windowed = run_windowed
     return run

@@ -54,15 +54,6 @@ from animsnapbases_tpu.sim.solver import (
     unflatten,
 )
 
-@partial(jax.jit, static_argnames=("T",))
-def _slice_rb_schedule(rb_full, start, T):
-    """(T, 3, r) window of the device-resident rb timeline starting at
-    frame ``start``, clamped at the schedule end (matching the frame-shift
-    clamp semantics, ref Constraint_projections.py:77-113)."""
-    idx = jnp.minimum(start + jnp.arange(T), rb_full.shape[0] - 1)
-    return rb_full[idx]
-
-
 GROUP_ARG_NAMES = {
     "verts_bending": ("vert_bending_reduced", "vert_bending_num_components"),
     "edge_spring": ("edge_spring_reduced", "edge_spring_num_components"),
@@ -500,12 +491,34 @@ class AnimSnapBasesSolver:
                 [self.U[:, :, d].T @ ST.toarray() for d in range(3)]).astype(
                 np_dtype)                                    # (3, r, e_pos)
 
+        if not self.model.floor_collision:
+            # contact-free scenes: the affine-coordinate kernel never
+            # touches the full vertex space inside the step loop (exact —
+            # the floor clamp is the only full-space nonlinearity)
+            from animsnapbases_tpu.ops.pallas_resident import (
+                build_resident_affine,
+            )
+
+            M_utac = np.stack(
+                [self._ut_ac_np[d] @ self.U[:, :, d]
+                 for d in range(3)]).astype(np_dtype)      # (3, r, r)
+            run = build_resident_affine(
+                ops, ops["gather_slices"], ops["layout"],
+                ops["G_allT"], ops["WT_all"], ops["usel_inv"],
+                ops["inv3"], U_liftT, ut_acT, M_utac,
+                U_selT.astype(np_dtype), mass_inv, self.dt, n_sel,
+                rebase_every=getattr(self, "resident_rebase_every", 256),
+                interpret=interpret)
+            self._resident_kind = "affine"
+            return run, perm, iperm
+
         run = build_resident_multistep(
             ops, ops["gather_slices"], ops["layout"],
             ops["G_allT"], ops["WT_all"], ops["usel_inv"], ops["inv3"],
             U_liftT, ut_acT, mass_inv, self.dt,
             self.model.floor_collision, self.model.floor_height,
             n_sel, interpret=interpret)
+        self._resident_kind = "standard"
         return run, perm, iperm
 
     def _build_step(self):
@@ -922,27 +935,55 @@ class AnimSnapBasesSolver:
                 self.step(fext, num_iterations)
             return
         model = self.model
-        targets_tl, animated = self._targets_timeline(num_steps)
+        # animation horizon WITHOUT building the (T, e, 3) host timeline —
+        # the resident path never needs it (it works from the device rb
+        # schedule), and building 16k-frame windows per chunk would rival
+        # the kernel time
+        remaining = 0
+        for c in getattr(model, "_positional", []):
+            if (c["motion_type"] == "user_defined"
+                    and c["frame_shift"] is not None):
+                remaining = max(remaining,
+                                len(c["frame_shift"]) - self.frame)
+        animated = remaining > 0
         if (getattr(self, "_resident", None) is not None
                 and not self.enable_self_collision):
             run_fn, perm, iperm = self._resident
             r = self.U.shape[1]
-            if self._resident_utst is not None and targets_tl.shape[1]:
-                if animated:
-                    # device-resident schedule, sliced on device: no host
-                    # einsum / H2D transfer inside the stepping loop
-                    if self._rb_sched is None:
-                        self._rb_sched = self._build_rb_schedule()
-                    rb_seq = _slice_rb_schedule(self._rb_sched, self.frame,
-                                                targets_tl.shape[0])
-                else:
-                    # static targets: one (1, 3, r) host contraction
-                    rb_seq = np.einsum("dre,ted->tdr", self._resident_utst,
-                                       targets_tl)
+            call = None
+            if self._resident_utst is not None and animated:
+                # device-resident schedule, window-sliced INSIDE the
+                # kernel's jit (one dispatch per chunk): no host einsum,
+                # no H2D transfer, no second dispatch for the slice.
+                # pow2-padded window (index clamps in-kernel) so
+                # compilations are reused across run lengths.
+                if self._rb_sched is None:
+                    self._rb_sched = self._build_rb_schedule()
+                t_eff = min(num_steps, remaining)
+                t_pad = 1 << max(t_eff - 1, 0).bit_length()
+                rb_bytes = t_pad * 3 * r * self._rb_sched.dtype.itemsize
+                sched, frame = self._rb_sched, self.frame
+
+                def call(P, V, Fx):
+                    return run_fn.windowed(P, V, Fx, sched, frame, t_pad,
+                                           num_steps, num_iterations)
             else:
-                rb_seq = np.zeros((1, 3, r))
-            if rb_seq.nbytes <= getattr(self, "_rb_seq_limit",
-                                        self.RESIDENT_RB_SEQ_LIMIT):
+                if self._resident_utst is not None:
+                    # static targets: one (1, 3, r) host contraction
+                    rb_seq = np.einsum(
+                        "dre,ted->tdr", self._resident_utst,
+                        np.asarray(model.positional_targets(
+                            self.frame))[None])
+                else:
+                    rb_seq = np.zeros((1, 3, r))
+                rb_bytes = rb_seq.nbytes
+                rb_dev = self._cast(rb_seq)
+
+                def call(P, V, Fx):
+                    return run_fn(P, V, Fx, rb_dev, num_steps,
+                                  num_iterations)
+            if rb_bytes <= getattr(self, "_rb_seq_limit",
+                                   self.RESIDENT_RB_SEQ_LIMIT):
                 P = self._cast(np.ascontiguousarray(
                     model.positions[perm].T))
                 V = self._cast(np.ascontiguousarray(
@@ -950,8 +991,7 @@ class AnimSnapBasesSolver:
                 Fx = self._cast(np.ascontiguousarray(
                     np.asarray(fext)[perm].T))
                 try:
-                    Pf, Vf = run_fn(P, V, Fx, self._cast(rb_seq), num_steps,
-                                    num_iterations)
+                    Pf, Vf = call(P, V, Fx)
                 except Exception as e:
                     # Mosaic may only discover at compile time that the
                     # operands + staging exceed scoped VMEM; disable the
@@ -966,6 +1006,7 @@ class AnimSnapBasesSolver:
                     model.velocities = np.asarray(Vf, dtype=float).T[iperm]
                     self.frame += num_steps
                     return
+        targets_tl, _ = self._targets_timeline(num_steps)
         p, v = self._run_jit(self._cast(model.positions),
                              self._cast(model.velocities), self._cast(fext),
                              self._cast(targets_tl), num_steps=num_steps,

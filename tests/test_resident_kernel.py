@@ -8,7 +8,8 @@ from test_sim_reduced_position import pipeline  # noqa: F401
 from test_sim_solver import gravity_forces, make_cloth_solver, sim_args
 
 
-def _solver(basis_dir, pos_path, pallas_mode):
+def _solver(basis_dir, pos_path, pallas_mode, floor=True,
+            rebase_every=None):
     from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
 
     args = sim_args(
@@ -21,7 +22,11 @@ def _solver(basis_dir, pos_path, pallas_mode):
         position_basis_file=pos_path)
     solver = AnimSnapBasesSolver(args, pallas_mode=pallas_mode)
     _, model = make_cloth_solver(rows=5, cols=5, wi=1e4, tilt=0.15)
+    if not floor:
+        model.floor_collision = False
     solver.set_model(model)
+    if rebase_every is not None:
+        solver.resident_rebase_every = rebase_every
     solver.prepare(args)
     return solver, model
 
@@ -124,6 +129,75 @@ def test_run_jit_animated_targets_match_step_loop(pipeline):
     assert s_b.frame == 18
     np.testing.assert_allclose(m_b.positions, m_a.positions, atol=1e-8)
     np.testing.assert_allclose(m_b.velocities, m_a.velocities, atol=1e-7)
+
+
+def test_affine_kernel_selected_when_floor_off(pipeline):
+    basis_dir, pos_path, _ = pipeline
+    s, _ = _solver(basis_dir, pos_path, "interpret", floor=False)
+    assert s._resident is not None
+    assert s._resident_kind == "affine"
+    s2, _ = _solver(basis_dir, pos_path, "interpret", floor=True)
+    assert s2._resident_kind == "standard"
+
+
+def test_affine_matches_step_loop(pipeline):
+    """Contact-free scene: the affine-coordinate resident kernel must
+    match the per-frame jitted step() exactly (same math, no clamp)."""
+    basis_dir, pos_path, _ = pipeline
+    s_res, m_res = _solver(basis_dir, pos_path, "interpret", floor=False)
+    assert s_res._resident_kind == "affine"
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=False)
+    f = gravity_forces(m_ref)
+
+    s_res.run_steps(f, 8, num_iterations=6)
+    for _ in range(8):
+        s_ref.step(f, num_iterations=6)
+
+    assert s_res._resident is not None, "affine kernel fell back"
+    assert s_res.frame == 8
+    np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-6)
+    np.testing.assert_allclose(m_res.velocities, m_ref.velocities,
+                               atol=1e-4)
+
+
+def test_affine_rebase_crossing_matches(pipeline):
+    """A run that crosses several rebase boundaries (rebase_every=4) must
+    agree with the per-frame step loop — the re-anchored bases and reset
+    coefficients represent the same state."""
+    basis_dir, pos_path, _ = pipeline
+    s_res, m_res = _solver(basis_dir, pos_path, "interpret", floor=False,
+                           rebase_every=4)
+    assert s_res._resident_kind == "affine"
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=False)
+    f = gravity_forces(m_ref)
+
+    s_res.run_steps(f, 19, num_iterations=6)   # 4 rebases
+    for _ in range(19):
+        s_ref.step(f, num_iterations=6)
+
+    assert s_res._resident is not None, "affine kernel fell back"
+    np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-6)
+
+
+def test_affine_animated_targets_match(pipeline):
+    """Poke schedule through the affine kernel: the rb timeline applies
+    per step and the run continues past the schedule end (clamped)."""
+    basis_dir, pos_path, _ = pipeline
+    s_res, m_res = _solver(basis_dir, pos_path, "interpret", floor=False,
+                           rebase_every=8)
+    _add_poke(s_res, m_res)
+    assert s_res._resident_kind == "affine"
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=False)
+    _add_poke(s_ref, m_ref)
+    f = gravity_forces(m_ref)
+
+    for n in (12, 12):                   # 24 frames, 6 past schedule end
+        s_res.run_steps(f, n, num_iterations=6)
+    for _ in range(24):
+        s_ref.step(f, num_iterations=6)
+
+    assert s_res._resident is not None, "affine kernel fell back"
+    np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-5)
 
 
 def test_resident_vmem_gate():
