@@ -197,7 +197,9 @@ class ConstraintComponents:
         # effective platform honours a jax.default_device(cpu) scope (the
         # CPU-pinned artifact builds), which default_backend() ignores
         _dd = getattr(jax.config, "jax_default_device", None)
-        platform = _dd.platform if _dd is not None else jax.default_backend()
+        # jax accepts a Device OR a platform string here
+        platform = (getattr(_dd, "platform", _dd) if _dd is not None
+                    else jax.default_backend())
         if mesh is not None:
             from animsnapbases_tpu.ops.podlinalg import snapshot_pod_sharded
             U, S, _ = snapshot_pod_sharded(jnp.asarray(R.reshape(F, -1).T),

@@ -82,6 +82,45 @@ def _make_iteration_loop(layout, gather_slices, term_dispatch, garrs,
     return iterate
 
 
+def _make_runners(_body, const_inputs, flat_arrays):
+    """Wrap a resident-kernel body into ``run`` (rb timeline passed with
+    the call) and ``run.windowed`` (window sliced from a device-resident
+    schedule INSIDE the same jit — a separate jit for the slice would
+    cost a full host round trip per chunk on tunneled hosts)."""
+    _run = partial(jax.jit, static_argnames=("num_iterations",))(_body)
+
+    @partial(jax.jit, static_argnames=("num_iterations", "t_window"))
+    def _run_windowed(P0, V0, fext, rb_full, start, steps_arr, consts,
+                      arrays, num_iterations, t_window):
+        idx = jnp.minimum(start + jnp.arange(t_window),
+                          rb_full.shape[0] - 1)
+        return _body(P0, V0, fext, rb_full[idx], steps_arr, consts,
+                     arrays, num_iterations)
+
+    def run(P0, V0, fext, rb_extra, num_steps, num_iterations):
+        # operands passed as traced args (not closure constants): keeps the
+        # HLO small and the persistent compilation cache effective
+        steps_arr = jnp.asarray([[num_steps]], dtype=jnp.int32)
+        return _run(P0, V0, fext, rb_extra, steps_arr,
+                    tuple(const_inputs), tuple(flat_arrays),
+                    num_iterations)
+
+    def run_windowed(P0, V0, fext, rb_full, start, t_window, num_steps,
+                     num_iterations):
+        """One-dispatch animated stepping: slices the (T_total, 3, r)
+        device-resident rb schedule at ``start`` (clamped) inside the same
+        jit as the kernel."""
+        steps_arr = jnp.asarray([[num_steps]], dtype=jnp.int32)
+        return _run_windowed(P0, V0, fext, rb_full,
+                             jnp.asarray(start, dtype=jnp.int32),
+                             steps_arr, tuple(const_inputs),
+                             tuple(flat_arrays), num_iterations,
+                             t_window)
+
+    run.windowed = run_windowed
+    return run
+
+
 def build_resident_multistep(iteration_terms, gather_slices, layout,
                              G_allT: np.ndarray, WT_all: np.ndarray,
                              usel_inv: np.ndarray, inv3: np.ndarray,
@@ -197,41 +236,7 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
         )(steps_arr, P0, V0, fext,
           rb_extra.reshape(-1, rb_extra.shape[-1]), *consts, *arrays)
 
-    _run = partial(jax.jit, static_argnames=("num_iterations",))(_body)
-
-    @partial(jax.jit, static_argnames=("num_iterations", "t_window"))
-    def _run_windowed(P0, V0, fext, rb_full, start, steps_arr, consts,
-                      arrays, num_iterations, t_window):
-        # window slice fused into the SAME dispatch as the kernel call —
-        # a separate jit for the slice costs a full host round trip per
-        # chunk on tunneled hosts
-        idx = jnp.minimum(start + jnp.arange(t_window),
-                          rb_full.shape[0] - 1)
-        return _body(P0, V0, fext, rb_full[idx], steps_arr, consts,
-                     arrays, num_iterations)
-
-    def run(P0, V0, fext, rb_extra, num_steps, num_iterations):
-        # operands passed as traced args (not closure constants): keeps the
-        # HLO small and the persistent compilation cache effective
-        steps_arr = jnp.asarray([[num_steps]], dtype=jnp.int32)
-        return _run(P0, V0, fext, rb_extra, steps_arr,
-                    tuple(const_inputs), tuple(flat_arrays),
-                    num_iterations)
-
-    def run_windowed(P0, V0, fext, rb_full, start, t_window, num_steps,
-                     num_iterations):
-        """One-dispatch animated stepping: slices the (T_total, 3, r)
-        device-resident rb schedule at ``start`` (clamped) inside the same
-        jit as the kernel."""
-        steps_arr = jnp.asarray([[num_steps]], dtype=jnp.int32)
-        return _run_windowed(P0, V0, fext, rb_full,
-                             jnp.asarray(start, dtype=jnp.int32),
-                             steps_arr, tuple(const_inputs),
-                             tuple(flat_arrays), num_iterations,
-                             t_window)
-
-    run.windowed = run_windowed
-    return run
+    return _make_runners(_body, const_inputs, flat_arrays)
 
 
 def build_resident_affine(iteration_terms, gather_slices, layout,
@@ -418,38 +423,4 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
         )(steps_arr, P0, V0, fext,
           rb_extra.reshape(-1, rb_extra.shape[-1]), *consts, *arrays)
 
-    _run = partial(jax.jit, static_argnames=("num_iterations",))(_body)
-
-    @partial(jax.jit, static_argnames=("num_iterations", "t_window"))
-    def _run_windowed(P0, V0, fext, rb_full, start, steps_arr, consts,
-                      arrays, num_iterations, t_window):
-        # window slice fused into the SAME dispatch as the kernel call —
-        # a separate jit for the slice costs a full host round trip per
-        # chunk on tunneled hosts
-        idx = jnp.minimum(start + jnp.arange(t_window),
-                          rb_full.shape[0] - 1)
-        return _body(P0, V0, fext, rb_full[idx], steps_arr, consts,
-                     arrays, num_iterations)
-
-    def run(P0, V0, fext, rb_extra, num_steps, num_iterations):
-        # operands passed as traced args (not closure constants): keeps the
-        # HLO small and the persistent compilation cache effective
-        steps_arr = jnp.asarray([[num_steps]], dtype=jnp.int32)
-        return _run(P0, V0, fext, rb_extra, steps_arr,
-                    tuple(const_inputs), tuple(flat_arrays),
-                    num_iterations)
-
-    def run_windowed(P0, V0, fext, rb_full, start, t_window, num_steps,
-                     num_iterations):
-        """One-dispatch animated stepping: slices the (T_total, 3, r)
-        device-resident rb schedule at ``start`` (clamped) inside the same
-        jit as the kernel."""
-        steps_arr = jnp.asarray([[num_steps]], dtype=jnp.int32)
-        return _run_windowed(P0, V0, fext, rb_full,
-                             jnp.asarray(start, dtype=jnp.int32),
-                             steps_arr, tuple(const_inputs),
-                             tuple(flat_arrays), num_iterations,
-                             t_window)
-
-    run.windowed = run_windowed
-    return run
+    return _make_runners(_body, const_inputs, flat_arrays)

@@ -457,19 +457,24 @@ class AnimSnapBasesSolver:
         g_total = ops["G_allT"].shape[1]
         budget = estimate_vmem_bytes(n, r, n_sel, g_total, m_total,
                                      mm_dtype.itemsize, np_dtype.itemsize)
+        if not self.model.floor_collision:
+            # the affine kernel adds two (3, N) base scratch buffers and
+            # ~2x (3, N) materialization temporaries at rebases, plus
+            # M_utac (3, r, r) and the plain U_selT (3, r, n_sel)
+            budget += (4 * 3 * n * np_dtype.itemsize
+                       + 3 * r * (r + n_sel) * np_dtype.itemsize)
         # 48 MB leaves headroom under the kernel's 100 MB scoped-vmem limit
-        # for matmul staging and double-buffered state (v5e: 128 MB/core);
-        # if Mosaic still can't fit it, run_steps falls back at first call.
+        # for matmul staging, double-buffered state, and a per-call rb
+        # window of up to 32 MB (v5e: 128 MB/core); if Mosaic still can't
+        # fit it, run_steps falls back at first call.
         if budget > 48 * (1 << 20):
             return None
         if mm_dtype.itemsize == 8 and not interpret:
             return None          # no native f64 dots in Mosaic
-        # per-call rb-timeline allowance: whatever the operand estimate
-        # leaves under ~80 MB of the 100 MB scoped limit (capped at 32 MB)
-        # — lets animated schedules run 8-16k-step chunks in one dispatch
-        self._rb_seq_limit = int(min(32 * (1 << 20),
-                                     max(80 * (1 << 20) - budget,
-                                         self.RESIDENT_RB_SEQ_LIMIT)))
+        # per-call rb-timeline allowance: 48 MB operands + 32 MB window +
+        # staging stays under the 100 MB scoped limit — lets animated
+        # schedules run 16k-step chunks in one dispatch
+        self._rb_seq_limit = 32 * (1 << 20)
 
         perm = np.concatenate([union,
                                np.setdiff1d(np.arange(n), union)])
@@ -890,36 +895,46 @@ class AnimSnapBasesSolver:
         return positional_targets_timeline(self.model, self.frame,
                                            num_steps)
 
-    def _build_rb_schedule(self):
-        """Device-resident rb timeline for the FULL animated positional
-        schedule (uploaded once; per-call chunks are sliced on device).
+    def _rb_window_host(self, start, length):
+        """(length, 3, r) rb timeline rows for absolute frames
+        [start, start+length), on host.
 
         ``rb[t, d] = (U^T S^T)_d @ targets(t)[:, d]`` decomposes into a
         static term plus, per ``user_defined`` constraint i, a rank-1 term
-        ``shift_i[t, d] * utst[d, :, i]`` — so the whole timeline is built
-        from the tiny (T_i, 3) shift arrays in O(T·r) per constraint,
-        instead of a per-``run_steps``-call (T, e, 3) host einsum + H2D
-        transfer (which capped the animated poke path at ~9k steps/s over
-        the tunnel)."""
+        ``shift_i[t, d] * utst[d, :, i]`` — built from the tiny (T_i, 3)
+        shift arrays in O(length·r) per constraint, instead of a
+        (T, e, 3) host einsum (which capped the animated poke path at
+        ~9k steps/s over the tunnel)."""
         utst = self._resident_utst                       # (3, r, e_pos)
         model = self.model
         p0 = np.asarray(model.groups["positional"].data["p0"], dtype=float)
         rb_static = np.einsum("dre,ed->dr", utst, p0)    # (3, r)
-        anim = [(i, np.asarray(c["frame_shift"], dtype=float))
-                for i, c in enumerate(model._positional)
-                if c["motion_type"] == "user_defined"
-                and c["frame_shift"] is not None]
-        T_total = max(len(sh) for _, sh in anim)
-        rb = np.repeat(rb_static[None], T_total, axis=0)  # (T, 3, r)
-        t_idx = np.arange(T_total)
-        for i, sh in anim:
-            shf = sh[np.minimum(t_idx, len(sh) - 1)]      # (T, 3)
-            rb += shf[:, :, None] * utst[None, :, :, i]
-        return self._cast(rb)
+        rb = np.repeat(rb_static[None], length, axis=0)  # (length, 3, r)
+        t_idx = start + np.arange(length)
+        for i, c in enumerate(model._positional):
+            if (c["motion_type"] == "user_defined"
+                    and c["frame_shift"] is not None):
+                sh = np.asarray(c["frame_shift"], dtype=float)
+                shf = sh[np.minimum(t_idx, len(sh) - 1)]  # (length, 3)
+                rb += shf[:, :, None] * utst[None, :, :, i]
+        return rb
+
+    def _rb_schedule_length(self):
+        return max((len(c["frame_shift"]) for c in self.model._positional
+                    if c["motion_type"] == "user_defined"
+                    and c["frame_shift"] is not None), default=0)
 
     # a per-call rb timeline larger than this skips the resident kernel
-    # for that call (VMEM is budgeted at prepare time without knowing T)
+    # for that call (the kernel holds the window in VMEM: operand budget
+    # <= 48 MB + window <= 32 MB + staging stays under the 100 MB scoped
+    # limit)
     RESIDENT_RB_SEQ_LIMIT = 4 * (1 << 20)
+    # full schedules larger than this stay on host (windows are built per
+    # call and shipped with it) instead of being uploaded to HBM once.
+    # 256 MB = ~900k frames at r=64 — a one-time multi-second upload,
+    # cheaper than per-chunk window uploads for any schedule that long;
+    # only unbounded scripted trajectories stay host-side.
+    RB_SCHED_DEVICE_LIMIT = 256 * (1 << 20)
 
     def run_steps(self, fext, num_steps, num_iterations=10):
         """Advance ``num_steps`` steps fully on device (single dispatch).
@@ -952,21 +967,41 @@ class AnimSnapBasesSolver:
             r = self.U.shape[1]
             call = None
             if self._resident_utst is not None and animated:
-                # device-resident schedule, window-sliced INSIDE the
-                # kernel's jit (one dispatch per chunk): no host einsum,
-                # no H2D transfer, no second dispatch for the slice.
-                # pow2-padded window (index clamps in-kernel) so
-                # compilations are reused across run lengths.
-                if self._rb_sched is None:
-                    self._rb_sched = self._build_rb_schedule()
                 t_eff = min(num_steps, remaining)
                 t_pad = 1 << max(t_eff - 1, 0).bit_length()
-                rb_bytes = t_pad * 3 * r * self._rb_sched.dtype.itemsize
-                sched, frame = self._rb_sched, self.frame
+                itemsize = 8 if self.dtype is None else np.dtype(
+                    self.dtype).itemsize
+                rb_bytes = t_pad * 3 * r * itemsize
+                if self._rb_sched is None:
+                    # upload the full schedule once IF it is reasonably
+                    # sized; multi-million-frame schedules stay on host
+                    # (windows built per call) — False marks "don't build"
+                    total = self._rb_schedule_length()
+                    if total * 3 * r * itemsize <= self.RB_SCHED_DEVICE_LIMIT:
+                        self._rb_sched = self._cast(
+                            self._rb_window_host(0, total))
+                    else:
+                        self._rb_sched = False
+                if self._rb_sched is not False:
+                    # device-resident schedule, window-sliced INSIDE the
+                    # kernel's jit (one dispatch per chunk): no host
+                    # einsum, no H2D transfer, no second dispatch for the
+                    # slice.  pow2-padded window (index clamps in-kernel)
+                    # so compilations are reused across run lengths.
+                    sched, frame = self._rb_sched, self.frame
 
-                def call(P, V, Fx):
-                    return run_fn.windowed(P, V, Fx, sched, frame, t_pad,
-                                           num_steps, num_iterations)
+                    def call(P, V, Fx):
+                        return run_fn.windowed(P, V, Fx, sched, frame,
+                                               t_pad, num_steps,
+                                               num_iterations)
+                else:
+                    # oversized schedule: per-call host window + upload
+                    rb_dev = self._cast(
+                        self._rb_window_host(self.frame, t_pad))
+
+                    def call(P, V, Fx):
+                        return run_fn(P, V, Fx, rb_dev, num_steps,
+                                      num_iterations)
             else:
                 if self._resident_utst is not None:
                     # static targets: one (1, 3, r) host contraction

@@ -32,7 +32,7 @@ POS_MODES = 64
 CONSTR_MODES = 40
 WI = 1e4
 DT = 0.016
-HANG_SHIFT = 5.0   # contact-free hang height (bridge bench overrides)
+HANG_SHIFT = 5.0   # contact-free hang height (overridable per scene)
 
 
 def log(*a):
@@ -172,12 +172,26 @@ def run_fom_and_bases():
         return _run_fom_and_bases_impl()
 
 
+def _scene_key():
+    """Scene fingerprint stored in ready.json: a cache built for a
+    different scene (e.g. the round-1 floor-resting one) must NOT be
+    silently reused — the reduced-vs-FOM deviation stat would compare
+    mismatched configurations."""
+    return {"hang": HANG_SHIFT, "floor": False, "wi": WI,
+            "frames": FOM_FRAMES, "pos_modes": POS_MODES,
+            "constr_modes": CONSTR_MODES, "dt": DT, "v": 2}
+
+
 def _run_fom_and_bases_impl():
     os.makedirs(BENCH_DIR, exist_ok=True)
     done_marker = os.path.join(BENCH_DIR, "ready.json")
     if os.path.exists(done_marker):
         with open(done_marker) as f:
-            return json.load(f)
+            meta = json.load(f)
+        if meta.get("scene") == _scene_key():
+            return meta
+        log("[bench] cached artifacts are from a different scene "
+            f"({meta.get('scene')} != {_scene_key()}); rebuilding")
 
     from animsnapbases_tpu.bases.position_reduction import (
         position_basis_from_trajectory, save_position_basis)
@@ -238,7 +252,7 @@ def _run_fom_and_bases_impl():
     np.save(os.path.join(BENCH_DIR, "traj_tail.npy"), traj[-1])
     meta = {"mesh": name, "n_verts": int(len(V)),
             "basis_dir": basis_dir, "pos_path": pos_path,
-            "record": record}
+            "record": record, "scene": _scene_key()}
     with open(done_marker, "w") as f:
         json.dump(meta, f)
     return meta

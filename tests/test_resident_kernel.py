@@ -200,6 +200,28 @@ def test_affine_animated_targets_match(pipeline):
     np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-5)
 
 
+def test_oversized_schedule_host_window_fallback(pipeline):
+    """Schedules past RB_SCHED_DEVICE_LIMIT are never uploaded whole: the
+    per-call window is built on host and shipped with the call, matching
+    the device-schedule path exactly."""
+    basis_dir, pos_path, _ = pipeline
+    s_res, m_res = _solver(basis_dir, pos_path, "interpret", floor=False)
+    _add_poke(s_res, m_res)
+    s_res.RB_SCHED_DEVICE_LIMIT = 0          # force the host-window path
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=False)
+    _add_poke(s_ref, m_ref)
+    f = gravity_forces(m_ref)
+
+    for n in (9, 9):
+        s_res.run_steps(f, n, num_iterations=6)
+    for _ in range(18):
+        s_ref.step(f, num_iterations=6)
+
+    assert s_res._resident is not None
+    assert s_res._rb_sched is False          # device schedule was refused
+    np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-5)
+
+
 def test_resident_vmem_gate():
     """Oversized problems must fall back (estimate above budget)."""
     from animsnapbases_tpu.ops.pallas_resident import estimate_vmem_bytes
