@@ -245,24 +245,33 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                           U_liftT: np.ndarray, ut_acT: np.ndarray,
                           M_utac: np.ndarray, U_selT: np.ndarray,
                           mass_inv: np.ndarray, dt: float,
+                          floor: bool, floor_h: float,
                           n_sel: int, rebase_every: int = 256,
                           interpret: bool = False):
     """Affine-coordinate resident kernel: contact-free steps never touch
     the full vertex space.
 
-    With the floor clamp off (and no other full-space nonlinearity inside
-    the step) the PD recursion stays in the affine subspace
-    ``span{P_entry, V_entry, fa} (+) range(U)``: positions/velocities are
-    carried as (3, 3) base coefficients plus (3, r) reduced coordinates,
-    so the per-step cost drops from two full (r x N) matvec pairs to a few
-    r x r contractions — the (3, N) state is materialized once per call
-    (and at periodic REBASES, see below), not once per step.
+    The PD recursion stays in the affine subspace
+    ``span{P_entry, V_entry, fa} (+) range(U)`` as long as no full-space
+    nonlinearity fires: positions/velocities are carried as (3, 3) base
+    coefficients plus (3, r) reduced coordinates, so the per-step cost
+    drops from two full (r x N) matvec pairs to a few r x r contractions —
+    the (3, N) state is materialized once per call (and at periodic
+    REBASES, see below), not once per step.
 
-    Exactness: identical math to :func:`build_resident_multistep` with
-    ``floor=False`` — the gravity/step recursions are linear and the
-    nonlinear constraint projections only ever read the n_sel selected
-    vertices, whose values are reconstructed exactly from the affine
-    coordinates.
+    Floor collision (the only full-space nonlinearity in a PD step) is
+    handled EXACTLY with an adaptive branch: each step materializes only
+    the y rows of the predictor (one (1, r) x (r, N) dot) and tests the
+    clamp; steps with contact run the standard full-space step on the
+    materialized state and re-anchor the affine base at the result.
+    Contact-free stretches run at affine speed; contact-dominated
+    stretches match the standard kernel's cost (base projections are
+    refreshed lazily, so consecutive contact steps skip them).
+
+    Exactness: identical math to :func:`build_resident_multistep` — the
+    gravity/step recursions are linear and the nonlinear constraint
+    projections only ever read the n_sel selected vertices, whose values
+    are reconstructed exactly from the affine coordinates.
 
     Rebasing: the fa-coefficient of the velocity grows by 1/dt per step;
     left unchecked it reaches ~1e6 over long chunks and f32 cancellation
@@ -298,8 +307,9 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
              wt_ref, gall_ref, ulift_ref, utac_ref, mutac_ref, uselt_ref,
              minv_ref) = refs[:14]
             garrs = [ref[:] for ref in refs[14:14 + len(flat_arrays)]]
-            (out_p_ref, out_v_ref, b0_ref, b1_ref, bu0_ref,
-             bu1_ref) = refs[14 + len(flat_arrays):]
+            (out_p_ref, out_v_ref, b0_ref, b1_ref, bu0_ref, bu1_ref,
+             ap_ref, av_ref, wp_ref, wv_ref, stale_ref) = \
+                refs[14 + len(flat_arrays):]
 
             usel_inv = uselinv_ref[:]
             inv = inv_ref[:]
@@ -321,10 +331,14 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
             e0 = (_col == 0).astype(fa.dtype)
             e1 = (_col == 1).astype(fa.dtype)
             e2 = (_col == 2).astype(fa.dtype)
+            zw = jnp.zeros((3, r), dtype=fa.dtype)
             fa_sel = fa[:, :n_sel]
             bu_fa = jnp.concatenate(
                 [_dot(fa[d:d + 1].astype(mm_dtype), utac_ref[d], acc)
                  for d in range(3)], axis=0)            # (3, r)
+            if floor:
+                row_is_y = jax.lax.broadcasted_iota(
+                    jnp.int32, (3, n), 0) == 1
 
             def project_base(X):
                 """(3, r) rows of X through U^T A_c (bf16-storage dots)."""
@@ -340,15 +354,18 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                     [_dot(w[d:d + 1].astype(mm_dtype), ulift_ref[d], acc)
                      for d in range(3)], axis=0)
 
-            # anchor the bases at the entry state
+            # anchor the bases at the entry state; base projections (bu)
+            # are computed LAZILY (stale flag) — a contact-dominated run
+            # never needs them
             b0_ref[:] = p_ref[:]
             b1_ref[:] = v_ref[:]
-            bu0_ref[:] = project_base(p_ref[:])
-            bu1_ref[:] = project_base(v_ref[:])
+            ap_ref[:] = e0
+            av_ref[:] = e1
+            wp_ref[:] = zw
+            wv_ref[:] = zw
+            stale_ref[0, 0] = 1
 
             def step(i, carry):
-                ap, av, wp, wv = carry
-
                 do = jnp.logical_and(
                     i > 0,
                     jax.lax.rem(i, jnp.asarray(rebase_every,
@@ -356,48 +373,104 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
 
                 @pl.when(do)
                 def _rebase():
-                    Pf = materialize(ap, wp)
-                    Vf = materialize(av, wv)
+                    Pf = materialize(ap_ref[:], wp_ref[:])
+                    Vf = materialize(av_ref[:], wv_ref[:])
                     b0_ref[:] = Pf
                     b1_ref[:] = Vf
-                    bu0_ref[:] = project_base(Pf)
-                    bu1_ref[:] = project_base(Vf)
+                    ap_ref[:] = e0
+                    av_ref[:] = e1
+                    wp_ref[:] = zw
+                    wv_ref[:] = zw
+                    stale_ref[0, 0] = 1
 
-                ap_ = jnp.where(do, e0, ap)
-                av_ = jnp.where(do, e1, av)
-                wp_ = jnp.where(do, jnp.zeros_like(wp), wp)
-                wv_ = jnp.where(do, jnp.zeros_like(wv), wv)
-
+                ap = ap_ref[:]
+                av = av_ref[:]
+                wp = wp_ref[:]
+                wv = wv_ref[:]
+                asn = ap + dt * av + e2
+                wsn = wp + dt * wv
                 rb_ex = rbex_ref[pl.ds(3 * jnp.minimum(i, t_len - 1), 3)]
-                asn = ap_ + dt * av_ + e2
-                wsn = wp_ + dt * wv_
-                rb_lin = (asn[:, 0:1] * bu0_ref[:]
-                          + asn[:, 1:2] * bu1_ref[:]
-                          + asn[:, 2:3] * bu_fa
-                          + jnp.concatenate(
-                              [_dot(wsn[d:d + 1], mutac[d], acc)
-                               for d in range(3)], axis=0))
-                rb_const = rb_ex - rb_lin
-                snT_sel = (asn[:, 0:1] * b0_ref[:, :n_sel]
-                           + asn[:, 1:2] * b1_ref[:, :n_sel]
-                           + asn[:, 2:3] * fa_sel
-                           + jnp.concatenate(
-                               [_dot(wsn[d:d + 1], uselT[d], acc)
-                                for d in range(3)], axis=0))
-                rb = iterate(snT_sel, rb_const, num_iterations)
-                u = jnp.concatenate(
-                    [_dot(rb[d:d + 1], inv[d], acc) for d in range(3)],
-                    axis=0)
-                wq = wsn + u
-                # aq == asn and (aq - ap)/dt == av + e2/dt exactly: update
-                # the coefficients without the cancellation-prone subtract
-                return asn, av_ + e2 / dt, wq, (wq - wp_) / dt
 
-            z = jnp.zeros((3, r), dtype=fa.dtype)
-            ap, av, wp, wv = jax.lax.fori_loop(
-                0, steps_ref[0, 0], step, (e0, e1, z, z))
-            out_p_ref[:] = materialize(ap, wp)
-            out_v_ref[:] = materialize(av, wv)
+                def affine_step():
+                    @pl.when(stale_ref[0, 0] == 1)
+                    def _refresh():
+                        bu0_ref[:] = project_base(b0_ref[:])
+                        bu1_ref[:] = project_base(b1_ref[:])
+                        stale_ref[0, 0] = 0
+
+                    rb_lin = (asn[:, 0:1] * bu0_ref[:]
+                              + asn[:, 1:2] * bu1_ref[:]
+                              + asn[:, 2:3] * bu_fa
+                              + jnp.concatenate(
+                                  [_dot(wsn[d:d + 1], mutac[d], acc)
+                                   for d in range(3)], axis=0))
+                    rb_const = rb_ex - rb_lin
+                    snT_sel = (asn[:, 0:1] * b0_ref[:, :n_sel]
+                               + asn[:, 1:2] * b1_ref[:, :n_sel]
+                               + asn[:, 2:3] * fa_sel
+                               + jnp.concatenate(
+                                   [_dot(wsn[d:d + 1], uselT[d], acc)
+                                    for d in range(3)], axis=0))
+                    rb = iterate(snT_sel, rb_const, num_iterations)
+                    u = jnp.concatenate(
+                        [_dot(rb[d:d + 1], inv[d], acc) for d in range(3)],
+                        axis=0)
+                    wq = wsn + u
+                    # aq == asn and (aq - ap)/dt == av + e2/dt exactly:
+                    # update coefficients without the cancellation-prone
+                    # subtract
+                    ap_ref[:] = asn
+                    av_ref[:] = av + e2 / dt
+                    wp_ref[:] = wq
+                    wv_ref[:] = (wq - wp) / dt
+
+                if floor:
+                    # exact contact check: materialize ONLY the y rows of
+                    # the predictor (one (1, r) x (r, N) dot)
+                    sn_y = (asn[1:2, 0:1] * b0_ref[1:2]
+                            + asn[1:2, 1:2] * b1_ref[1:2]
+                            + asn[1:2, 2:3] * fa[1:2]
+                            + _dot(wsn[1:2].astype(mm_dtype),
+                                   ulift_ref[1], acc))
+                    clamped = jnp.any(sn_y < floor_h)
+
+                    @pl.when(jnp.logical_not(clamped))
+                    def _free():
+                        affine_step()
+
+                    @pl.when(clamped)
+                    def _contact():
+                        # exact standard step on the materialized state,
+                        # then re-anchor the affine base at the result
+                        # (the clamped predictor leaves the affine span)
+                        P = materialize(ap, wp)
+                        sn = materialize(asn, wsn)
+                        sn = jnp.where(row_is_y & (sn < floor_h),
+                                       floor_h, sn)
+                        rb_const = rb_ex - project_base(sn)
+                        rb = iterate(sn[:, :n_sel], rb_const,
+                                     num_iterations)
+                        u = jnp.concatenate(
+                            [_dot(rb[d:d + 1], inv[d], acc)
+                             for d in range(3)], axis=0)
+                        q = sn + jnp.concatenate(
+                            [_dot(u[d:d + 1].astype(mm_dtype),
+                                  ulift_ref[d], acc)
+                             for d in range(3)], axis=0)
+                        b0_ref[:] = q
+                        b1_ref[:] = (q - P) / dt
+                        ap_ref[:] = e0
+                        av_ref[:] = e1
+                        wp_ref[:] = zw
+                        wv_ref[:] = zw
+                        stale_ref[0, 0] = 1
+                else:
+                    affine_step()
+                return carry
+
+            jax.lax.fori_loop(0, steps_ref[0, 0], step, 0)
+            out_p_ref[:] = materialize(ap_ref[:], wp_ref[:])
+            out_v_ref[:] = materialize(av_ref[:], wv_ref[:])
 
         out_shape = (jax.ShapeDtypeStruct((3, n), P0.dtype),
                      jax.ShapeDtypeStruct((3, n), P0.dtype))
@@ -408,16 +481,22 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
         if not interpret:
             compiler_params = pltpu.CompilerParams(
                 vmem_limit_bytes=100 * (1 << 20))
+        sdt = jnp.dtype(state_dtype)
         return pl.pallas_call(
             kernel,
             out_shape=out_shape,
             in_specs=in_specs,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.VMEM)),
-            scratch_shapes=[pltpu.VMEM((3, n), jnp.dtype(state_dtype)),
-                            pltpu.VMEM((3, n), jnp.dtype(state_dtype)),
-                            pltpu.VMEM((3, r), jnp.dtype(state_dtype)),
-                            pltpu.VMEM((3, r), jnp.dtype(state_dtype))],
+            scratch_shapes=[pltpu.VMEM((3, n), sdt),      # b0
+                            pltpu.VMEM((3, n), sdt),      # b1
+                            pltpu.VMEM((3, r), sdt),      # bu0
+                            pltpu.VMEM((3, r), sdt),      # bu1
+                            pltpu.VMEM((3, 3), sdt),      # ap
+                            pltpu.VMEM((3, 3), sdt),      # av
+                            pltpu.VMEM((3, r), sdt),      # wp
+                            pltpu.VMEM((3, r), sdt),      # wv
+                            pltpu.SMEM((1, 1), jnp.int32)],   # bu stale
             compiler_params=compiler_params,
             interpret=interpret,
         )(steps_arr, P0, V0, fext,

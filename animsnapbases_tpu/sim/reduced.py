@@ -457,12 +457,14 @@ class AnimSnapBasesSolver:
         g_total = ops["G_allT"].shape[1]
         budget = estimate_vmem_bytes(n, r, n_sel, g_total, m_total,
                                      mm_dtype.itemsize, np_dtype.itemsize)
-        if not self.model.floor_collision:
-            # the affine kernel adds two (3, N) base scratch buffers and
-            # ~2x (3, N) materialization temporaries at rebases, plus
-            # M_utac (3, r, r) and the plain U_selT (3, r, n_sel)
-            budget += (4 * 3 * n * np_dtype.itemsize
-                       + 3 * r * (r + n_sel) * np_dtype.itemsize)
+        # the affine kernel (the default) adds two (3, N) base scratch
+        # buffers and ~2x (3, N) materialization temporaries at rebases,
+        # plus M_utac (3, r, r) and the plain U_selT (3, r, n_sel)
+        affine_extra = (4 * 3 * n * np_dtype.itemsize
+                        + 3 * r * (r + n_sel) * np_dtype.itemsize)
+        use_affine = budget + affine_extra <= 48 * (1 << 20)
+        if use_affine:
+            budget += affine_extra
         # 48 MB leaves headroom under the kernel's 100 MB scoped-vmem limit
         # for matmul staging, double-buffered state, and a per-call rb
         # window of up to 32 MB (v5e: 128 MB/core); if Mosaic still can't
@@ -496,10 +498,10 @@ class AnimSnapBasesSolver:
                 [self.U[:, :, d].T @ ST.toarray() for d in range(3)]).astype(
                 np_dtype)                                    # (3, r, e_pos)
 
-        if not self.model.floor_collision:
-            # contact-free scenes: the affine-coordinate kernel never
-            # touches the full vertex space inside the step loop (exact —
-            # the floor clamp is the only full-space nonlinearity)
+        if use_affine:
+            # default: the affine-coordinate kernel never touches the
+            # full vertex space on contact-free steps and handles floor
+            # contact exactly with a per-step adaptive branch
             from animsnapbases_tpu.ops.pallas_resident import (
                 build_resident_affine,
             )
@@ -511,7 +513,9 @@ class AnimSnapBasesSolver:
                 ops, ops["gather_slices"], ops["layout"],
                 ops["G_allT"], ops["WT_all"], ops["usel_inv"],
                 ops["inv3"], U_liftT, ut_acT, M_utac,
-                U_selT.astype(np_dtype), mass_inv, self.dt, n_sel,
+                U_selT.astype(np_dtype), mass_inv, self.dt,
+                self.model.floor_collision, self.model.floor_height,
+                n_sel,
                 rebase_every=getattr(self, "resident_rebase_every", 256),
                 interpret=interpret)
             self._resident_kind = "affine"

@@ -59,16 +59,16 @@ def load_mesh():
 def build_model(V, F):
     from animsnapbases_tpu.sim.model import DeformableModel
 
-    # contact-free scene: the bunny hangs from its pinned top high enough
-    # that the floor is never reached (asserted against the recorded FOM
-    # below), so floor collision is off and the reduced solver takes the
-    # affine-coordinate resident kernel (exact for contact-free steps).
-    # The shift is applied to the geometry directly (the model's
-    # init_height_shift only applies with floor collision on).
+    # the bunny hangs from its pinned top high enough that the floor is
+    # never reached (asserted against the recorded FOM below): the affine
+    # resident kernel's per-step contact check then never fires and the
+    # whole run stays in affine coordinates.  Floor collision stays ON
+    # (reference behavior); the shift is applied to the geometry directly
+    # so the scene is identical with or without it.
     V = V.copy()
     V[:, 1] += HANG_SHIFT
     model = DeformableModel(V, F, masses=np.full(len(V), 10.0),
-                            floor_collision=False)
+                            floor_collision=True, init_height_shift=0.0)
     model.add_tri_constrain_strain(0.95, 1.05, wi=WI)
     model.add_edge_spring_constraint(wi=WI)
     # pin the topmost vertices so the body hangs
@@ -177,9 +177,9 @@ def _scene_key():
     different scene (e.g. the round-1 floor-resting one) must NOT be
     silently reused — the reduced-vs-FOM deviation stat would compare
     mismatched configurations."""
-    return {"hang": HANG_SHIFT, "floor": False, "wi": WI,
+    return {"hang": HANG_SHIFT, "floor": True, "wi": WI,
             "frames": FOM_FRAMES, "pos_modes": POS_MODES,
-            "constr_modes": CONSTR_MODES, "dt": DT, "v": 2}
+            "constr_modes": CONSTR_MODES, "dt": DT, "v": 3}
 
 
 def _run_fom_and_bases_impl():

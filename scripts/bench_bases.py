@@ -199,7 +199,12 @@ def record_canonical_fom():
     cache = os.path.join(bench.BENCH_DIR, "bases200")
     marker = os.path.join(cache, "ready.json")
     if os.path.exists(marker):
-        return cache
+        with open(marker) as fh:
+            meta = json.load(fh)
+        if meta.get("scene") == bench._scene_key():
+            return cache
+        log(f"[bench-bases] cached 200-frame FOM is from a different "
+            f"scene; rebuilding")
     import jax
 
     from animsnapbases_tpu.config.sim_config import default_sim_args
@@ -225,7 +230,7 @@ def record_canonical_fom():
         f"{time.perf_counter() - t0:.1f}s")
     np.save(os.path.join(cache, "traj.npy"), traj)
     with open(marker, "w") as f:
-        json.dump({"frames": FRAMES}, f)
+        json.dump({"frames": FRAMES, "scene": bench._scene_key()}, f)
     return cache
 
 

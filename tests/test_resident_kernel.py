@@ -131,13 +131,39 @@ def test_run_jit_animated_targets_match_step_loop(pipeline):
     np.testing.assert_allclose(m_b.velocities, m_a.velocities, atol=1e-7)
 
 
-def test_affine_kernel_selected_when_floor_off(pipeline):
+def test_affine_kernel_is_default(pipeline):
+    """The affine kernel is the default for floor-on AND floor-off models
+    (floor contact is handled by the adaptive in-kernel branch)."""
     basis_dir, pos_path, _ = pipeline
     s, _ = _solver(basis_dir, pos_path, "interpret", floor=False)
     assert s._resident is not None
     assert s._resident_kind == "affine"
     s2, _ = _solver(basis_dir, pos_path, "interpret", floor=True)
-    assert s2._resident_kind == "standard"
+    assert s2._resident is not None
+    assert s2._resident_kind == "affine"
+
+
+def test_affine_floor_contact_matches_step_loop(pipeline):
+    """A cloth hovering just above the floor drops INTO it: the adaptive
+    contact branch (materialize + clamp + standard step + re-anchor) must
+    match the per-frame jitted step exactly, across rebase boundaries."""
+    basis_dir, pos_path, _ = pipeline
+    s_res, m_res = _solver(basis_dir, pos_path, "interpret", floor=True,
+                           rebase_every=4)
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=True)
+    for m in (m_res, m_ref):
+        m.positions = m.positions.copy()
+        m.positions[:, 1] -= 2.92        # hover just above the floor
+    f = gravity_forces(m_ref)
+
+    s_res.run_steps(f, 14, num_iterations=6)
+    for _ in range(14):
+        s_ref.step(f, num_iterations=6)
+
+    assert s_res._resident is not None, "affine kernel fell back"
+    # the scene genuinely reached the floor (clamp branch exercised)
+    assert float(m_ref.positions[:, 1].min()) < 0.06
+    np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-5)
 
 
 def test_affine_matches_step_loop(pipeline):
