@@ -265,8 +265,10 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
     clamp; steps with contact run the standard full-space step on the
     materialized state and re-anchor the affine base at the result.
     Contact-free stretches run at affine speed; contact-dominated
-    stretches match the standard kernel's cost (base projections are
-    refreshed lazily, so consecutive contact steps skip them).
+    stretches run at roughly half the standard kernel's rate (~28k
+    steps/s at bunny scale, measured resting on the floor — consecutive
+    contact steps take the anchored fast path: elementwise predictor,
+    no materialization dots, lazily-deferred base projections).
 
     Exactness: identical math to :func:`build_resident_multistep` — the
     gravity/step recursions are linear and the nonlinear constraint
@@ -438,13 +440,10 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                     def _free():
                         affine_step()
 
-                    @pl.when(clamped)
-                    def _contact():
-                        # exact standard step on the materialized state,
-                        # then re-anchor the affine base at the result
-                        # (the clamped predictor leaves the affine span)
-                        P = materialize(ap, wp)
-                        sn = materialize(asn, wsn)
+                    # exact standard step on the materialized state,
+                    # then re-anchor the affine base at the result (the
+                    # clamped predictor leaves the affine span)
+                    def contact_tail(P, sn):
                         sn = jnp.where(row_is_y & (sn < floor_h),
                                        floor_h, sn)
                         rb_const = rb_ex - project_base(sn)
@@ -464,6 +463,23 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                         wp_ref[:] = zw
                         wv_ref[:] = zw
                         stale_ref[0, 0] = 1
+
+                    # stale == 1 implies the coefficients are EXACTLY the
+                    # identity (set only by rebase/contact, cleared only
+                    # by the affine refresh), so P = b0 and the predictor
+                    # is elementwise — consecutive contact steps skip the
+                    # materialization dots and run at standard-kernel cost
+                    anchored = stale_ref[0, 0] == 1
+
+                    @pl.when(clamped & anchored)
+                    def _contact_anchored():
+                        contact_tail(b0_ref[:],
+                                     b0_ref[:] + dt * b1_ref[:] + fa)
+
+                    @pl.when(clamped & jnp.logical_not(anchored))
+                    def _contact_general():
+                        contact_tail(materialize(ap, wp),
+                                     materialize(asn, wsn))
                 else:
                     affine_step()
                 return carry

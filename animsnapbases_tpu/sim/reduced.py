@@ -519,8 +519,18 @@ class AnimSnapBasesSolver:
                 rebase_every=getattr(self, "resident_rebase_every", 256),
                 interpret=interpret)
             self._resident_kind = "affine"
+            # if Mosaic rejects the affine kernel at first compile, the
+            # standard resident kernel (35-75k steps/s) is still far
+            # better than the per-step fused fallback (~2.7k)
+            self._resident_fallback = lambda: build_resident_multistep(
+                ops, ops["gather_slices"], ops["layout"],
+                ops["G_allT"], ops["WT_all"], ops["usel_inv"],
+                ops["inv3"], U_liftT, ut_acT, mass_inv, self.dt,
+                self.model.floor_collision, self.model.floor_height,
+                n_sel, interpret=interpret)
             return run, perm, iperm
 
+        self._resident_fallback = None
         run = build_resident_multistep(
             ops, ops["gather_slices"], ops["layout"],
             ops["G_allT"], ops["WT_all"], ops["usel_inv"], ops["inv3"],
@@ -1032,11 +1042,25 @@ class AnimSnapBasesSolver:
                 try:
                     Pf, Vf = call(P, V, Fx)
                 except Exception as e:
-                    # Mosaic may only discover at compile time that the
-                    # operands + staging exceed scoped VMEM; disable the
-                    # resident path and continue on the per-step fused
-                    # kernel
                     import warnings
+                    fallback = getattr(self, "_resident_fallback", None)
+                    if (self._resident_kind == "affine"
+                            and fallback is not None):
+                        # Mosaic rejected the affine kernel: rebuild with
+                        # the standard resident kernel and retry — still
+                        # one-kernel stepping, just without the affine
+                        # coordinates
+                        warnings.warn(
+                            "affine resident kernel failed to compile; "
+                            f"retrying with the standard kernel: {e}")
+                        self._resident = (fallback(), perm, iperm)
+                        self._resident_kind = "standard"
+                        self._resident_fallback = None
+                        return self.run_steps(fext, num_steps,
+                                              num_iterations)
+                    # standard kernel failed too (e.g. operands + staging
+                    # exceed scoped VMEM): continue on the per-step fused
+                    # kernel
                     warnings.warn("resident kernel failed to compile; "
                                   f"falling back to per-step path: {e}")
                     self._resident = None

@@ -199,12 +199,15 @@ def record_canonical_fom():
     cache = os.path.join(bench.BENCH_DIR, "bases200")
     marker = os.path.join(cache, "ready.json")
     if os.path.exists(marker):
-        with open(marker) as fh:
-            meta = json.load(fh)
+        try:
+            with open(marker) as fh:
+                meta = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            meta = {}
         if meta.get("scene") == bench._scene_key():
             return cache
         log(f"[bench-bases] cached 200-frame FOM is from a different "
-            f"scene; rebuilding")
+            f"scene (or corrupt marker); rebuilding")
     import jax
 
     from animsnapbases_tpu.config.sim_config import default_sim_args

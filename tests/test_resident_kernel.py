@@ -161,9 +161,13 @@ def test_affine_floor_contact_matches_step_loop(pipeline):
         s_ref.step(f, num_iterations=6)
 
     assert s_res._resident is not None, "affine kernel fell back"
-    # the scene genuinely reached the floor (clamp branch exercised)
+    # the scene genuinely reached the floor in BOTH runs (the clamp
+    # branch fired in the resident kernel too, not just the reference)
     assert float(m_ref.positions[:, 1].min()) < 0.06
+    assert float(m_res.positions[:, 1].min()) < 0.06
     np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-5)
+    np.testing.assert_allclose(m_res.velocities, m_ref.velocities,
+                               atol=1e-4)
 
 
 def test_affine_matches_step_loop(pipeline):
