@@ -116,6 +116,9 @@ def test_edge_spring_cloth_full_loop_matches_reference(ref_sim):
         solver.step(fext.copy(), num_iterations=iters)
 
     scale = np.abs(rmodel.positions).max()
+    # the reduced sim stayed bounded — the assertion below compares two
+    # live trajectories, not two divergences
+    assert scale < 10.0
     np.testing.assert_allclose(model.positions, rmodel.positions,
                                atol=1e-6 * scale)
     np.testing.assert_allclose(model.velocities, rmodel.velocities,
@@ -325,3 +328,131 @@ def test_positional_constraint_full_loop_matches_reference(ref_sim):
     # the pinned vertex stayed at its rest location in both
     np.testing.assert_allclose(model.positions[pinned],
                                rmodel.init_positions[pinned], atol=1e-4)
+
+
+def test_reduced_solver_full_loop_matches_reference(ref_sim, tmp_path):
+    """Full-loop parity of the REDUCED solvers: the reference's
+    ``animSnapBasesSolver`` executed on CPU vs our ``AnimSnapBasesSolver``
+    on the same cloth with the SAME pod_vectorized + row-DEIM basis .npz.
+
+    This pins the north-star claim that precomposing the per-step chain
+    ``rhs_d = (S^T V)_d @ lu_solve(AtA_d, (PtV^T)_d p_d)`` (ref
+    Simulators.py:366-399) into one dense W matmul per dim is numerically
+    identical (to f64 rounding + our documented 1e-12 Tikhonov floor)."""
+    import contextlib
+    import io
+
+    cp, sim = ref_sim
+    from animsnapbases_tpu.config.sim_config import default_sim_args
+    from animsnapbases_tpu.geometry.procedural import cloth_model
+    from animsnapbases_tpu.ops.podlinalg import snapshot_pod_host
+    from animsnapbases_tpu.sim.model import DeformableModel
+    from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+    from animsnapbases_tpu.sim.solver import Solver
+
+    V, F = cloth_model(6, 6)
+    V = V.copy()
+    V[:, 2] += 0.15 * V[:, 0]   # tilt out of plane: a flat cloth has all-
+    # zero z projections, which makes the REFERENCE's per-dim AtA singular
+    # (our solver floors the Tikhonov term; the reference NaNs — that
+    # robustness fix is documented in prepare_reduced_group)
+    wi = 1e4
+    masses = np.full(len(V), 10.0)
+    fixed = [0, 5]
+    fext = np.zeros((len(V), 3))
+    fext[:, 1] = -9.81 * 10.0
+    # square DEIM (the reference has no oversampling) is only contractive
+    # at low iteration counts; 3 iterations with a 12-mode basis keeps the
+    # reduced iteration stable on both sides so rounding, not divergence,
+    # bounds the comparison
+    steps, iters, K, frames = 10, 3, 12, 16
+
+    def build_model():
+        m = DeformableModel(V.copy(), F.copy(), masses=masses.copy(),
+                            floor_collision=True, init_height_shift=2.0)
+        m.add_edge_spring_constraint(wi=wi)
+        for i in fixed:
+            m.fix(i)
+        return m
+
+    # ---- record edge-spring projections with OUR full solver ----------
+    model0 = build_model()
+    s0 = Solver()
+    s0.set_model(model0)
+    args0 = default_sim_args()
+    args0.dt = 0.016
+    s0.prepare(args0)
+    record = str(tmp_path / "FOM")
+    s0.store_assembly_matrices(record)
+    s0.set_record_path(record)
+    s0.set_store_p(True)
+    s0.max_p_snapshots_num = frames - 1
+    for _ in range(frames):
+        s0.step(fext.copy(), num_iterations=iters)
+
+    data = np.load(os.path.join(record, "edge_spring_p.npz"))
+    X = np.stack([data[str(i)] for i in range(frames)])   # (F, e, 3)
+
+    # ---- pod_vectorized + row DEIM (p = 1) basis npz ------------------
+    U_modes, _, _ = snapshot_pod_host(X.reshape(frames, -1).T, n_modes=K)
+    comps = np.ascontiguousarray(U_modes.T).reshape(K, -1, 3)
+    bases = comps.swapaxes(0, 1)                          # (e, K, 3)
+    Pt = []
+    Vsel = None
+    for k in range(K):
+        vk = bases[:, k, :]
+        if k == 0:
+            r = vk
+        else:
+            c = np.empty(vk.shape)
+            for i in range(3):
+                sol = np.linalg.lstsq(Vsel[Pt, :, i], vk[Pt, i],
+                                      rcond=None)[0]
+                c[:, i] = Vsel[:, :, i] @ sol
+            r = c - vk
+        Pt.append(int(np.argmax((r ** 2).sum(axis=1))))
+        Vsel = (vk[:, None, :] if Vsel is None
+                else np.concatenate((Vsel, vk[:, None, :]), axis=1))
+    Pt = np.array(Pt)
+    gdir = tmp_path / "bases" / "edge_spring"
+    gdir.mkdir(parents=True)
+    np.savez(gdir / "basis.npz", components=comps, interpol_alphas=Pt,
+             Pt=Pt, interpol_verts=np.array([]),
+             interpol_alpha_ranges=np.arange(1, K + 1))
+
+    args = default_sim_args()
+    args.dt = 0.016
+    args.constraint_projection_basis_type = "deim_pod_vectorized"
+    args.edge_spring_reduced = True
+    args.edge_spring_num_components = K
+    args.geom_interpolation_basis_dir = str(tmp_path / "bases")
+    args.geom_interpolation_basis_file = "basis.npz"
+
+    # ---- reference reduced run ----------------------------------------
+    rmodel = cp.DeformableMesh(V.copy(), F.copy(), masses=masses.copy())
+    rmodel.add_edge_spring_constrain(wi=wi)
+    for i in fixed:
+        rmodel.fix(i)
+    rsolver = sim.animSnapBasesSolver(args)
+    rsolver.set_model(rmodel)
+    with contextlib.redirect_stdout(io.StringIO()):
+        rsolver.prepare(args)
+        for _ in range(steps):
+            rsolver.step(fext.copy(), num_iterations=iters)
+
+    # ---- our reduced run ----------------------------------------------
+    model = build_model()
+    ours = AnimSnapBasesSolver(args, pallas_mode="off")
+    ours.set_model(model)
+    ours.prepare(args)
+    for _ in range(steps):
+        ours.step(fext.copy(), num_iterations=iters)
+
+    scale = np.abs(rmodel.positions).max()
+    # the reduced sim stayed bounded — the assertion below compares two
+    # live trajectories, not two divergences
+    assert scale < 10.0
+    np.testing.assert_allclose(model.positions, rmodel.positions,
+                               atol=1e-6 * scale)
+    np.testing.assert_allclose(model.velocities, rmodel.velocities,
+                               atol=1e-4)
