@@ -14,6 +14,11 @@ import sys
 import types
 
 import numpy as np
+
+# torch must enter sys.modules BEFORE the GUI stubs are installed: the
+# reference's per-slice pod imports it lazily, and torch's own import
+# chain trips over the _Anything stubs
+import torch  # noqa: F401
 import pytest
 
 REF = "/root/reference"
@@ -407,3 +412,42 @@ def test_pca_blocks_with_st_reference_indexing_bug_characterized(ref_cc):
     # the residual energy lives on the LAST element
     assert deflated == list(range(len(deflated))), deflated
     assert (e - 1) not in deflated
+
+
+def test_pod_per_slice_matches_reference(ref_cc, tmp_path):
+    """The reference's torch-SVD ``pod`` (per-(p, d)-slice,
+    constraintsComponents.py:273-295) vs our vmapped snapshot-POD.
+
+    The reference computes in torch float32, so the comparison tolerance
+    is f32-scale; per-slice singular vectors are sign-ambiguous and the
+    slices are independent, so signs align per (slice, mode)."""
+    import types
+
+    from test_bases_constraints import make_cc, synthetic_p_tensor
+
+    X = synthetic_p_tensor(F=12, e=8, p=2, seed=3)
+    K = 6
+    p = 2
+    e = 8
+
+    obj = ref_cc.__new__(ref_cc)
+    obj.nonlinearSnapshots = types.SimpleNamespace(
+        snapTensor=X.copy(), constraintsSize=p,
+        num_constained_elements=e, dim=3)
+    obj.param = types.SimpleNamespace(deim_desired_num_components=K)
+    obj.compute_pod_for_nonlinear_snapshots_tensor()
+
+    ours = make_cc(tmp_path, X, p=p, basis_type="pod",
+                   interpolation="deim", K=K)
+    ours.compute_pod()
+
+    assert obj.comps.shape == ours.comps.shape == (K, e * p, 3)
+    a = ours.comps.reshape(K, e, p, 3)
+    b = obj.comps.reshape(K, e, p, 3)
+    for k in range(K):
+        for i in range(p):
+            for d in range(3):
+                sign = np.sign(np.sum(a[k, :, i, d] * b[k, :, i, d])) or 1.0
+                np.testing.assert_allclose(
+                    a[k, :, i, d], sign * b[k, :, i, d], atol=5e-5,
+                    err_msg=f"slice (p={i}, d={d}) mode {k}")
