@@ -172,9 +172,20 @@ class ScenarioDriver:
         self.solver.set_dirty()
 
     # ------------------------------------------------------------------
-    def run(self, max_frames: int | None = None):
+    def run(self, max_frames: int | None = None, chunked: bool = True):
+        """Run the schedule to ``stop_frame``.
+
+        ``chunked=True`` (default) advances the frames BETWEEN schedule
+        events through ``solver.run_steps(..., record=True)`` — one device
+        dispatch per event gap with the per-frame trajectory captured on
+        device — instead of one dispatch per frame.  Scenarios with an
+        ``every_frame`` tick (e.g. the poke factory, which edits
+        constraints each cycle) or a live viewer keep the per-frame loop.
+        """
         stop = self.stop_frame if max_frames is None else min(
             self.stop_frame, max_frames)
+        use_chunks = (chunked and self.viewer is None
+                      and "every_frame" not in self.schedule)
         while True:
             frame = self.solver.frame
             if frame == 0 and self.model is None:
@@ -192,10 +203,51 @@ class ScenarioDriver:
                 tick(self)
             if frame >= stop:
                 break
+            if use_chunks:
+                nxt = min([k for k in self.schedule
+                           if isinstance(k, int) and k > frame] + [stop])
+                if nxt - frame > 1 and self._chunk_steps(nxt - frame):
+                    continue
             self._pre_draw_step()
         if self.record_fom_info and hasattr(self.solver, "flush_recordings"):
             self.solver.flush_recordings()
         return self
+
+    def _chunk_steps(self, n: int) -> bool:
+        """Advance ``n`` frames in one device dispatch (same setup as
+        :meth:`_pre_draw_step`, trajectory captured on device).  Returns
+        False when the solver has no ``run_steps`` — caller falls back to
+        the per-frame loop."""
+        run_steps = getattr(self.solver, "run_steps", None)
+        if run_steps is None:
+            return False
+        model = self.model
+        args = self.args
+        mass_value = float(args.mass_per_particle)
+        unfixed = ~model.fixed_flags
+        stale = unfixed & ~np.isclose(model.mass, mass_value, atol=1e-5)
+        if stale.any():
+            model.mass[stale] = mass_value
+            self.solver.set_dirty()
+        fext = np.zeros_like(model.positions)
+        if args.is_gravity_active:
+            fext[:, 1] -= 9.81 * mass_value
+        if not self.solver.ready():
+            self.solver.prepare(args,
+                                store_fom_info=self.record_fom_info,
+                                record_path=self.record_path)
+        first_frame = self.solver.frame
+        traj = run_steps(fext, n, args.solver_iterations, record=True)
+        if traj is None:                 # solver advanced without capture
+            return True
+        self.trajectory.extend(np.asarray(f, dtype=float) for f in traj)
+        if self.pos_dir is not None:
+            from animsnapbases_tpu.io.meshes import save_off
+            for i, f in enumerate(traj):
+                save_off(os.path.join(self.pos_dir,
+                                      f"pos_{first_frame + i}.off"),
+                         np.asarray(f, dtype=float), model.faces)
+        return True
 
     def _pre_draw_step(self):
         """Mass sync + gravity + prepare-if-dirty + step + snapshot export

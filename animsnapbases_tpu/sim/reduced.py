@@ -241,6 +241,7 @@ class AnimSnapBasesSolver:
         self._collision_mode = False
         self._collide_jit = None
         self._rb_sched = None
+        self._record_scan = None
 
     # ------------------------------------------------------------------
     def _cast(self, x):
@@ -258,6 +259,7 @@ class AnimSnapBasesSolver:
     def set_dirty(self):
         self.dirty = True
         self._rb_sched = None        # positional schedule may have changed
+        self._record_scan = None     # closes over the (re)built step core
 
     def set_clean(self):
         self.dirty = False
@@ -938,6 +940,46 @@ class AnimSnapBasesSolver:
                     if c["motion_type"] == "user_defined"
                     and c["frame_shift"] is not None), default=0)
 
+    def _run_steps_recorded(self, fext, num_steps, num_iterations):
+        """One-dispatch stepping with an on-device (T, N, 3) trajectory
+        buffer (pow2-capped so compilations are reused across lengths)."""
+        model = self.model
+        targets_tl, _ = self._targets_timeline(num_steps)
+        t_cap = 1 << max(num_steps - 1, 0).bit_length()
+        if getattr(self, "_record_scan", None) is None:
+            core = self._step_jit
+
+            @partial(jax.jit, static_argnames=("num_iterations", "t_cap"))
+            def run_rec(p, v, f, targets_seq, num_steps, num_iterations,
+                        t_cap):
+                T = targets_seq.shape[0]
+                buf = jnp.zeros((t_cap,) + p.shape, dtype=p.dtype)
+
+                def body(i, carry):
+                    p, v, buf = carry
+                    t = jnp.minimum(i, T - 1)
+                    p2, v2 = core(p, v, f, targets_seq[t],
+                                  num_iterations=num_iterations)
+                    buf = jax.lax.dynamic_update_index_in_dim(buf, p2, i, 0)
+                    return p2, v2, buf
+
+                p, v, buf = jax.lax.fori_loop(0, num_steps, body,
+                                              (p, v, buf))
+                return p, v, buf
+
+            self._record_scan = run_rec
+        p, v, buf = self._record_scan(
+            self._cast(model.positions), self._cast(model.velocities),
+            self._cast(fext), self._cast(targets_tl), num_steps,
+            num_iterations=num_iterations, t_cap=t_cap)
+        from animsnapbases_tpu.utils.transfer import to_host_chunked
+
+        traj = np.asarray(to_host_chunked(buf))[:num_steps]
+        model.positions = np.asarray(p, dtype=float)
+        model.velocities = np.asarray(v, dtype=float)
+        self.frame += num_steps
+        return traj
+
     # a per-call rb timeline larger than this skips the resident kernel
     # for that call (the kernel holds the window in VMEM: operand budget
     # <= 48 MB + window <= 32 MB + staging stays under the 100 MB scoped
@@ -950,19 +992,40 @@ class AnimSnapBasesSolver:
     # only unbounded scripted trajectories stay host-side.
     RB_SCHED_DEVICE_LIMIT = 256 * (1 << 20)
 
-    def run_steps(self, fext, num_steps, num_iterations=10):
+    def run_steps(self, fext, num_steps, num_iterations=10, record=False):
         """Advance ``num_steps`` steps fully on device (single dispatch).
         Animated positional targets (``user_defined`` frame shifts, e.g.
         the poke scenarios, ref calbacks.py:824-839) are exact: the
-        per-frame target timeline ships to the device with the call."""
+        per-frame target timeline ships to the device with the call.
+
+        With ``record=True``, the (num_steps, N, 3) per-frame position
+        trajectory is captured ON DEVICE (pow2-capped ring buffer, so
+        compilations are reused across chunk lengths) and returned —
+        replays that export every frame (workflow steps 3-4) pay one
+        dispatch + one pull instead of a host round trip per frame."""
         if self._run_jit is None or self.enable_self_collision is True or (
                 self.enable_self_collision == "device"
                 and self._collision_mode != "device"):
             # host resolvers (or an un-captured device pass) need the
             # per-step loop
+            traj = []
             for _ in range(num_steps):
                 self.step(fext, num_iterations)
-            return
+                if record:
+                    traj.append(self.model.positions.copy())
+            return np.array(traj) if record else None
+        if record:
+            recordable = any(name not in self._reduced_groups
+                             and name != "positional"
+                             for name in self.model.groups)
+            if self.store_stacked_projections and recordable:
+                # p-snapshot recording of full groups runs through step()
+                traj = []
+                for _ in range(num_steps):
+                    self.step(fext, num_iterations)
+                    traj.append(self.model.positions.copy())
+                return np.array(traj)
+            return self._run_steps_recorded(fext, num_steps, num_iterations)
         model = self.model
         # animation horizon WITHOUT building the (T, e, 3) host timeline —
         # the resident path never needs it (it works from the device rb

@@ -186,3 +186,35 @@ def test_all_scenarios_construct(tmp_path):
         params, args = small_args(tmp_path)
         driver = build_scenario(name, args, params=params)
         assert driver.stop_frame > 0
+
+
+def test_chunked_replay_matches_per_frame(tmp_path):
+    """Chunked scenario replay (one device dispatch per schedule-event gap,
+    trajectory captured on device) must reproduce the per-frame loop
+    exactly — positions, recorded p snapshots, and exported frames."""
+    def drive(sub, chunked):
+        params, args = small_args(
+            tmp_path / sub, edge_constraint=True,
+            vert_bending_constraint=False, strain_constraint=True)
+        drv = build_scenario("cloth_automated_strain", args,
+                             record_fom_info=True, params=params)
+        drv.record_positions = True
+        drv.run(max_frames=26, chunked=chunked)
+        return drv
+
+    a = drive("per_frame", chunked=False)
+    b = drive("chunked", chunked=True)
+
+    assert len(a.trajectory) == len(b.trajectory) == 26
+    np.testing.assert_allclose(np.array(b.trajectory),
+                               np.array(a.trajectory), atol=1e-8)
+    # recorded p snapshots match frame-for-frame
+    pa = os.path.join(a.record_path, "tris_strain_p.npz")
+    pb = os.path.join(b.record_path, "tris_strain_p.npz")
+    da, db = np.load(pa), np.load(pb)
+    assert sorted(da.files) == sorted(db.files)
+    for k in da.files:
+        np.testing.assert_allclose(db[k], da[k], atol=1e-8)
+    # exported position frames exist in both layouts
+    fa, fb = sorted(os.listdir(a.pos_dir)), sorted(os.listdir(b.pos_dir))
+    assert fa == fb and len(fa) == 26

@@ -230,6 +230,32 @@ def test_affine_animated_targets_match(pipeline):
     np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-5)
 
 
+def test_recorded_run_steps_matches_step_loop(pipeline):
+    """run_steps(record=True) captures the per-frame trajectory on device
+    (one dispatch) and must equal the per-frame step() trajectory exactly,
+    including animated targets and chunked calls with a pow2 buffer cap."""
+    basis_dir, pos_path, _ = pipeline
+    s_a, m_a = _solver(basis_dir, pos_path, "off")
+    _add_poke(s_a, m_a)
+    s_b, m_b = _solver(basis_dir, pos_path, "off")
+    _add_poke(s_b, m_b)
+    f = gravity_forces(m_a)
+
+    ref_traj = []
+    for _ in range(13):
+        s_a.step(f, num_iterations=6)
+        ref_traj.append(m_a.positions.copy())
+    traj1 = s_b.run_steps(f, 6, num_iterations=6, record=True)
+    traj2 = s_b.run_steps(f, 7, num_iterations=6, record=True)
+
+    assert traj1.shape == (6, m_b.positions.shape[0], 3)
+    assert traj2.shape == (7, m_b.positions.shape[0], 3)
+    np.testing.assert_allclose(np.concatenate([traj1, traj2]),
+                               np.array(ref_traj), atol=1e-8)
+    np.testing.assert_allclose(m_b.positions, m_a.positions, atol=1e-8)
+    assert s_b.frame == 13
+
+
 def test_oversized_schedule_host_window_fallback(pipeline):
     """Schedules past RB_SCHED_DEVICE_LIMIT are never uploaded whole: the
     per-call window is built on host and shipped with the call, matching
