@@ -278,6 +278,36 @@ def test_oversized_schedule_host_window_fallback(pipeline):
     np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-5)
 
 
+def test_affine_compile_failure_retries_standard_kernel(pipeline):
+    """A (simulated) Mosaic rejection of the affine kernel must rebuild
+    the STANDARD resident kernel and retry — not drop all the way to the
+    per-step fused path."""
+    import warnings
+
+    basis_dir, pos_path, _ = pipeline
+    s_res, m_res = _solver(basis_dir, pos_path, "interpret", floor=True)
+    assert s_res._resident_kind == "affine"
+    _, perm, iperm = s_res._resident
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated Mosaic failure")
+
+    boom.windowed = boom
+    s_res._resident = (boom, perm, iperm)
+
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=True)
+    f = gravity_forces(m_ref)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s_res.run_steps(f, 6, num_iterations=6)
+    assert any("retrying with the standard" in str(x.message) for x in w)
+    assert s_res._resident is not None
+    assert s_res._resident_kind == "standard"
+    for _ in range(6):
+        s_ref.step(f, num_iterations=6)
+    np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-6)
+
+
 def test_resident_vmem_gate():
     """Oversized problems must fall back (estimate above budget)."""
     from animsnapbases_tpu.ops.pallas_resident import estimate_vmem_bytes
