@@ -213,14 +213,10 @@ class ScenarioDriver:
             self.solver.flush_recordings()
         return self
 
-    def _chunk_steps(self, n: int) -> bool:
-        """Advance ``n`` frames in one device dispatch (same setup as
-        :meth:`_pre_draw_step`, trajectory captured on device).  Returns
-        False when the solver has no ``run_steps`` — caller falls back to
-        the per-frame loop."""
-        run_steps = getattr(self.solver, "run_steps", None)
-        if run_steps is None:
-            return False
+    def _sync_and_prepare(self):
+        """Mass resync + gravity + prepare-if-dirty (shared between the
+        per-frame and chunked paths — a one-sided edit here would
+        desynchronize them).  Returns fext."""
         model = self.model
         args = self.args
         mass_value = float(args.mass_per_particle)
@@ -236,10 +232,26 @@ class ScenarioDriver:
             self.solver.prepare(args,
                                 store_fom_info=self.record_fom_info,
                                 record_path=self.record_path)
+        return fext
+
+    def _chunk_steps(self, n: int) -> bool:
+        """Advance ``n`` frames in one device dispatch (same setup as
+        :meth:`_pre_draw_step`, trajectory captured on device).  Returns
+        False when the solver has no ``run_steps`` — caller falls back to
+        the per-frame loop."""
+        run_steps = getattr(self.solver, "run_steps", None)
+        if run_steps is None:
+            return False
+        model = self.model
+        fext = self._sync_and_prepare()
         first_frame = self.solver.frame
-        traj = run_steps(fext, n, args.solver_iterations, record=True)
-        if traj is None:                 # solver advanced without capture
-            return True
+        traj = run_steps(fext, n, self.args.solver_iterations, record=True)
+        if traj is None:
+            # a solver that advanced without capturing would silently
+            # drop frames from trajectory/pos exports — refuse and let
+            # the per-frame loop take over (should be unreachable: both
+            # solvers return the trajectory when record=True)
+            return False
         self.trajectory.extend(np.asarray(f, dtype=float) for f in traj)
         if self.pos_dir is not None:
             from animsnapbases_tpu.io.meshes import save_off
@@ -253,23 +265,8 @@ class ScenarioDriver:
         """Mass sync + gravity + prepare-if-dirty + step + snapshot export
         (ref usr_interface.py:145-210)."""
         model = self.model
-        args = self.args
-        mass_value = float(args.mass_per_particle)
-        unfixed = ~model.fixed_flags
-        stale = unfixed & ~np.isclose(model.mass, mass_value, atol=1e-5)
-        if stale.any():
-            model.mass[stale] = mass_value
-            self.solver.set_dirty()
-
-        fext = np.zeros_like(model.positions)
-        if args.is_gravity_active:
-            fext[:, 1] -= 9.81 * mass_value
-
-        if not self.solver.ready():
-            self.solver.prepare(args,
-                                store_fom_info=self.record_fom_info,
-                                record_path=self.record_path)
-        self.solver.step(fext, args.solver_iterations)
+        fext = self._sync_and_prepare()
+        self.solver.step(fext, self.args.solver_iterations)
         self.trajectory.append(model.positions.copy())
 
         if self.pos_dir is not None:

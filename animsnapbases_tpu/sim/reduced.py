@@ -974,7 +974,7 @@ class AnimSnapBasesSolver:
             num_iterations=num_iterations, t_cap=t_cap)
         from animsnapbases_tpu.utils.transfer import to_host_chunked
 
-        traj = np.asarray(to_host_chunked(buf))[:num_steps]
+        traj = np.asarray(to_host_chunked(buf[:num_steps]))
         model.positions = np.asarray(p, dtype=float)
         model.velocities = np.asarray(v, dtype=float)
         self.frame += num_steps

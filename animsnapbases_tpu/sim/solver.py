@@ -432,21 +432,39 @@ class Solver:
                 return q, (q - pos) / dt, sn_raw - sn, stacked
 
             if recording:
-                # per-step outputs force a scan: one compile per distinct
-                # num_steps (recording runs have a fixed frame budget)
+                # pow2-capped ring buffers + dynamic trip count: one
+                # compile serves any num_steps up to the targets pad (the
+                # old length-shaped scan paid one compile per distinct
+                # schedule-gap length — expensive once the scenario driver
+                # chunks between events)
                 def run(positions, velocities, fext_j, targets_seq,
-                        num_iterations, mass, *mats):
+                        num_iterations, num_steps, mass, *mats):
                     a = fext_j / mass[:, None]
+                    T = targets_seq.shape[0]          # pow2 >= num_steps
+                    q0, v0, c0, stacked0 = one_step(
+                        positions, velocities, a, targets_seq[0],
+                        num_iterations, mats)
+                    traj0 = jnp.zeros((T,) + positions.shape,
+                                      positions.dtype).at[0].set(q0)
+                    bufs0 = jax.tree.map(
+                        lambda x: jnp.zeros((T,) + x.shape,
+                                            x.dtype).at[0].set(x), stacked0)
 
-                    def body(carry, targets):
-                        pos, vel = carry
+                    def body(i, carry):
+                        pos, vel, _, traj, bufs = carry
                         q, v, corr, stacked = one_step(
-                            pos, vel, a, targets, num_iterations, mats)
-                        return (q, v), (q, stacked, corr)
+                            pos, vel, a, targets_seq[jnp.minimum(i, T - 1)],
+                            num_iterations, mats)
+                        traj = jax.lax.dynamic_update_index_in_dim(
+                            traj, q, i, 0)
+                        bufs = jax.tree.map(
+                            lambda b, x: jax.lax.dynamic_update_index_in_dim(
+                                b, x, i, 0), bufs, stacked)
+                        return q, v, corr, traj, bufs
 
-                    (q, v), (traj, stacked_seq, corrs) = jax.lax.scan(
-                        body, (positions, velocities), targets_seq)
-                    return q, v, traj, stacked_seq, corrs[-1]
+                    q, v, corr, traj, bufs = jax.lax.fori_loop(
+                        1, num_steps, body, (q0, v0, c0, traj0, bufs0))
+                    return q, v, traj, bufs, corr
             else:
                 # no outputs: dynamic-trip-count fori_loop — one compile
                 # serves any num_steps and nothing is stacked in HBM
@@ -472,14 +490,18 @@ class Solver:
 
         mass_j = jnp.asarray(model.mass)
         if recording:
-            # the scan consumes one target row per step
-            targets_tl = jnp.asarray(np.stack(
-                [model.positional_targets(self.frame + t)
-                 for t in range(num_steps)]))
+            # per-frame target rows, padded to pow2 so compilations are
+            # reused across chunk lengths (the loop index clamps)
+            t_cap = 1 << max(num_steps - 1, 0).bit_length()
+            rows = [model.positional_targets(self.frame + t)
+                    for t in range(num_steps)]
+            rows += [rows[-1]] * (t_cap - num_steps)
+            targets_tl = jnp.asarray(np.stack(rows))
             q, v, traj, stacked_seq, corr = self._run_scan(
                 jnp.asarray(model.positions), jnp.asarray(model.velocities),
-                jnp.asarray(fext), targets_tl, num_iterations, mass_j,
-                *self._sweep_args)
+                jnp.asarray(fext), targets_tl, num_iterations, num_steps,
+                mass_j, *self._sweep_args)
+            traj = traj[:num_steps]          # slice BEFORE the host pull
         else:
             tl, _ = positional_targets_timeline(model, self.frame,
                                                 num_steps)
