@@ -903,6 +903,63 @@ class AnimSnapBasesSolver:
 
         return step
 
+    def make_batched_run(self, mesh=None, batch_axis: str = "data"):
+        """Ensemble serving: advance a BATCH of independent sims
+        ``num_steps`` steps in ONE dispatch (dynamic-trip ``fori_loop``
+        over the vmapped step core), optionally sharded over a mesh axis.
+
+        Over a high-latency host<->device link the per-step
+        :meth:`make_batched_step` pays one round trip per step for the
+        whole batch; this wrapper amortizes it across the run.  Returns
+        ``run(positions (B, N, 3), velocities, fext (B, N, 3), num_steps,
+        num_iterations=10, targets_seq=None) -> (positions', velocities')``
+        where ``targets_seq`` is an optional (T, e, 3) positional-target
+        timeline shared by all sims (clamped at its last row)."""
+        if self._step_jit is None:
+            raise RuntimeError("batched stepping needs the jitted path "
+                               "(dense/reduced global solve)")
+        core = self._step_jit
+
+        spec = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = NamedSharding(mesh, P(batch_axis))
+
+        @partial(jax.jit, static_argnames=("num_iterations",))
+        def _run(positions, velocities, fext, targets_seq, num_steps,
+                 num_iterations):
+            if spec is not None:
+                positions = jax.lax.with_sharding_constraint(positions,
+                                                             spec)
+                velocities = jax.lax.with_sharding_constraint(velocities,
+                                                              spec)
+            T = targets_seq.shape[0]
+
+            def body(i, carry):
+                p, v = carry
+                t = jnp.minimum(i, T - 1)
+                return jax.vmap(
+                    lambda pp, vv, ff: core(
+                        pp, vv, ff, targets_seq[t],
+                        num_iterations=num_iterations))(p, v, fext)
+
+            return jax.lax.fori_loop(0, num_steps, body,
+                                     (positions, velocities))
+
+        def run(positions, velocities, fext, num_steps, num_iterations=10,
+                targets_seq=None):
+            if targets_seq is None:
+                t = self._cast(np.asarray(
+                    self.model.positional_targets(self.frame))[None])
+            else:
+                t = self._cast(targets_seq)
+            return _run(self._cast(positions), self._cast(velocities),
+                        self._cast(fext), t, num_steps,
+                        num_iterations=num_iterations)
+
+        return run
+
     def _targets_timeline(self, num_steps):
         """(T, e, 3) positional-target timeline for the next ``num_steps``
         frames — see :func:`solver.positional_targets_timeline`."""

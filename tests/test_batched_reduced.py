@@ -68,3 +68,39 @@ def test_batched_reduced_per_call_targets(pipeline):
     out = np.asarray(pos)
     for b in range(B):
         np.testing.assert_allclose(out[b], m2.positions, atol=1e-9)
+
+
+def test_batched_run_matches_per_step(pipeline):
+    """make_batched_run (one dispatch for the whole batch x steps, with a
+    shared animated target timeline) == looping make_batched_step."""
+    basis_dir, pos_path, _ = pipeline
+    solver, model = _reduced_solver(basis_dir, pos_path, with_position=True)
+    shift = np.zeros((8, 3))
+    shift[:, 2] = np.linspace(0.0, 0.25, 8)
+    model.add_positional_constraint(7, wi=1e6, motion_type="user_defined",
+                                    frame_shift=shift)
+    solver.set_dirty()
+    solver.prepare(solver.args)
+
+    mesh = build_device_mesh((8,), ("data",))
+    from animsnapbases_tpu.sim.solver import positional_targets_timeline
+
+    tl, animated = positional_targets_timeline(model, 0, 6)
+    assert animated
+
+    B = 8
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    f = np.tile(gravity_forces(model), (B, 1, 1))
+
+    run = solver.make_batched_run(mesh)
+    p1, v1 = run(pos, vel, f, 6, num_iterations=5, targets_seq=tl)
+
+    step = solver.make_batched_step(mesh)
+    p2, v2 = np.asarray(pos), np.asarray(vel)
+    for t in range(6):
+        p2, v2 = step(p2, v2, f, num_iterations=5,
+                      targets=tl[min(t, len(tl) - 1)])
+
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-8)
