@@ -1,0 +1,86 @@
+"""Ensemble-serving benchmark: many independent reduced sims on ONE chip.
+
+Production serving runs B simultaneous reduced PD sims (e.g. per-user
+cloth instances) batched through ``AnimSnapBasesSolver.make_batched_run``
+— the vmapped step core advanced ``num_steps`` in one dispatch.  The
+vmapped core is the XLA per-step path (the resident Pallas kernel is a
+single-sim construct), so per-sim speed is below the flagship number;
+the metric here is AGGREGATE steps/s across the batch.
+
+Reuses the bench.py bunny artifacts.  Prints ONE JSON line:
+  {"metric": "ensemble_reduced_pd_aggregate_steps_per_sec", "value": N,
+   "unit": "steps/s", "vs_baseline": N / 10000}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+
+import bench  # noqa: E402
+
+BATCH = 8
+CHUNK = 512
+N_CHUNKS = 5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(bench.BENCH_DIR, "xla_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        bench.log(f"[bench_ensemble] compilation cache unavailable: {e}")
+
+    backend = jax.default_backend()
+    dtype = jnp.float32 if backend == "tpu" else None
+    bench.log(f"[bench_ensemble] backend={backend} batch={BATCH}")
+
+    meta = bench.run_fom_and_bases()
+    solver, model = bench.build_reduced_solver(meta, dtype)
+    run = solver.make_batched_run()
+
+    pos = np.tile(model.positions, (BATCH, 1, 1))
+    vel = np.zeros_like(pos)
+    f = np.tile(bench.gravity(model), (BATCH, 1, 1))
+
+    t0 = time.perf_counter()
+    p, v = run(pos, vel, f, CHUNK, num_iterations=10)
+    p.block_until_ready()
+    bench.log(f"[bench_ensemble] first chunk (compile) "
+              f"{time.perf_counter() - t0:.1f}s")
+    assert np.isfinite(np.asarray(p)).all()
+
+    best = float("inf")
+    for _ in range(N_CHUNKS):
+        t0 = time.perf_counter()
+        p2, v2 = run(p, v, f, CHUNK, num_iterations=10)
+        p2.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    agg = BATCH * CHUNK / best
+    bench.log(f"[bench_ensemble] {BATCH} sims x {CHUNK} steps in {best:.3f}s"
+              f" -> {agg:,.0f} aggregate steps/s "
+              f"({agg / BATCH:,.0f} per sim)")
+    assert np.isfinite(np.asarray(p2)).all()
+
+    print(json.dumps({
+        "metric": "ensemble_reduced_pd_aggregate_steps_per_sec",
+        "value": round(agg, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(agg / bench.BASELINE_STEPS_PER_SEC, 3),
+        "detail": {"batch": BATCH, "chunk": CHUNK,
+                   "per_sim_steps_per_sec": round(agg / BATCH, 1)},
+    }))
+
+
+if __name__ == "__main__":
+    main()
