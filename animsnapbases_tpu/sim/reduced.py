@@ -905,20 +905,31 @@ class AnimSnapBasesSolver:
 
     def make_batched_run(self, mesh=None, batch_axis: str = "data"):
         """Ensemble serving: advance a BATCH of independent sims
-        ``num_steps`` steps in ONE dispatch (dynamic-trip ``fori_loop``
-        over the vmapped step core), optionally sharded over a mesh axis.
+        ``num_steps`` steps in ONE dispatch (the solver's dynamic-trip
+        ``run_fn`` vmapped over the batch), optionally sharded over a mesh
+        axis.
 
         Over a high-latency host<->device link the per-step
         :meth:`make_batched_step` pays one round trip per step for the
         whole batch; this wrapper amortizes it across the run.  Returns
         ``run(positions (B, N, 3), velocities, fext (B, N, 3), num_steps,
-        num_iterations=10, targets_seq=None) -> (positions', velocities')``
-        where ``targets_seq`` is an optional (T, e, 3) positional-target
-        timeline shared by all sims (clamped at its last row)."""
-        if self._step_jit is None:
+        num_iterations=10, targets_seq=None) -> (positions', velocities')``.
+        ``targets_seq`` is an optional (T, e, 3) positional-target
+        timeline shared by all sims (clamped at its last row, pow2-padded
+        so compilations are reused across lengths); when omitted, the
+        model's own schedule from the current frame is used — animated
+        ``user_defined`` shifts advance exactly as in :meth:`run_steps`.
+        """
+        if self._run_jit is None:
             raise RuntimeError("batched stepping needs the jitted path "
                                "(dense/reduced global solve)")
-        core = self._step_jit
+        if self.enable_self_collision:
+            # the host KD-tree resolvers (and an out-of-band device pass)
+            # cannot run inside the batched device loop — failing loudly
+            # beats silently serving interpenetrating trajectories
+            raise RuntimeError("batched serving does not support "
+                               "self-collision resolvers")
+        run_jit = self._run_jit
 
         spec = None
         if mesh is not None:
@@ -934,28 +945,23 @@ class AnimSnapBasesSolver:
                                                              spec)
                 velocities = jax.lax.with_sharding_constraint(velocities,
                                                               spec)
-            T = targets_seq.shape[0]
-
-            def body(i, carry):
-                p, v = carry
-                t = jnp.minimum(i, T - 1)
-                return jax.vmap(
-                    lambda pp, vv, ff: core(
-                        pp, vv, ff, targets_seq[t],
-                        num_iterations=num_iterations))(p, v, fext)
-
-            return jax.lax.fori_loop(0, num_steps, body,
-                                     (positions, velocities))
+            return jax.vmap(
+                lambda p, v, f: run_jit(p, v, f, targets_seq, num_steps,
+                                        num_iterations=num_iterations)
+            )(positions, velocities, fext)
 
         def run(positions, velocities, fext, num_steps, num_iterations=10,
                 targets_seq=None):
             if targets_seq is None:
-                t = self._cast(np.asarray(
-                    self.model.positional_targets(self.frame))[None])
+                tl, _ = self._targets_timeline(num_steps)
             else:
-                t = self._cast(targets_seq)
+                tl = np.asarray(targets_seq)
+                t_pad = 1 << max(len(tl) - 1, 0).bit_length()
+                if t_pad > len(tl):
+                    tl = np.concatenate(
+                        [tl, np.repeat(tl[-1:], t_pad - len(tl), axis=0)])
             return _run(self._cast(positions), self._cast(velocities),
-                        self._cast(fext), t, num_steps,
+                        self._cast(fext), self._cast(tl), num_steps,
                         num_iterations=num_iterations)
 
         return run

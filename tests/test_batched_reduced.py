@@ -104,3 +104,40 @@ def test_batched_run_matches_per_step(pipeline):
 
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-9)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-8)
+
+
+def test_batched_run_default_timeline_advances_animation(pipeline):
+    """With targets_seq omitted, make_batched_run uses the model's own
+    schedule from the current frame — animated user_defined shifts advance
+    exactly as in run_steps (they must NOT freeze at the entry frame)."""
+    basis_dir, pos_path, _ = pipeline
+    solver, model = _reduced_solver(basis_dir, pos_path, with_position=True)
+    shift = np.zeros((8, 3))
+    shift[:, 2] = np.linspace(0.0, 0.25, 8)
+    model.add_positional_constraint(7, wi=1e6, motion_type="user_defined",
+                                    frame_shift=shift)
+    solver.set_dirty()
+    solver.prepare(solver.args)
+
+    run = solver.make_batched_run()
+    pos = model.positions[None].copy()
+    vel = np.zeros_like(pos)
+    f = gravity_forces(model)[None]
+    p1, _ = run(pos, vel, f, 6, num_iterations=5)
+
+    s2, m2 = _reduced_solver(basis_dir, pos_path, with_position=True)
+    m2.add_positional_constraint(7, wi=1e6, motion_type="user_defined",
+                                 frame_shift=shift)
+    s2.set_dirty()
+    s2.prepare(s2.args)
+    s2.run_steps(gravity_forces(m2), 6, num_iterations=5)
+
+    np.testing.assert_allclose(np.asarray(p1)[0], m2.positions, atol=1e-8)
+
+
+def test_batched_run_refuses_self_collision(pipeline):
+    basis_dir, pos_path, _ = pipeline
+    solver, _ = _reduced_solver(basis_dir, pos_path, with_position=True)
+    solver.enable_self_collision = True
+    with pytest.raises(RuntimeError, match="self-collision"):
+        solver.make_batched_run()
