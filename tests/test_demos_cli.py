@@ -218,3 +218,47 @@ def test_chunked_replay_matches_per_frame(tmp_path):
     # exported position frames exist in both layouts
     fa, fb = sorted(os.listdir(a.pos_dir)), sorted(os.listdir(b.pos_dir))
     assert fa == fb and len(fa) == 26
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_chunked_replay_randomized_schedule(tmp_path, seed):
+    """Fuzz the chunked driver against the per-frame loop with a seeded
+    RANDOM fix/release schedule (irregular event gaps, repeated dirty
+    rebuilds) — broader than the fixed scripted scenarios."""
+    from animsnapbases_tpu.demos.scenarios import ScenarioDriver
+    from animsnapbases_tpu.geometry.procedural import cloth_model
+
+    rng = np.random.default_rng(seed)
+    events = sorted(rng.choice(np.arange(2, 28), size=4, replace=False))
+
+    def build(sub, chunked):
+        params, args = small_args(
+            tmp_path / f"{sub}{seed}", edge_constraint=True,
+            vert_bending_constraint=False, strain_constraint=True)
+
+        def geometry(a):
+            V, F = cloth_model(6, 6)
+            return V, F, None
+
+        def setup(d):
+            d.model.compute_cloth_corner_indices()
+            d.model.fix_surface_side_vertices("left")
+
+        schedule = {"setup": setup}
+        for i, ev in enumerate(events):
+            if i % 2 == 0:
+                schedule[int(ev)] = (
+                    lambda d: d.model.fix_surface_side_vertices("right"))
+            else:
+                schedule[int(ev)] = (
+                    lambda d: d.model.release_surface_side_vertices("right"))
+        drv = ScenarioDriver(args, "fuzz", "fuzz", geometry, schedule,
+                             stop_frame=30)
+        drv.run(chunked=chunked)
+        return drv
+
+    a = build("pf", chunked=False)
+    b = build("ch", chunked=True)
+    assert len(a.trajectory) == len(b.trajectory) == 30
+    np.testing.assert_allclose(np.array(b.trajectory),
+                               np.array(a.trajectory), atol=1e-8)
