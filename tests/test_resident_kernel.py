@@ -318,3 +318,40 @@ def test_resident_vmem_gate():
     assert estimate_vmem_bytes(51368, 64, 400, 300, 80, 2, 4) < gate
     # a 200k-vertex f32 problem does not
     assert estimate_vmem_bytes(200_000, 64, 400, 300, 80, 4, 4) > gate
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_resident_fuzz_random_targets_and_chunks(pipeline, seed):
+    """Seeded fuzz: a RANDOM frame-shift trajectory replayed through the
+    resident kernel in RANDOM chunk splits must match per-frame step()."""
+    basis_dir, pos_path, _ = pipeline
+    rng = np.random.default_rng(seed)
+    shift = rng.normal(scale=0.1, size=(int(rng.integers(6, 20)), 3))
+    target = int(rng.integers(0, 20))
+    rebase = int(rng.integers(3, 9))
+
+    def build(mode, rebase_every=None):
+        solver, model = _solver(basis_dir, pos_path, mode, floor=False,
+                                rebase_every=rebase_every)
+        model.add_positional_constraint(target, wi=1e6,
+                                        motion_type="user_defined",
+                                        frame_shift=shift.copy())
+        solver.set_dirty()
+        solver.prepare(solver.args)
+        return solver, model
+
+    s_res, m_res = build("interpret", rebase_every=rebase)
+    s_ref, m_ref = build("off")
+    f = gravity_forces(m_ref)
+
+    total = 0
+    while total < 24:
+        n = min(int(rng.integers(1, 8)), 24 - total)
+        s_res.run_steps(f, n, num_iterations=5)
+        total += n
+    for _ in range(24):
+        s_ref.step(f, num_iterations=5)
+
+    assert s_res._resident is not None
+    assert s_res.frame == 24
+    np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-5)
