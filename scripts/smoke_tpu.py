@@ -1,0 +1,190 @@
+"""Real-TPU smoke checks for the paths the CPU test suite can only cover
+in interpret mode (Mosaic rejects constructs interpret allows, CLAUDE.md).
+
+Runs each check on the default backend and prints one PASS line per
+check; exits non-zero on the first failure.  Uses tiny models + synthetic
+bases, the persistent compilation cache, and the affine resident kernel
+(the production path).
+
+  python scripts/smoke_tpu.py            # all checks
+  python scripts/smoke_tpu.py tets bend  # a subset
+
+Checks:
+  contact — floor-contact branch of the affine kernel (drop + clamp)
+  tets    — tets_strain + tets_deformation_gradient group kernels
+  bend    — verts_bending group kernel
+  batched — make_batched_run ensemble serving
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _synthetic_reduced(model, extra_args=None, r=8, K=6, dtype=None):
+    """Fully-reduced solver over ALL of the model's groups with synthetic
+    orthonormal bases (self-contained)."""
+    import jax.numpy as jnp
+
+    from animsnapbases_tpu.config.sim_config import default_sim_args
+    from animsnapbases_tpu.sim.reduced import (
+        AnimSnapBasesSolver,
+        GROUP_ARG_NAMES,
+    )
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp()
+    basis_dir = os.path.join(tmp, "bases")
+    args = default_sim_args()
+    args.dt = 0.016
+    args.constraint_projection_basis_type = "deim_pod_vectorized"
+    for name, g in model.groups.items():
+        if name == "positional":
+            continue
+        ep = g.num * g.p
+        comps = rng.normal(size=(K, ep, 3)) / np.sqrt(ep)
+        Pt = np.sort(rng.choice(ep, size=K, replace=False))
+        gdir = os.path.join(basis_dir, name)
+        os.makedirs(gdir, exist_ok=True)
+        np.savez(os.path.join(gdir, "basis.npz"), components=comps,
+                 interpol_alphas=Pt // g.p, Pt=Pt,
+                 interpol_verts=np.array([]),
+                 interpol_alpha_ranges=np.arange(1, K + 1))
+        flag, num = GROUP_ARG_NAMES[name]
+        setattr(args, flag, True)
+        setattr(args, num, K)
+    n = model.n_verts
+    comps = np.empty((r, n, 3))
+    for d in range(3):
+        Q, _ = np.linalg.qr(rng.normal(size=(n, r)))
+        comps[:, :, d] = Q.T
+    pos_path = os.path.join(tmp, "pos_basis.npz")
+    np.savez(pos_path, components=comps)
+    args.geom_interpolation_basis_dir = basis_dir
+    args.geom_interpolation_basis_file = "basis.npz"
+    args.position_reduced = True
+    args.position_num_components = r
+    args.position_basis_file = pos_path
+    for k, v in (extra_args or {}).items():
+        setattr(args, k, v)
+    import jax
+
+    dt = jnp.float32 if (dtype is None
+                         and jax.default_backend() == "tpu") else dtype
+    solver = AnimSnapBasesSolver(args, dtype=dt)
+    solver.set_model(model)
+    solver.prepare(args)
+    return solver
+
+
+def _cloth(rows=8, cols=8, bending=False):
+    from animsnapbases_tpu.geometry.procedural import cloth_model
+    from animsnapbases_tpu.sim.model import DeformableModel
+
+    V, F = cloth_model(rows, cols)
+    V = V.copy()
+    V[:, 2] += 0.1 * V[:, 0]
+    model = DeformableModel(V, F, masses=np.full(len(V), 10.0),
+                            floor_collision=True, init_height_shift=3.0)
+    if bending:
+        model.add_vertex_bending_constraint(1e4)
+    model.add_tri_constrain_strain(0.95, 1.05, wi=1e4)
+    model.add_edge_spring_constraint(wi=1e4)
+    model.compute_cloth_corner_indices()
+    model.fix_surface_side_vertices("left")
+    return model
+
+
+def _gravity(model):
+    f = np.zeros_like(model.positions)
+    f[:, 1] = -98.1
+    return f
+
+
+def check_contact():
+    model = _cloth()
+    solver = _synthetic_reduced(model)
+    assert solver._resident is not None and solver._resident_kind == "affine"
+    model.positions = model.positions.copy()
+    model.positions[:, 1] -= model.positions[:, 1].min() - 0.02
+    solver.run_steps(_gravity(model), 64, num_iterations=10)
+    assert solver._resident is not None, "kernel fell back"
+    assert np.isfinite(model.positions).all()
+    assert model.positions[:, 1].min() > -0.5, "no floor response"
+
+
+def check_tets():
+    from animsnapbases_tpu.geometry.procedural import bar_model
+    from animsnapbases_tpu.sim.model import DeformableModel
+
+    V, T, F, _ = bar_model(4, 3, 3)
+    model = DeformableModel(V, F, elements=T,
+                            masses=np.full(len(V), 10.0),
+                            floor_collision=True, init_height_shift=2.0)
+    model.add_tet_constrain_strain(0.95, 1.05, 1e4)
+    model.add_tet_constrain_deformation_gradient(1e4)
+    for i in range(len(V)):
+        if V[i, 0] < V[:, 0].min() + 1e-6:
+            model.fix(i)
+    solver = _synthetic_reduced(model)
+    assert solver._resident is not None
+    solver.run_steps(_gravity(model), 64, num_iterations=10)
+    assert solver._resident is not None, "tet kernels fell back"
+    assert np.isfinite(model.positions).all()
+
+
+def check_bend():
+    model = _cloth(bending=True)
+    solver = _synthetic_reduced(model)
+    assert solver._resident is not None
+    solver.run_steps(_gravity(model), 64, num_iterations=10)
+    assert solver._resident is not None, "bending kernel fell back"
+    assert np.isfinite(model.positions).all()
+
+
+def check_batched():
+    model = _cloth()
+    solver = _synthetic_reduced(model)
+    run = solver.make_batched_run()
+    B = 4
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    f = np.tile(_gravity(model), (B, 1, 1))
+    p, _ = run(pos, vel, f, 64, num_iterations=10)
+    assert np.isfinite(np.asarray(p)).all()
+
+
+CHECKS = {"contact": check_contact, "tets": check_tets,
+          "bend": check_bend, "batched": check_batched}
+
+
+def main():
+    import jax
+
+    cache = os.path.join(REPO, "bench_cache", "xla_cache")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    log(f"[smoke] backend={jax.default_backend()}")
+    names = sys.argv[1:] or list(CHECKS)
+    for name in names:
+        t0 = time.perf_counter()
+        CHECKS[name]()
+        print(f"PASS {name} ({time.perf_counter() - t0:.1f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
