@@ -31,60 +31,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _synthetic_reduced(model, extra_args=None, r=8, K=6, dtype=None):
-    """Fully-reduced solver over ALL of the model's groups with synthetic
-    orthonormal bases (self-contained)."""
+def _synthetic_reduced(model):
+    import jax
     import jax.numpy as jnp
 
-    from animsnapbases_tpu.config.sim_config import default_sim_args
-    from animsnapbases_tpu.sim.reduced import (
-        AnimSnapBasesSolver,
-        GROUP_ARG_NAMES,
-    )
+    from animsnapbases_tpu.utils.synthetic import synthetic_reduced_solver
 
-    rng = np.random.default_rng(0)
-    tmp = tempfile.mkdtemp()
-    basis_dir = os.path.join(tmp, "bases")
-    args = default_sim_args()
-    args.dt = 0.016
-    args.constraint_projection_basis_type = "deim_pod_vectorized"
-    for name, g in model.groups.items():
-        if name == "positional":
-            continue
-        ep = g.num * g.p
-        comps = rng.normal(size=(K, ep, 3)) / np.sqrt(ep)
-        Pt = np.sort(rng.choice(ep, size=K, replace=False))
-        gdir = os.path.join(basis_dir, name)
-        os.makedirs(gdir, exist_ok=True)
-        np.savez(os.path.join(gdir, "basis.npz"), components=comps,
-                 interpol_alphas=Pt // g.p, Pt=Pt,
-                 interpol_verts=np.array([]),
-                 interpol_alpha_ranges=np.arange(1, K + 1))
-        flag, num = GROUP_ARG_NAMES[name]
-        setattr(args, flag, True)
-        setattr(args, num, K)
-    n = model.n_verts
-    comps = np.empty((r, n, 3))
-    for d in range(3):
-        Q, _ = np.linalg.qr(rng.normal(size=(n, r)))
-        comps[:, :, d] = Q.T
-    pos_path = os.path.join(tmp, "pos_basis.npz")
-    np.savez(pos_path, components=comps)
-    args.geom_interpolation_basis_dir = basis_dir
-    args.geom_interpolation_basis_file = "basis.npz"
-    args.position_reduced = True
-    args.position_num_components = r
-    args.position_basis_file = pos_path
-    for k, v in (extra_args or {}).items():
-        setattr(args, k, v)
-    import jax
-
-    dt = jnp.float32 if (dtype is None
-                         and jax.default_backend() == "tpu") else dtype
-    solver = AnimSnapBasesSolver(args, dtype=dt)
-    solver.set_model(model)
-    solver.prepare(args)
-    return solver
+    dt = jnp.float32 if jax.default_backend() == "tpu" else None
+    return synthetic_reduced_solver(model, dtype=dt)
 
 
 def _cloth(rows=8, cols=8, bending=False):
@@ -119,6 +73,8 @@ def check_contact():
     model.positions[:, 1] -= model.positions[:, 1].min() - 0.02
     solver.run_steps(_gravity(model), 64, num_iterations=10)
     assert solver._resident is not None, "kernel fell back"
+    assert solver._resident_kind == "affine", \
+        "Mosaic rejected the affine kernel (standard-kernel fallback ran)"
     assert np.isfinite(model.positions).all()
     assert model.positions[:, 1].min() > -0.5, "no floor response"
 
@@ -140,6 +96,8 @@ def check_tets():
     assert solver._resident is not None
     solver.run_steps(_gravity(model), 64, num_iterations=10)
     assert solver._resident is not None, "tet kernels fell back"
+    assert solver._resident_kind == "affine", \
+        "Mosaic rejected the affine kernel (standard-kernel fallback ran)"
     assert np.isfinite(model.positions).all()
 
 
@@ -149,6 +107,8 @@ def check_bend():
     assert solver._resident is not None
     solver.run_steps(_gravity(model), 64, num_iterations=10)
     assert solver._resident is not None, "bending kernel fell back"
+    assert solver._resident_kind == "affine", \
+        "Mosaic rejected the affine kernel (standard-kernel fallback ran)"
     assert np.isfinite(model.positions).all()
 
 
@@ -178,8 +138,17 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    log(f"[smoke] backend={jax.default_backend()}")
+    backend = jax.default_backend()
+    log(f"[smoke] backend={backend}")
+    if backend != "tpu":
+        sys.exit("[smoke] default backend is not TPU — this battery "
+                 "verifies Mosaic compilation on real hardware; a CPU "
+                 "run would green-light nothing (is the tunnel up?)")
     names = sys.argv[1:] or list(CHECKS)
+    unknown = [n for n in names if n not in CHECKS]
+    if unknown:
+        sys.exit(f"[smoke] unknown check(s) {unknown}; "
+                 f"available: {sorted(CHECKS)}")
     for name in names:
         t0 = time.perf_counter()
         CHECKS[name]()
