@@ -65,6 +65,57 @@ def visualize_interpolation_elements_from_bin(mesh_path: str,
     return view_interpolation_elements(verts, elements, alphas, out_path)
 
 
+def compute_accuracy_arrays(full_seq: np.ndarray, reduced_seq: np.ndarray,
+                            faces: np.ndarray):
+    """In-memory twin of :func:`compute_accuracy` on (F, N, 3)
+    trajectories: returns (rows, rel_l2 (F, N), normal_angle (F, N)) —
+    the per-vertex arrays feed :func:`render_error_heatmaps`."""
+    rows, l2_maps, ang_maps = [], [], []
+    for f_idx in range(len(full_seq)):
+        l2_map, l2 = per_vertex_relative_l2(full_seq[f_idx],
+                                            reduced_seq[f_idx])
+        ang_map, ang = normal_angle_error(full_seq[f_idx],
+                                          reduced_seq[f_idx], faces)
+        rows.append({"frame": f_idx, "rel_l2": l2, "normal_angle": ang})
+        l2_maps.append(l2_map)
+        ang_maps.append(ang_map)
+    return rows, np.asarray(l2_maps), np.asarray(ang_maps)
+
+
+def render_error_heatmaps(verts_seq, faces, error_maps, out_dir: str,
+                          frames, prefix: str = "accuracy",
+                          cmap: str = "jet") -> list[str]:
+    """Jet-colormap on-mesh error heat maps, one PNG per requested frame —
+    the headless twin of the reference's polyscope screenshots
+    (``onMesh_accuracyMeasures.py:153-252``).  ``error_maps`` is (F, N)
+    per-vertex scalars; the color scale is shared across the rendered
+    frames so they compare."""
+    import matplotlib.pyplot as plt
+
+    from animsnapbases_tpu.analysis.viewer import _render_mesh
+
+    os.makedirs(out_dir, exist_ok=True)
+    frames = [int(f) for f in frames]
+    vmax = max(float(np.max([error_maps[f].max() for f in frames])), 1e-12)
+    paths = []
+    for f_idx in frames:
+        fig = plt.figure(figsize=(6, 6))
+        ax = fig.add_subplot(111, projection="3d")
+        # normalize against the shared scale by clipping into [0, vmax]
+        scal = np.clip(error_maps[f_idx], 0.0, vmax)
+        _render_mesh(ax, np.asarray(verts_seq[f_idx]), faces,
+                     scalars=scal, cmap=cmap)
+        sm = plt.cm.ScalarMappable(cmap=cmap,
+                                   norm=plt.Normalize(0.0, vmax))
+        fig.colorbar(sm, ax=ax, shrink=0.6, label=prefix)
+        ax.set_title(f"{prefix} frame {f_idx}")
+        path = os.path.join(out_dir, f"{prefix}_frame{f_idx:04d}.png")
+        fig.savefig(path, dpi=140, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(path)
+    return paths
+
+
 def compute_accuracy(full_pattern: str, reduced_pattern: str,
                      frames, faces: np.ndarray | None = None,
                      out_dir: str | None = None,

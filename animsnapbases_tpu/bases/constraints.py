@@ -125,6 +125,27 @@ class ConstraintComponents:
         self.fileName_geom_points = "p_nl_interpol_points_"
         self.file_name_sing = "_constrprojBases_pcaExtraction_singValues"
 
+        # multi-chip bases compute as a product feature: the config's
+        # device_mesh_shards (constraintProj_bases section) builds the
+        # mesh that shards the Gram POD and the device DEIM scan; the
+        # library kwarg (assigning self.pod_mesh directly) still works
+        self.pod_mesh = None
+        shards = int(getattr(param, "device_mesh_shards", 0) or 0)
+        if shards > 1:
+            import jax
+
+            if len(jax.devices()) >= shards:
+                from animsnapbases_tpu.parallel import build_device_mesh
+
+                self.pod_mesh = build_device_mesh((shards,), ("model",))
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"device_mesh_shards={shards} requested but only "
+                    f"{len(jax.devices())} devices are visible; bases "
+                    f"compute stays single-device")
+
     # ------------------------------------------------------------------
     def config(self, fileNameBases="p_nl_",
                fileName_geom_points="p_nl_interpol_points_",
@@ -447,6 +468,11 @@ class ConstraintComponents:
         p = self.nonlinearSnapshots.constraintsSize
         d = self.nonlinearSnapshots.dim
         K = self.numComp
+        mesh = getattr(self, "pod_mesh", None)
+        if device is None and mesh is not None:
+            # a configured device mesh opts the pipeline into device
+            # compute (the sharded scan) unless the caller forces host
+            device = True
         if device:
             from animsnapbases_tpu.ops.deim_scan import deim_rows_host_result
 
@@ -455,7 +481,8 @@ class ConstraintComponents:
                         if comps_dev is not None
                         and comps_dev.shape[0] == self.comps.shape[0]
                         else self.comps.swapaxes(0, 1))
-            Pt, alphas, ranges = deim_rows_host_result(bases_in, p, K)
+            Pt, alphas, ranges = deim_rows_host_result(bases_in, p, K,
+                                                       mesh=mesh)
             if len(np.unique(Pt)) < len(Pt):
                 # rank-exhausted basis: the device scan has no truncation
                 # guard (its masked solve goes singular and the argmax
@@ -529,13 +556,16 @@ class ConstraintComponents:
         p = self.nonlinearSnapshots.constraintsSize
         d = self.nonlinearSnapshots.dim
         K = self.numComp
+        mesh = getattr(self, "pod_mesh", None)
+        if device is None and mesh is not None:
+            device = True
         if device:
             from animsnapbases_tpu.ops.deim_scan import (
                 deim_blocks_host_result,
             )
 
             Pt, alphas, ranges = deim_blocks_host_result(
-                self.comps.swapaxes(0, 1), p, K)
+                self.comps.swapaxes(0, 1), p, K, mesh=mesh)
             if len(np.unique(alphas)) < len(alphas):
                 # rank-exhausted basis: fall back to the host loop, which
                 # detects the zero residual (same guard as deim())

@@ -109,6 +109,9 @@ class BasesConfig:
     constProj_bases_interpolation_type: str = "deim"
     constProj_basis_type: str = "pod_vectorized"
     deim_desired_num_components: int = -1
+    # >1: shard the bases compute (Gram POD + device DEIM) over an
+    # N-device jax mesh — the multi-chip bases product feature
+    device_mesh_shards: int = 0
     constProj_standarize: bool = False
     constProj_massWeight: bool = False
     constProj_orthogonal: bool = False
@@ -276,6 +279,7 @@ class BasesConfig:
                                                          "deim")
         self.constProj_basis_type = cp.get("basis_type", "pod_vectorized")
         self.deim_desired_num_components = cp.get("desired_num_components", -1)
+        self.device_mesh_shards = cp.get("device_mesh_shards", 0)
 
         base = os.path.join(self.snapshots_repo_dir, self.name, self.experiment)
         p_folder = ctype.get("p_snaps_folder", "")

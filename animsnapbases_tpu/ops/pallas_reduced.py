@@ -191,19 +191,38 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=a.dtype)
 
 
-def _tri_p(gathered, arrays, smin, smax, block=False):
-    """Pre-gathered vertex slices -> projection rows: (3, m) in row form
-    (one selected row per element), (3, 2m) row-major blocks in block
+# Batched-ensemble layout: every per-vertex operand may carry ``nb``
+# independent sims in DIM-MAJOR row blocks — rows [d*nb:(d+1)*nb] hold
+# dim d of all sims, so shapes are (3*nb, m).  Rest-data arrays (P, DmInv,
+# normals, ...) stay (·, m): the sims share one prepared model and the
+# shared rows broadcast against each (nb, m) dim block.  nb == 1
+# reproduces the single-sim math bit-for-bit.
+
+
+def _dim(x, d, nb):
+    """Dim-d row block of a dim-major (3*nb, m) array -> (nb, m)."""
+    return x[d * nb:(d + 1) * nb]
+
+
+def _sum_dims(x, y, nb):
+    """sum_d x[d] * y_block[d]: x shared (3, m), y dim-major (3*nb, m)."""
+    return (x[0:1] * _dim(y, 0, nb) + x[1:2] * _dim(y, 1, nb)
+            + x[2:3] * _dim(y, 2, nb))
+
+
+def _tri_p(gathered, arrays, smin, smax, block=False, nb=1):
+    """Pre-gathered vertex slices -> projection rows: (3nb, m) in row form
+    (one selected row per element), (3nb, 2m) row-major blocks in block
     form."""
     V1, V2, V3 = gathered
     P0T, P1T, Dm = arrays[:3]
     e1 = V2 - V1
     e2 = V3 - V1
     # Ds2d = P^T [e1 e2]  (per element 2x2), F = Ds2d @ DmInv
-    a_ = jnp.sum(P0T * e1, axis=0, keepdims=True)          # (1, m)
-    b_ = jnp.sum(P0T * e2, axis=0, keepdims=True)
-    c_ = jnp.sum(P1T * e1, axis=0, keepdims=True)
-    d_ = jnp.sum(P1T * e2, axis=0, keepdims=True)
+    a_ = _sum_dims(P0T, e1, nb)                            # (nb, m)
+    b_ = _sum_dims(P0T, e2, nb)
+    c_ = _sum_dims(P1T, e1, nb)
+    d_ = _sum_dims(P1T, e2, nb)
     D00, D01, D10, D11 = Dm[0:1], Dm[1:2], Dm[2:3], Dm[3:4]
     F00 = a_ * D00 + b_ * D10
     F01 = a_ * D01 + b_ * D11
@@ -212,25 +231,32 @@ def _tri_p(gathered, arrays, smin, smax, block=False):
     f00, f01, f10, f11 = clamped_fhat_2x2(F00, F01, F10, F11, smin, smax)
     if block:
         # pi column j of element: P0*f0j + P1*f1j — emit both rows
-        return jnp.concatenate([P0T * f00 + P1T * f10,
-                                P0T * f01 + P1T * f11], axis=1)  # (3, 2m)
+        col0 = jnp.concatenate(
+            [P0T[d:d + 1] * f00 + P1T[d:d + 1] * f10 for d in range(3)],
+            axis=0)
+        col1 = jnp.concatenate(
+            [P0T[d:d + 1] * f01 + P1T[d:d + 1] * f11 for d in range(3)],
+            axis=0)
+        return jnp.concatenate([col0, col1], axis=1)       # (3nb, 2m)
     # pi row j of element: (P @ Fhat)[:, j]; select row 0 or 1 per element
     row_is0 = arrays[3]
-    fh0 = jnp.where(row_is0 > 0, f00, f01)                 # (1, m)
+    fh0 = jnp.where(row_is0 > 0, f00, f01)                 # (nb, m)
     fh1 = jnp.where(row_is0 > 0, f10, f11)
-    return P0T * fh0 + P1T * fh1                           # (3, m)
+    return jnp.concatenate(
+        [P0T[d:d + 1] * fh0 + P1T[d:d + 1] * fh1 for d in range(3)],
+        axis=0)                                            # (3nb, m)
 
 
-def _tet_p(gathered, arrays, kind, smin, smax, block=False):
-    """tets_strain / tets_deformation_gradient projection rows: (3, m) in
-    row form, (3, 3m) row-major blocks in block form."""
+def _tet_p(gathered, arrays, kind, smin, smax, block=False, nb=1):
+    """tets_strain / tets_deformation_gradient projection rows: (3nb, m) in
+    row form, (3nb, 3m) row-major blocks in block form."""
     V1, V2, V3, V4 = gathered
     Dm = arrays[0]
-    ds = [V1 - V4, V2 - V4, V3 - V4]          # Ds columns, each (3, m)
+    ds = [V1 - V4, V2 - V4, V3 - V4]          # Ds columns, each (3nb, m)
     D = [Dm[k:k + 1] for k in range(9)]       # DmInv entries (1, m)
-    # F[i][j] = sum_k Ds[k][i] * DmInv[k][j]
-    F = tuple(ds[0][i:i + 1] * D[0 + j] + ds[1][i:i + 1] * D[3 + j]
-              + ds[2][i:i + 1] * D[6 + j]
+    # F[i][j] = sum_k Ds[k][i] * DmInv[k][j]   (each (nb, m))
+    F = tuple(_dim(ds[0], i, nb) * D[0 + j] + _dim(ds[1], i, nb) * D[3 + j]
+              + _dim(ds[2], i, nb) * D[6 + j]
               for i in range(3) for j in range(3))
     if kind == "tets_strain":
         P9 = tet_strain_fhat(F, smin, smax)
@@ -243,53 +269,63 @@ def _tet_p(gathered, arrays, kind, smin, smax, block=False):
                 (R9[2], R9[5], R9[8])]
     if block:
         blocks = [jnp.concatenate([rows[j][d] for d in range(3)], axis=0)
-                  for j in range(3)]           # each (3, m)
-        return jnp.concatenate(blocks, axis=1)              # (3, 3m)
+                  for j in range(3)]           # each (3nb, m)
+        return jnp.concatenate(blocks, axis=1)              # (3nb, 3m)
     r0, r1 = arrays[1], arrays[2]
     r2 = 1.0 - r0 - r1
     return jnp.concatenate(
         [r0 * rows[0][d] + r1 * rows[1][d] + r2 * rows[2][d]
-         for d in range(3)], axis=0)          # (3, m)
+         for d in range(3)], axis=0)          # (3nb, m)
 
 
-def _bending_p(gathered, arrays, prevent_flips):
-    """verts_bending projection rows (3, m)."""
-    (star,) = gathered                                      # (3, m)
+def _bending_p(gathered, arrays, prevent_flips, nb=1):
+    """verts_bending projection rows (3nb, m)."""
+    (star,) = gathered                                      # (3nb, m)
     rest, tri_n, dot_n = arrays
-    norm = jnp.sqrt(jnp.sum(star * star, axis=0, keepdims=True))
+    norm = jnp.sqrt(_dim(star, 0, nb) ** 2 + _dim(star, 1, nb) ** 2
+                    + _dim(star, 2, nb) ** 2)               # (nb, m)
     scale = rest / jnp.maximum(norm, 1e-30)
-    corr = jnp.where(norm < 1e-10, tri_n * rest, star * scale)
+    corr = jnp.concatenate(
+        [jnp.where(norm < 1e-10, tri_n[d:d + 1] * rest,
+                   _dim(star, d, nb) * scale) for d in range(3)],
+        axis=0)                                             # (3nb, m)
     if prevent_flips:
-        dots = jnp.sum(tri_n * corr, axis=0, keepdims=True)
+        dots = _sum_dims(tri_n, corr, nb)                   # (nb, m)
         flip = (norm > 1e-5) & (dots * dot_n < 0)
-        corr = jnp.where(flip, -corr, corr)
+        corr = jnp.concatenate(
+            [jnp.where(flip, -_dim(corr, d, nb), _dim(corr, d, nb))
+             for d in range(3)], axis=0)
     return corr
 
 
-def _spring_p(gathered, arrays):
+def _spring_p(gathered, arrays, nb=1):
     V0, V1 = gathered
     (rest,) = arrays
-    spring = V1 - V0                                       # (3, m)
-    length = jnp.sqrt(jnp.sum(spring * spring, axis=0, keepdims=True))
+    spring = V1 - V0                                       # (3nb, m)
+    length = jnp.sqrt(_dim(spring, 0, nb) ** 2 + _dim(spring, 1, nb) ** 2
+                      + _dim(spring, 2, nb) ** 2)          # (nb, m)
     inv_len = jnp.where(length > 0, 1.0 / jnp.maximum(length, 1e-30), 0.0)
-    n = spring * inv_len
     delta = 0.5 * (length - rest)
-    p = 0.5 * spring - delta * n                           # (3, m)
-    return jnp.where(length > 0, p, 0.0)
+    keep = length > 0
+    return jnp.concatenate(
+        [jnp.where(keep,
+                   0.5 * _dim(spring, d, nb)
+                   - delta * inv_len * _dim(spring, d, nb), 0.0)
+         for d in range(3)], axis=0)                       # (3nb, m)
 
 
 TERM_DISPATCH = {
-    "tris_strain": lambda g, a, smin, smax, pflips, block=False: _tri_p(
-        g, a, smin, smax, block),
-    "edge_spring": lambda g, a, smin, smax, pflips, block=False: _spring_p(
-        g, a),
-    "tets_strain": lambda g, a, smin, smax, pflips, block=False: _tet_p(
-        g, a, "tets_strain", smin, smax, block),
+    "tris_strain": lambda g, a, smin, smax, pflips, block=False, nb=1:
+        _tri_p(g, a, smin, smax, block, nb),
+    "edge_spring": lambda g, a, smin, smax, pflips, block=False, nb=1:
+        _spring_p(g, a, nb),
+    "tets_strain": lambda g, a, smin, smax, pflips, block=False, nb=1:
+        _tet_p(g, a, "tets_strain", smin, smax, block, nb),
     "tets_deformation_gradient":
-        lambda g, a, smin, smax, pflips, block=False: _tet_p(
-            g, a, "tets_deformation_gradient", smin, smax, block),
-    "verts_bending": lambda g, a, smin, smax, pflips, block=False:
-        _bending_p(g, a, pflips),
+        lambda g, a, smin, smax, pflips, block=False, nb=1: _tet_p(
+            g, a, "tets_deformation_gradient", smin, smax, block, nb),
+    "verts_bending": lambda g, a, smin, smax, pflips, block=False, nb=1:
+        _bending_p(g, a, pflips, nb),
 }
 
 

@@ -37,20 +37,25 @@ def _dot(a, b, acc):
 
 
 def estimate_vmem_bytes(n_verts: int, r: int, n_sel: int, g_total: int,
-                        m_total: int, mm_bytes: int, state_bytes: int) -> int:
-    """Rough VMEM footprint of the resident kernel's operands."""
+                        m_total: int, mm_bytes: int, state_bytes: int,
+                        nb: int = 1) -> int:
+    """Rough VMEM footprint of the resident kernel's operands (``nb``
+    batched sims share the big matrices; only per-sim state scales)."""
     big = 2 * 3 * n_verts * r * mm_bytes          # U lift + Ut A_c
-    state = 4 * 3 * n_verts * state_bytes         # P, V, fext, sn
+    state = 4 * 3 * nb * n_verts * state_bytes    # P, V, fext, sn
     small = (3 * r * n_sel + 3 * r * r + 3 * m_total * r
              + n_sel * g_total) * state_bytes
-    return big + state + small + (1 << 20)
+    # per-sim iteration temporaries (Vall, pT, qT)
+    temps = 3 * nb * (g_total + m_total + n_sel) * state_bytes
+    return big + state + small + temps + (1 << 20)
 
 
 def _make_iteration_loop(layout, gather_slices, term_dispatch, garrs,
-                         WT, G_allT, usel_inv, r, acc):
+                         WT, G_allT, usel_inv, r, acc, nb=1):
     """The hyper-reduced local-global iteration loop shared by the
-    resident kernels: iterate(snT_sel (3, n_sel), rb_const (3, r),
-    num_iterations) -> rb (3, r)."""
+    resident kernels: iterate(snT_sel (3nb, n_sel), rb_const (3nb, r),
+    num_iterations) -> rb (3nb, r).  ``nb`` batched sims ride as
+    dim-major row blocks (rows [d*nb:(d+1)*nb] = dim d of all sims)."""
     def iterate(snT_sel, rb_const, num_iterations):
         def body(_, inner):
             qT, _ = inner
@@ -63,18 +68,18 @@ def _make_iteration_loop(layout, gather_slices, term_dispatch, garrs,
                 off += cnt
                 gathered = [Vall[:, s:s + m] for s, m in slices]
                 p_parts.append(term_dispatch[kind](
-                    gathered, arrs, smin, smax, pflips, block))
+                    gathered, arrs, smin, smax, pflips, block, nb))
             pT = (p_parts[0] if len(p_parts) == 1
                   else jnp.concatenate(p_parts, axis=1))
             rb = rb_const + jnp.concatenate(
-                [_dot(pT[d:d + 1], WT[d], acc) for d in range(3)],
-                axis=0)
+                [_dot(pT[d * nb:(d + 1) * nb], WT[d], acc)
+                 for d in range(3)], axis=0)
             qT_new = snT_sel + jnp.concatenate(
-                [_dot(rb[d:d + 1], usel_inv[d], acc)
+                [_dot(rb[d * nb:(d + 1) * nb], usel_inv[d], acc)
                  for d in range(3)], axis=0)
             return qT_new, rb
 
-        rb0 = jnp.zeros((3, r), dtype=snT_sel.dtype)
+        rb0 = jnp.zeros((3 * nb, r), dtype=snT_sel.dtype)
         _, rb = jax.lax.fori_loop(0, num_iterations, body,
                                   (snT_sel, rb0))
         return rb
@@ -117,7 +122,29 @@ def _make_runners(_body, const_inputs, flat_arrays):
                              tuple(flat_arrays), num_iterations,
                              t_window)
 
+    def run_raw(P0, V0, fext, rb_extra, steps_arr, num_iterations):
+        """Unjitted body with the consts pre-bound — for callers that fuse
+        their own state packing/unpacking into ONE jit around the kernel
+        (one dispatch per chunk matters on tunneled hosts)."""
+        return _body(P0, V0, fext, rb_extra, steps_arr,
+                     tuple(const_inputs), tuple(flat_arrays),
+                     num_iterations)
+
+    def aot_compile(P0, V0, fext, rb_extra, num_steps, num_iterations):
+        """Client-side lower+compile of the kernel for these operand
+        shapes, WITHOUT dispatching.  Writes the executable into the
+        persistent compilation cache, so the later jitted call is a cache
+        hit — letting benchmarks attribute cold-start time to client
+        compile vs server-side first-dispatch load separately."""
+        steps_arr = jnp.asarray([[num_steps]], dtype=jnp.int32)
+        lowered = _run.lower(P0, V0, fext, rb_extra, steps_arr,
+                             tuple(const_inputs), tuple(flat_arrays),
+                             num_iterations=num_iterations)
+        return lowered.compile()
+
     run.windowed = run_windowed
+    run.raw = run_raw
+    run.aot_compile = aot_compile
     return run
 
 
@@ -128,15 +155,21 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
                              mass_inv: np.ndarray, dt: float,
                              floor: bool, floor_h: float,
                              n_sel: int,
-                             interpret: bool = False):
-    """Build run(P (3,N), V (3,N), fext (3,N), rb_seq (T,3,r), num_steps,
-    num_iterations) -> (P', V').
+                             interpret: bool = False, nb: int = 1):
+    """Build run(P (3nb,N), V (3nb,N), fext (3nb,N), rb_seq (T,3nb,r),
+    num_steps, num_iterations) -> (P', V').
 
     iteration_terms: operand dict from ``prepare_fused_operands``;
     U_liftT (3, r, N) and ut_acT (3, N, r) may be low-precision; rb_seq
     carries the per-STEP positional-target contribution (step i uses
     ``rb_seq[min(i, T-1)]`` — T == 1 for static targets, a pow2-padded
-    timeline for animated ones, e.g. the poke scenarios)."""
+    timeline for animated ones, e.g. the poke scenarios).
+
+    ``nb`` > 1 serves a BATCH of independent sims sharing the prepared
+    model in one kernel: state rows are dim-major blocks (rows
+    [d*nb:(d+1)*nb] = dim d of all sims), so every per-dim matvec
+    becomes an (nb, ·) x (·, ·) matmul — near-free on the MXU, which is
+    what converts this latency-bound kernel into ensemble throughput."""
     acc = jnp.float32 if U_liftT.dtype != np.float64 else jnp.float64
     r = inv3.shape[1]
     n = U_liftT.shape[2]
@@ -170,17 +203,18 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
             WT = wt_ref[:]
             G_allT = gall_ref[:]
             m_inv = minv_ref[:]
-            t_len = rbex_ref.shape[0] // 3     # rb timeline as (3T, r):
+            t_len = rbex_ref.shape[0] // (3 * nb)   # rb as (3*nb*T, r):
             # 2D layout tiles densely and the per-step dynamic load is a
             # sublane-offset slice — a (T, 3, r) layout pads every (3, r)
             # step entry to an (8, 128) tile (5x VMEM, ~10 us/step loads)
             # fext is constant across the whole call: fold dt^2 * f / m once
             fa = dt2 * f_ref[:] * m_inv
             mm_dtype = ulift_ref.dtype
-            row_is_y = jax.lax.broadcasted_iota(jnp.int32, (3, n), 0) == 1
+            row_is_y = (jax.lax.broadcasted_iota(
+                jnp.int32, (3 * nb, n), 0) // nb) == 1
             iterate = _make_iteration_loop(layout, gather_slices,
                                            term_dispatch, garrs, WT,
-                                           G_allT, usel_inv, r, acc)
+                                           G_allT, usel_inv, r, acc, nb)
 
             def step(i, carry):
                 P, V = carry
@@ -189,22 +223,24 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
                 # Mosaic rejects dynamic_slice on VMEM values, but dynamic
                 # ref loads with pl.ds on the leading axis lower fine.
                 rb_extra = rbex_ref[
-                    pl.ds(3 * jnp.minimum(i, t_len - 1), 3)]
+                    pl.ds(3 * nb * jnp.minimum(i, t_len - 1), 3 * nb)]
                 sn = P + dt * V + fa
                 if floor:
                     sn = jnp.where(row_is_y & (sn < floor_h), floor_h, sn)
                 # rb_const = -U^T A_c sn (+ positional extra)
                 rb_const = rb_extra - jnp.concatenate(
-                    [_dot(sn[d:d + 1].astype(mm_dtype), utac_ref[d], acc)
-                     for d in range(3)], axis=0)             # (3, r)
+                    [_dot(sn[d * nb:(d + 1) * nb].astype(mm_dtype),
+                          utac_ref[d], acc)
+                     for d in range(3)], axis=0)             # (3nb, r)
                 snT_sel = sn[:, :n_sel]
                 rb = iterate(snT_sel, rb_const, num_iterations)
                 u = jnp.concatenate(
-                    [_dot(rb[d:d + 1], inv[d], acc) for d in range(3)],
-                    axis=0)                                   # (3, r)
+                    [_dot(rb[d * nb:(d + 1) * nb], inv[d], acc)
+                     for d in range(3)], axis=0)              # (3nb, r)
                 q = sn + jnp.concatenate(
-                    [_dot(u[d:d + 1].astype(mm_dtype), ulift_ref[d], acc)
-                     for d in range(3)], axis=0)              # (3, n)
+                    [_dot(u[d * nb:(d + 1) * nb].astype(mm_dtype),
+                          ulift_ref[d], acc)
+                     for d in range(3)], axis=0)              # (3nb, n)
                 V_new = (q - P) / dt
                 return q, V_new
 
@@ -213,8 +249,8 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
             out_p_ref[:] = P_fin
             out_v_ref[:] = V_fin
 
-        out_shape = (jax.ShapeDtypeStruct((3, n), P0.dtype),
-                     jax.ShapeDtypeStruct((3, n), P0.dtype))
+        out_shape = (jax.ShapeDtypeStruct((3 * nb, n), P0.dtype),
+                     jax.ShapeDtypeStruct((3 * nb, n), P0.dtype))
         in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
                     + [pl.BlockSpec(memory_space=pltpu.VMEM)]
                     * (4 + n_const))
@@ -247,9 +283,19 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                           mass_inv: np.ndarray, dt: float,
                           floor: bool, floor_h: float,
                           n_sel: int, rebase_every: int = 256,
-                          interpret: bool = False):
+                          interpret: bool = False, nb: int = 1):
     """Affine-coordinate resident kernel: contact-free steps never touch
     the full vertex space.
+
+    ``nb`` > 1 batches independent sims sharing the prepared model
+    (dim-major row blocks, see :func:`build_resident_multistep`): the
+    per-sim affine coefficients stack to (3nb, 3) and every per-dim
+    contraction widens from one row to nb rows — per-step cost is nearly
+    nb-independent, so aggregate ensemble throughput scales with the
+    batch.  The floor-contact branch tests ALL sims' y rows at once; any
+    contacting sim routes the whole batch through the exact full-space
+    step (identical results — the clamp is an identity for airborne
+    sims), so contact costs batch-wide what it cost solo.
 
     The PD recursion stays in the affine subspace
     ``span{P_entry, V_entry, fa} (+) range(U)`` as long as no full-space
@@ -320,40 +366,43 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
             mutac = mutac_ref[:]
             uselT = uselt_ref[:]
             m_inv = minv_ref[:]
-            t_len = rbex_ref.shape[0] // 3   # (3T, r) layout, see above
+            t_len = rbex_ref.shape[0] // (3 * nb)   # (3*nb*T, r) layout
             fa = dt2 * f_ref[:] * m_inv                 # constant per call
             mm_dtype = ulift_ref.dtype
             iterate = _make_iteration_loop(layout, gather_slices,
                                            term_dispatch, garrs, WT,
-                                           G_allT, usel_inv, r, acc)
+                                           G_allT, usel_inv, r, acc, nb)
             # base-coefficient selectors (identity rows over
             # [b0, b1, fa]) built in-kernel: pallas cannot capture host
             # constants
-            _col = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
+            _col = jax.lax.broadcasted_iota(jnp.int32, (3 * nb, 3), 1)
             e0 = (_col == 0).astype(fa.dtype)
             e1 = (_col == 1).astype(fa.dtype)
             e2 = (_col == 2).astype(fa.dtype)
-            zw = jnp.zeros((3, r), dtype=fa.dtype)
+            zw = jnp.zeros((3 * nb, r), dtype=fa.dtype)
             fa_sel = fa[:, :n_sel]
             bu_fa = jnp.concatenate(
-                [_dot(fa[d:d + 1].astype(mm_dtype), utac_ref[d], acc)
-                 for d in range(3)], axis=0)            # (3, r)
+                [_dot(fa[d * nb:(d + 1) * nb].astype(mm_dtype),
+                      utac_ref[d], acc)
+                 for d in range(3)], axis=0)            # (3nb, r)
             if floor:
-                row_is_y = jax.lax.broadcasted_iota(
-                    jnp.int32, (3, n), 0) == 1
+                row_is_y = (jax.lax.broadcasted_iota(
+                    jnp.int32, (3 * nb, n), 0) // nb) == 1
 
             def project_base(X):
-                """(3, r) rows of X through U^T A_c (bf16-storage dots)."""
+                """(3nb, r) rows of X through U^T A_c (bf16-storage dots)."""
                 return jnp.concatenate(
-                    [_dot(X[d:d + 1].astype(mm_dtype), utac_ref[d], acc)
+                    [_dot(X[d * nb:(d + 1) * nb].astype(mm_dtype),
+                          utac_ref[d], acc)
                      for d in range(3)], axis=0)
 
             def materialize(a, w):
-                """(3, N) state from base coefficients + reduced coords."""
+                """(3nb, N) state from base coefficients + reduced coords."""
                 out = (a[:, 0:1] * b0_ref[:] + a[:, 1:2] * b1_ref[:]
                        + a[:, 2:3] * fa)
                 return out + jnp.concatenate(
-                    [_dot(w[d:d + 1].astype(mm_dtype), ulift_ref[d], acc)
+                    [_dot(w[d * nb:(d + 1) * nb].astype(mm_dtype),
+                          ulift_ref[d], acc)
                      for d in range(3)], axis=0)
 
             # anchor the bases at the entry state; base projections (bu)
@@ -391,7 +440,8 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                 wv = wv_ref[:]
                 asn = ap + dt * av + e2
                 wsn = wp + dt * wv
-                rb_ex = rbex_ref[pl.ds(3 * jnp.minimum(i, t_len - 1), 3)]
+                rb_ex = rbex_ref[
+                    pl.ds(3 * nb * jnp.minimum(i, t_len - 1), 3 * nb)]
 
                 def affine_step():
                     @pl.when(stale_ref[0, 0] == 1)
@@ -404,19 +454,21 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                               + asn[:, 1:2] * bu1_ref[:]
                               + asn[:, 2:3] * bu_fa
                               + jnp.concatenate(
-                                  [_dot(wsn[d:d + 1], mutac[d], acc)
+                                  [_dot(wsn[d * nb:(d + 1) * nb],
+                                        mutac[d], acc)
                                    for d in range(3)], axis=0))
                     rb_const = rb_ex - rb_lin
                     snT_sel = (asn[:, 0:1] * b0_ref[:, :n_sel]
                                + asn[:, 1:2] * b1_ref[:, :n_sel]
                                + asn[:, 2:3] * fa_sel
                                + jnp.concatenate(
-                                   [_dot(wsn[d:d + 1], uselT[d], acc)
+                                   [_dot(wsn[d * nb:(d + 1) * nb],
+                                         uselT[d], acc)
                                     for d in range(3)], axis=0))
                     rb = iterate(snT_sel, rb_const, num_iterations)
                     u = jnp.concatenate(
-                        [_dot(rb[d:d + 1], inv[d], acc) for d in range(3)],
-                        axis=0)
+                        [_dot(rb[d * nb:(d + 1) * nb], inv[d], acc)
+                         for d in range(3)], axis=0)
                     wq = wsn + u
                     # aq == asn and (aq - ap)/dt == av + e2/dt exactly:
                     # update coefficients without the cancellation-prone
@@ -428,11 +480,11 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
 
                 if floor:
                     # exact contact check: materialize ONLY the y rows of
-                    # the predictor (one (1, r) x (r, N) dot)
-                    sn_y = (asn[1:2, 0:1] * b0_ref[1:2]
-                            + asn[1:2, 1:2] * b1_ref[1:2]
-                            + asn[1:2, 2:3] * fa[1:2]
-                            + _dot(wsn[1:2].astype(mm_dtype),
+                    # the predictor (one (nb, r) x (r, N) dot)
+                    sn_y = (asn[nb:2 * nb, 0:1] * b0_ref[nb:2 * nb]
+                            + asn[nb:2 * nb, 1:2] * b1_ref[nb:2 * nb]
+                            + asn[nb:2 * nb, 2:3] * fa[nb:2 * nb]
+                            + _dot(wsn[nb:2 * nb].astype(mm_dtype),
                                    ulift_ref[1], acc))
                     clamped = jnp.any(sn_y < floor_h)
 
@@ -450,10 +502,10 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                         rb = iterate(sn[:, :n_sel], rb_const,
                                      num_iterations)
                         u = jnp.concatenate(
-                            [_dot(rb[d:d + 1], inv[d], acc)
+                            [_dot(rb[d * nb:(d + 1) * nb], inv[d], acc)
                              for d in range(3)], axis=0)
                         q = sn + jnp.concatenate(
-                            [_dot(u[d:d + 1].astype(mm_dtype),
+                            [_dot(u[d * nb:(d + 1) * nb].astype(mm_dtype),
                                   ulift_ref[d], acc)
                              for d in range(3)], axis=0)
                         b0_ref[:] = q
@@ -488,8 +540,8 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
             out_p_ref[:] = materialize(ap_ref[:], wp_ref[:])
             out_v_ref[:] = materialize(av_ref[:], wv_ref[:])
 
-        out_shape = (jax.ShapeDtypeStruct((3, n), P0.dtype),
-                     jax.ShapeDtypeStruct((3, n), P0.dtype))
+        out_shape = (jax.ShapeDtypeStruct((3 * nb, n), P0.dtype),
+                     jax.ShapeDtypeStruct((3 * nb, n), P0.dtype))
         in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
                     + [pl.BlockSpec(memory_space=pltpu.VMEM)]
                     * (4 + n_const))
@@ -504,14 +556,14 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
             in_specs=in_specs,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.VMEM)),
-            scratch_shapes=[pltpu.VMEM((3, n), sdt),      # b0
-                            pltpu.VMEM((3, n), sdt),      # b1
-                            pltpu.VMEM((3, r), sdt),      # bu0
-                            pltpu.VMEM((3, r), sdt),      # bu1
-                            pltpu.VMEM((3, 3), sdt),      # ap
-                            pltpu.VMEM((3, 3), sdt),      # av
-                            pltpu.VMEM((3, r), sdt),      # wp
-                            pltpu.VMEM((3, r), sdt),      # wv
+            scratch_shapes=[pltpu.VMEM((3 * nb, n), sdt),      # b0
+                            pltpu.VMEM((3 * nb, n), sdt),      # b1
+                            pltpu.VMEM((3 * nb, r), sdt),      # bu0
+                            pltpu.VMEM((3 * nb, r), sdt),      # bu1
+                            pltpu.VMEM((3 * nb, 3), sdt),      # ap
+                            pltpu.VMEM((3 * nb, 3), sdt),      # av
+                            pltpu.VMEM((3 * nb, r), sdt),      # wp
+                            pltpu.VMEM((3 * nb, r), sdt),      # wv
                             pltpu.SMEM((1, 1), jnp.int32)],   # bu stale
             compiler_params=compiler_params,
             interpret=interpret,

@@ -242,6 +242,9 @@ class AnimSnapBasesSolver:
         self._collide_jit = None
         self._rb_sched = None
         self._record_scan = None
+        self._resident_state = None
+        self._resident_batched = {}
+        self._batched_call_cache = {}
 
     # ------------------------------------------------------------------
     def _cast(self, x):
@@ -260,6 +263,7 @@ class AnimSnapBasesSolver:
         self.dirty = True
         self._rb_sched = None        # positional schedule may have changed
         self._record_scan = None     # closes over the (re)built step core
+        self._batched_call_cache = {}   # closes over perm of the old build
 
     def set_clean(self):
         self.dirty = False
@@ -435,6 +439,8 @@ class AnimSnapBasesSolver:
         matrices in VMEM.  Vertices are permuted so the selected union is a
         prefix (static slice instead of gather).  Returns
         (run_fn, perm, iperm, fext_is_free) or None."""
+        self._resident_state = None
+        self._resident_batched = {}
         if getattr(self, "_fused_pack", None) is None:
             return None
         if self._collision_mode == "device":
@@ -500,6 +506,24 @@ class AnimSnapBasesSolver:
                 [self.U[:, :, d].T @ ST.toarray() for d in range(3)]).astype(
                 np_dtype)                                    # (3, r, e_pos)
 
+        M_utac = None
+        if use_affine:
+            M_utac = np.stack(
+                [self._ut_ac_np[d] @ self.U[:, :, d]
+                 for d in range(3)]).astype(np_dtype)      # (3, r, r)
+        # everything a batched (nb > 1) rebuild needs — the big operands
+        # are shared across the batch, so ensemble runners reuse them
+        self._resident_state = {
+            "ops": ops, "U_liftT": U_liftT, "ut_acT": ut_acT,
+            "M_utac": M_utac, "U_selT": U_selT.astype(np_dtype),
+            "mass_inv": mass_inv, "perm": perm, "iperm": iperm,
+            "use_affine": use_affine, "interpret": interpret,
+            "np_dtype": np_dtype, "mm_dtype": mm_dtype,
+            "n": n, "r": r, "n_sel": n_sel,
+            "g_total": g_total, "m_total": m_total,
+        }
+        self._resident_batched = {}
+
         if use_affine:
             # default: the affine-coordinate kernel never touches the
             # full vertex space on contact-free steps and handles floor
@@ -508,9 +532,6 @@ class AnimSnapBasesSolver:
                 build_resident_affine,
             )
 
-            M_utac = np.stack(
-                [self._ut_ac_np[d] @ self.U[:, :, d]
-                 for d in range(3)]).astype(np_dtype)      # (3, r, r)
             run = build_resident_affine(
                 ops, ops["gather_slices"], ops["layout"],
                 ops["G_allT"], ops["WT_all"], ops["usel_inv"],
@@ -541,6 +562,52 @@ class AnimSnapBasesSolver:
             n_sel, interpret=interpret)
         self._resident_kind = "standard"
         return run, perm, iperm
+
+    def _build_resident_batched(self, nb: int):
+        """Resident runner serving ``nb`` independent sims of this prepared
+        model in ONE kernel (dim-major (3*nb, N) state rows; the big bf16
+        matrices are shared).  Cached per batch size; None when the state
+        is unavailable or the per-sim VMEM cost doesn't fit."""
+        st = getattr(self, "_resident_state", None)
+        if st is None or nb < 1:
+            return None
+        if nb in self._resident_batched:
+            return self._resident_batched[nb]
+        from animsnapbases_tpu.ops.pallas_resident import (
+            build_resident_affine,
+            build_resident_multistep,
+            estimate_vmem_bytes,
+        )
+
+        budget = estimate_vmem_bytes(
+            st["n"], st["r"], st["n_sel"], st["g_total"], st["m_total"],
+            st["mm_dtype"].itemsize, st["np_dtype"].itemsize, nb=nb)
+        if st["use_affine"]:
+            # b0/b1 scratch + materialization temporaries, all (3*nb, N)
+            budget += (4 * 3 * nb * st["n"] * st["np_dtype"].itemsize
+                       + 3 * nb * (st["r"] + st["n_sel"])
+                       * st["np_dtype"].itemsize)
+        if budget > 48 * (1 << 20):
+            self._resident_batched[nb] = None
+            return None
+        ops = st["ops"]
+        common = (ops, ops["gather_slices"], ops["layout"], ops["G_allT"],
+                  ops["WT_all"], ops["usel_inv"], ops["inv3"],
+                  st["U_liftT"], st["ut_acT"])
+        if st["use_affine"]:
+            run = build_resident_affine(
+                *common, st["M_utac"], st["U_selT"], st["mass_inv"],
+                self.dt, self.model.floor_collision,
+                self.model.floor_height, st["n_sel"],
+                rebase_every=getattr(self, "resident_rebase_every", 256),
+                interpret=st["interpret"], nb=nb)
+        else:
+            run = build_resident_multistep(
+                *common, st["mass_inv"], self.dt,
+                self.model.floor_collision, self.model.floor_height,
+                st["n_sel"], interpret=st["interpret"], nb=nb)
+        self._resident_batched[nb] = run
+        return run
 
     def _build_step(self):
         model = self.model
@@ -905,20 +972,26 @@ class AnimSnapBasesSolver:
 
     def make_batched_run(self, mesh=None, batch_axis: str = "data"):
         """Ensemble serving: advance a BATCH of independent sims
-        ``num_steps`` steps in ONE dispatch (the solver's dynamic-trip
-        ``run_fn`` vmapped over the batch), optionally sharded over a mesh
-        axis.
+        ``num_steps`` steps in ONE dispatch, optionally sharded over a
+        mesh axis.
 
-        Over a high-latency host<->device link the per-step
-        :meth:`make_batched_step` pays one round trip per step for the
-        whole batch; this wrapper amortizes it across the run.  Returns
-        ``run(positions (B, N, 3), velocities, fext (B, N, 3), num_steps,
-        num_iterations=10, targets_seq=None) -> (positions', velocities')``.
-        ``targets_seq`` is an optional (T, e, 3) positional-target
-        timeline shared by all sims (clamped at its last row, pow2-padded
-        so compilations are reused across lengths); when omitted, the
-        model's own schedule from the current frame is used — animated
-        ``user_defined`` shifts advance exactly as in :meth:`run_steps`.
+        Single-chip batches route through the BATCHED RESIDENT Pallas
+        kernel when the solver built one (the flagship path:
+        dim-major (3B, N) state, shared bf16 matrices — per-step cost is
+        nearly batch-independent, so aggregate throughput scales with B);
+        otherwise the solver's dynamic-trip ``run_fn`` is vmapped over
+        the batch.  Returns ``run(positions (B, N, 3), velocities,
+        fext (B, N, 3), num_steps, num_iterations=10, targets_seq=None)
+        -> (positions', velocities')``.
+
+        ``targets_seq``: optional positional-target timeline — (T, e, 3)
+        shared by all sims, or (B, T, e, 3) giving EACH sim its own
+        schedule (independently-poked ensemble serving).  Timelines clamp
+        at their last row and are pow2-padded so compilations are reused
+        across lengths.  When omitted, the model's own schedule is used,
+        advancing with an internal serving-frame counter across calls
+        (starting at the solver's current frame) — consecutive chunks
+        continue the animation exactly as :meth:`run_steps` does.
         """
         if self._run_jit is None:
             raise RuntimeError("batched stepping needs the jitted path "
@@ -930,6 +1003,7 @@ class AnimSnapBasesSolver:
             raise RuntimeError("batched serving does not support "
                                "self-collision resolvers")
         run_jit = self._run_jit
+        serving_frame = [self.frame]
 
         spec = None
         if mesh is not None:
@@ -950,21 +1024,134 @@ class AnimSnapBasesSolver:
                                         num_iterations=num_iterations)
             )(positions, velocities, fext)
 
+        @partial(jax.jit, static_argnames=("num_iterations",))
+        def _run_per_sim(positions, velocities, fext, targets_seq,
+                         num_steps, num_iterations):
+            if spec is not None:
+                positions = jax.lax.with_sharding_constraint(positions,
+                                                             spec)
+                velocities = jax.lax.with_sharding_constraint(velocities,
+                                                              spec)
+            return jax.vmap(
+                lambda p, v, f, t: run_jit(p, v, f, t, num_steps,
+                                           num_iterations=num_iterations)
+            )(positions, velocities, fext, targets_seq)
+
+        def _pow2_pad(tl, axis):
+            t = tl.shape[axis]
+            t_pad = 1 << max(t - 1, 0).bit_length()
+            if t_pad > t:
+                last = np.take(tl, [-1], axis=axis)
+                tl = np.concatenate(
+                    [tl, np.repeat(last, t_pad - t, axis=axis)], axis=axis)
+            return tl
+
         def run(positions, velocities, fext, num_steps, num_iterations=10,
                 targets_seq=None):
             if targets_seq is None:
-                tl, _ = self._targets_timeline(num_steps)
+                tl, _ = self._targets_timeline_from(serving_frame[0],
+                                                    num_steps)
+                per_sim = False
             else:
                 tl = np.asarray(targets_seq)
-                t_pad = 1 << max(len(tl) - 1, 0).bit_length()
-                if t_pad > len(tl):
-                    tl = np.concatenate(
-                        [tl, np.repeat(tl[-1:], t_pad - len(tl), axis=0)])
-            return _run(self._cast(positions), self._cast(velocities),
-                        self._cast(fext), self._cast(tl), num_steps,
-                        num_iterations=num_iterations)
+                per_sim = tl.ndim == 4
+                tl = _pow2_pad(tl, 1 if per_sim else 0)
+            out = None
+            if mesh is None:
+                out = self._run_batched_resident(
+                    positions, velocities, fext, tl, per_sim, num_steps,
+                    num_iterations)
+            if out is None:
+                runner = _run_per_sim if per_sim else _run
+                out = runner(self._cast(positions),
+                             self._cast(velocities),
+                             self._cast(fext), self._cast(tl), num_steps,
+                             num_iterations=num_iterations)
+            serving_frame[0] += num_steps
+            return out
 
         return run
+
+    def _run_batched_resident(self, positions, velocities, fext, tl,
+                              per_sim, num_steps, num_iterations):
+        """One-kernel ensemble chunk through the batched resident runner.
+        ``tl`` is the positional-target timeline ((T, e, 3) shared or
+        (B, T, e, 3) per-sim, already pow2-padded).  Returns
+        (positions', velocities') as (B, N, 3) device arrays, or None
+        when the batched kernel is unavailable (caller falls back to the
+        vmapped XLA path)."""
+        st = getattr(self, "_resident_state", None)
+        if st is None or getattr(self, "_resident", None) is None:
+            return None
+        B = int(positions.shape[0])
+        run_b = self._build_resident_batched(B)
+        if run_b is None:
+            return None
+        r = st["r"]
+        utst = self._resident_utst
+        if utst is not None and tl.size:
+            if per_sim:
+                rb = np.einsum("dre,bted->btdr",
+                               utst, np.asarray(tl, dtype=np.float64))
+                rb = np.ascontiguousarray(
+                    rb.transpose(1, 2, 0, 3))        # (T, 3, B, r)
+            else:
+                rb1 = np.einsum("dre,ted->tdr",
+                                utst, np.asarray(tl, dtype=np.float64))
+                rb = np.repeat(rb1[:, :, None, :], B, axis=2)
+            rb = rb.reshape(rb.shape[0], 3 * B, r)
+        else:
+            rb = np.zeros((1, 3 * B, r))
+        if rb.nbytes > getattr(self, "_rb_seq_limit",
+                               self.RESIDENT_RB_SEQ_LIMIT):
+            return None
+
+        key = ("batched_call", B)
+        cache = getattr(self, "_batched_call_cache", None)
+        if cache is None:
+            cache = self._batched_call_cache = {}
+        call = cache.get(key)
+        if call is None:
+            perm_j = jnp.asarray(st["perm"])
+            iperm_j = jnp.asarray(st["iperm"])
+            n = st["n"]
+
+            @partial(jax.jit, static_argnames=("num_iterations",))
+            def call(pos, vel, fx, rb_dev, steps_arr, num_iterations):
+                # pack (B, N, 3) -> dim-major (3B, N), run the kernel,
+                # unpack — all in ONE jit (one dispatch per chunk)
+                def pack(x):
+                    return x[:, perm_j, :].transpose(2, 0, 1).reshape(
+                        3 * B, n)
+
+                def unpack(y):
+                    return y.reshape(3, B, n).transpose(1, 2, 0)[
+                        :, iperm_j, :]
+
+                Pf, Vf = run_b.raw(pack(pos), pack(vel), pack(fx), rb_dev,
+                                   steps_arr, num_iterations)
+                return unpack(Pf), unpack(Vf)
+
+            cache[key] = call
+        steps_arr = jnp.asarray([[num_steps]], dtype=jnp.int32)
+        try:
+            return call(self._cast(positions), self._cast(velocities),
+                        self._cast(fext), self._cast(rb), steps_arr,
+                        num_iterations=num_iterations)
+        except Exception as e:
+            import warnings
+
+            warnings.warn("batched resident kernel failed; falling back "
+                          f"to the vmapped path: {e}")
+            self._resident_batched[B] = None
+            cache.pop(key, None)
+            return None
+
+    def _targets_timeline_from(self, start_frame, num_steps):
+        from animsnapbases_tpu.sim.solver import positional_targets_timeline
+
+        return positional_targets_timeline(self.model, start_frame,
+                                           num_steps)
 
     def _targets_timeline(self, num_steps):
         """(T, e, 3) positional-target timeline for the next ``num_steps``
@@ -1011,27 +1198,43 @@ class AnimSnapBasesSolver:
         t_cap = 1 << max(num_steps - 1, 0).bit_length()
         if getattr(self, "_record_scan", None) is None:
             core = self._step_jit
+            dt = self.dt
+            dt2 = dt * dt
+            mass = self._cast(model.mass)
+            floor = model.floor_collision
+            floor_h = model.floor_height
 
             @partial(jax.jit, static_argnames=("num_iterations", "t_cap"))
             def run_rec(p, v, f, targets_seq, num_steps, num_iterations,
                         t_cap):
                 T = targets_seq.shape[0]
                 buf = jnp.zeros((t_cap,) + p.shape, dtype=p.dtype)
+                corr0 = jnp.zeros_like(p)
 
                 def body(i, carry):
-                    p, v, buf = carry
+                    p, v, buf, _ = carry
                     t = jnp.minimum(i, T - 1)
+                    # last step's floor correction (raw - clamped
+                    # predictor), same convention as step() /
+                    # resolve_floor_collision
+                    if floor:
+                        sn_y = (p[:, 1] + dt * v[:, 1]
+                                + dt2 * f[:, 1] / mass)
+                        corr = corr0.at[:, 1].set(
+                            jnp.minimum(sn_y - floor_h, 0.0))
+                    else:
+                        corr = corr0
                     p2, v2 = core(p, v, f, targets_seq[t],
                                   num_iterations=num_iterations)
                     buf = jax.lax.dynamic_update_index_in_dim(buf, p2, i, 0)
-                    return p2, v2, buf
+                    return p2, v2, buf, corr
 
-                p, v, buf = jax.lax.fori_loop(0, num_steps, body,
-                                              (p, v, buf))
-                return p, v, buf
+                p, v, buf, corr = jax.lax.fori_loop(
+                    0, num_steps, body, (p, v, buf, corr0))
+                return p, v, buf, corr
 
             self._record_scan = run_rec
-        p, v, buf = self._record_scan(
+        p, v, buf, corr = self._record_scan(
             self._cast(model.positions), self._cast(model.velocities),
             self._cast(fext), self._cast(targets_tl), num_steps,
             num_iterations=num_iterations, t_cap=t_cap)
@@ -1040,6 +1243,8 @@ class AnimSnapBasesSolver:
         traj = np.asarray(to_host_chunked(buf[:num_steps]))
         model.positions = np.asarray(p, dtype=float)
         model.velocities = np.asarray(v, dtype=float)
+        if model.floor_collision:
+            model.positions_corrections = np.asarray(corr, dtype=float)
         self.frame += num_steps
         return traj
 

@@ -1,0 +1,93 @@
+"""On-mesh accuracy report: reduced replay vs FOM, CSV + jet heat maps.
+
+The reference ships polyscope screenshots of per-vertex error
+(``onMesh_accuracyMeasures.py:153-252``); this driver-runnable script
+produces the same deliverable headlessly from the bench artifacts: it
+replays the reduced solver over the recorded FOM window, writes
+``on_mesh_accuracy.csv`` plus jet-colormap PNG heat maps (rel-L2 and
+normal-angle, first/middle/last frames) under ``output/accuracy/``, and
+prints ONE JSON line with the mean errors.
+
+Runs on CPU by default (exact f64 replay, no tunnel dependency):
+  python scripts/accuracy_report.py [--tpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+
+import bench  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true",
+                    help="replay on the default backend instead of CPU")
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(_HERE),
+                                                  "output", "accuracy"))
+    args = ap.parse_args()
+
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    dtype = jnp.float32 if backend == "tpu" else None
+    bench.log(f"[accuracy] backend={backend}")
+
+    meta = bench.run_fom_and_bases()
+    traj_full = np.load(os.path.join(bench.BENCH_DIR, "traj.npy"))
+
+    solver, model = bench.build_reduced_solver(meta, dtype)
+    traj_red = solver.run_steps(bench.gravity(model), len(traj_full),
+                                num_iterations=bench.FOM_ITERS, record=True)
+
+    from animsnapbases_tpu.analysis.accuracy import (
+        compute_accuracy_arrays,
+        render_error_heatmaps,
+    )
+
+    rows, l2_maps, ang_maps = compute_accuracy_arrays(
+        traj_full, np.asarray(traj_red), model.faces)
+
+    os.makedirs(args.out, exist_ok=True)
+    import csv
+
+    csv_path = os.path.join(args.out, "on_mesh_accuracy.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["frame", "rel_l2",
+                                          "normal_angle"])
+        w.writeheader()
+        w.writerows(rows)
+
+    F = len(traj_full)
+    sel = sorted({0, F // 2, F - 1})
+    pngs = render_error_heatmaps(traj_red, model.faces, l2_maps, args.out,
+                                 sel, prefix="rel_l2")
+    pngs += render_error_heatmaps(traj_red, model.faces, ang_maps,
+                                  args.out, sel, prefix="normal_angle")
+    bench.log(f"[accuracy] wrote {csv_path} and {len(pngs)} heat maps")
+
+    mean_l2 = float(np.mean([r["rel_l2"] for r in rows]))
+    mean_ang = float(np.mean([r["normal_angle"] for r in rows]))
+    print(json.dumps({
+        "metric": "on_mesh_accuracy_mean_rel_l2",
+        "value": round(mean_l2, 6),
+        "unit": "relative L2",
+        "vs_baseline": 1.0,
+        "detail": {"mean_normal_angle_rad": round(mean_ang, 5),
+                   "frames": F, "csv": csv_path,
+                   "heatmaps": [os.path.basename(p) for p in pngs]},
+    }))
+
+
+if __name__ == "__main__":
+    main()

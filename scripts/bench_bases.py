@@ -141,8 +141,9 @@ def time_reference_position_pca(pc_cls, traj, K):
 
 
 SPLOCS_K = 20
-SPLOCS_ITERS = 3
-SPLOCS_ADMM = 5
+# the reference's canonical iteration budget (config/config.json:46-47)
+SPLOCS_ITERS = 20
+SPLOCS_ADMM = 10
 
 
 def _splocs_param():
@@ -189,13 +190,20 @@ def time_reference_splocs(pc_cls, traj, geod, C0, W0):
     return time.perf_counter() - t0
 
 
-FRAMES = 200          # the reference's canonical snapshot budget
-K_NL = 100            # demo configs use Release100 for tris/edges
-K_POS = 100
+FRAMES = 240          # > K_NL so a 200-mode POD exists (199 was the cap
+                      # at the old 200-frame budget)
+K_NL = 200            # BASELINE canonical: numComponents 200
+K_POS = 200           # BASELINE canonical (config/config.json numComponents)
+DEIM_KS = (100, 200)  # device-vs-host DEIM timed at both budgets
+MEDIAN_RUNS = 5       # per-stage medians, VERDICT r2 item 4
+
+
+def _median(xs):
+    return float(np.median(np.asarray(list(xs), dtype=float)))
 
 
 def record_canonical_fom():
-    """200-frame bunny FOM recording (host f64 ground truth), cached."""
+    """240-frame bunny FOM recording (host f64 ground truth), cached."""
     cache = os.path.join(bench.BENCH_DIR, "bases200")
     marker = os.path.join(cache, "ready.json")
     if os.path.exists(marker):
@@ -204,10 +212,11 @@ def record_canonical_fom():
                 meta = json.load(fh)
         except (json.JSONDecodeError, OSError):
             meta = {}
-        if meta.get("scene") == bench._scene_key():
+        if (meta.get("scene") == bench._scene_key()
+                and meta.get("frames") == FRAMES):
             return cache
-        log(f"[bench-bases] cached 200-frame FOM is from a different "
-            f"scene (or corrupt marker); rebuilding")
+        log(f"[bench-bases] cached FOM is from a different scene/budget "
+            f"(or corrupt marker); rebuilding")
     import jax
 
     from animsnapbases_tpu.config.sim_config import default_sim_args
@@ -250,11 +259,12 @@ def main():
     traj = np.load(os.path.join(record, "traj.npy"))
 
     # ---- OURS (TPU product pipeline) ----------------------------------
-    # run twice: the first call pays one-time XLA compiles (persistent-
-    # cached across runs); the warm pass is the steady-state cost
+    # cold pass pays one-time XLA compiles (persistent-cached across
+    # runs); MEDIAN_RUNS warm passes give per-stage medians (the shared
+    # host CPU + tunnel made best-of-2 swing 1.6-3.6x across rounds)
     ours_nl_cold = None
     warm_stages = []
-    for tag in ("cold", "warm1", "warm2"):
+    for tag in ["cold"] + [f"warm{i}" for i in range(MEDIAN_RUNS)]:
         work = os.path.join(bench.BENCH_DIR, f"bases_bench_work_{tag}")
         timings = {}
         t0 = time.perf_counter()
@@ -266,9 +276,7 @@ def main():
             ours_nl_cold = dt_nl
         else:
             warm_stages.append(timings)
-    # stage-wise best of the warm passes: the shared host CPU + tunnel make
-    # single shots noisy (compile threads, transfer load)
-    stages = {k: min(t[k] for t in warm_stages) for k in warm_stages[0]}
+    stages = {k: _median(t[k] for t in warm_stages) for k in warm_stages[0]}
     ours_nl = sum(stages.values())
     ours_nl_nostore = ours_nl - stages["store"]
     log(f"[bench-bases] ours nonlinear pipeline (prepare+POD+post+DEIM): "
@@ -277,24 +285,47 @@ def main():
         f"({cc.numComp} modes, {nl.snapTensor.shape} tensor); "
         f"stages {json.dumps({k: round(v, 2) for k, v in stages.items()})}")
 
-    # device DEIM (lax.scan, the TPU product path — deim(device=True));
-    # must select the exact rows the host f64 loop picked
-    host_pt = cc.geom_Pt.copy()
-    dev_deim = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        cc.deim(device=True)
-        dev_deim.append(time.perf_counter() - t0)
-    picks_match = bool(np.array_equal(cc.geom_Pt, host_pt))
-    stages["deim_host"] = stages.pop("deim")
-    stages["deim_device"] = min(dev_deim[1:])
-    # ratio with the faster product path: the host loop (preallocated,
-    # zero-transfer) vs the device scan (which pays the basis H2D upload
-    # when the POD ran on host)
-    stages["deim"] = min(stages["deim_host"], stages["deim_device"])
-    log(f"[bench-bases] device DEIM K={cc.numComp}: cold {dev_deim[0]:.2f}s,"
-        f" warm {stages['deim_device']:.3f}s; host {stages['deim_host']:.3f}s;"
-        f" picks match host: {picks_match}")
+    # device DEIM (lax.scan with incremental bordered inverse) vs the
+    # host f64 loop, at BOTH canonical budgets (VERDICT r2 item 3).
+    # Every pick must match the host loop's.  The headline "deim" stage
+    # stays the PRODUCT default (the host loop — deim(device=None), kept
+    # for reference-rounding parity); both paths are separate detail
+    # entries, no min() mixing (round-2 advisor finding).
+    deim_detail = {}
+    picks_match = True
+    device_wins = True
+    k_restore = cc.numComp
+    for Kd in DEIM_KS:
+        cc.numComp = Kd
+        host_t = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            cc.deim()
+            host_t.append(time.perf_counter() - t0)
+        host_pt = cc.geom_Pt.copy()
+        dev_t = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            cc.deim(device=True)
+            dev_t.append(time.perf_counter() - t0)
+        match = bool(np.array_equal(cc.geom_Pt, host_pt))
+        picks_match = picks_match and match
+        th, td = _median(host_t), _median(dev_t[1:])
+        device_wins = device_wins and td < th
+        deim_detail[f"deim_host_K{Kd}_s"] = round(th, 3)
+        deim_detail[f"deim_device_K{Kd}_s"] = round(td, 3)
+        deim_detail[f"deim_device_cold_K{Kd}_s"] = round(dev_t[0], 3)
+        log(f"[bench-bases] DEIM K={Kd}: host {th:.3f}s, device {td:.3f}s"
+            f" (cold {dev_t[0]:.2f}s); picks match host: {match}")
+    cc.numComp = k_restore
+    cc.deim()                 # restore the product-path state at K_NL
+    if not device_wins:
+        log("[bench-bases] WARNING: device DEIM did not beat the host "
+            "loop at every budget")
+    stages["deim_host"] = deim_detail[f"deim_host_K{K_NL}_s"]
+    stages["deim_device"] = deim_detail[f"deim_device_K{K_NL}_s"]
+    # headline = the product default (host loop)
+    stages["deim"] = stages.pop("deim_host")
 
     import jax.numpy as jnp
 
@@ -302,13 +333,13 @@ def main():
     from animsnapbases_tpu.utils.transfer import to_host_chunked
 
     times = []
-    for tag in ("cold", "warm1", "warm2"):
+    for _ in range(1 + MEDIAN_RUNS):
         t0 = time.perf_counter()
         Xd = jnp.asarray(traj)
         C, W, sig, res, idxs, _ = greedy.extract_global(Xd, K_POS)
         to_host_chunked(C)
         times.append(time.perf_counter() - t0)
-    ours_pos_cold, ours_pos_warm = times[0], min(times[1:])
+    ours_pos_cold, ours_pos_warm = times[0], _median(times[1:])
     log(f"[bench-bases] ours position greedy PCA K={K_POS}: cold "
         f"{ours_pos_cold:.2f}s, warm {ours_pos_warm:.2f}s")
 

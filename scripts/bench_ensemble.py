@@ -1,11 +1,13 @@
 """Ensemble-serving benchmark: many independent reduced sims on ONE chip.
 
 Production serving runs B simultaneous reduced PD sims (e.g. per-user
-cloth instances) batched through ``AnimSnapBasesSolver.make_batched_run``
-— the vmapped step core advanced ``num_steps`` in one dispatch.  The
-vmapped core is the XLA per-step path (the resident Pallas kernel is a
-single-sim construct), so per-sim speed is below the flagship number;
-the metric here is AGGREGATE steps/s across the batch.
+cloth instances) batched through ``AnimSnapBasesSolver.make_batched_run``.
+Since round 3 this routes through the BATCHED RESIDENT Pallas kernel
+(dim-major (3B, N) state, shared bf16 matrices): every per-dim matvec of
+the solo kernel widens from one row to B rows, so the per-step cost is
+nearly batch-independent and AGGREGATE steps/s scales with B — the axis
+that converts the latency-bound solo kernel into chip throughput.  The
+metric is aggregate steps/s across the batch.
 
 Reuses the bench.py bunny artifacts.  Prints ONE JSON line:
   {"metric": "ensemble_reduced_pd_aggregate_steps_per_sec", "value": N,
@@ -58,6 +60,10 @@ def main():
     p.block_until_ready()
     bench.log(f"[bench_ensemble] first chunk (compile) "
               f"{time.perf_counter() - t0:.1f}s")
+    path = ("batched-resident"
+            if solver._resident_batched.get(BATCH) is not None
+            else "vmapped-xla")
+    bench.log(f"[bench_ensemble] serving path: {path}")
     assert np.isfinite(np.asarray(p)).all()
 
     best = float("inf")
@@ -77,7 +83,7 @@ def main():
         "value": round(agg, 1),
         "unit": "steps/s",
         "vs_baseline": round(agg / bench.BASELINE_STEPS_PER_SEC, 3),
-        "detail": {"batch": BATCH, "chunk": CHUNK,
+        "detail": {"batch": BATCH, "chunk": CHUNK, "path": path,
                    "per_sim_steps_per_sec": round(agg / BATCH, 1)},
     }))
 

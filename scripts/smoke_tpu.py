@@ -113,15 +113,36 @@ def check_bend():
 
 
 def check_batched():
+    """Batched RESIDENT kernel (Mosaic, nb > 1): must compile, must match
+    per-sim resident run_steps, and one sim slamming the floor must keep
+    the whole batch exact (any-sim contact branch)."""
     model = _cloth()
     solver = _synthetic_reduced(model)
+    assert solver._resident is not None
     run = solver.make_batched_run()
     B = 4
+    base = _gravity(model)
+    f = np.stack([base * (1.0 + 0.2 * b) for b in range(B - 1)]
+                 + [base * 40.0])            # last sim hits the floor
     pos = np.tile(model.positions, (B, 1, 1))
     vel = np.zeros_like(pos)
-    f = np.tile(_gravity(model), (B, 1, 1))
-    p, _ = run(pos, vel, f, 64, num_iterations=10)
-    assert np.isfinite(np.asarray(p)).all()
+    p, v = run(pos, vel, f, 64, num_iterations=10)
+    assert solver._resident_batched.get(B) is not None, \
+        "Mosaic rejected the batched resident kernel (vmap fallback ran)"
+    p = np.asarray(p)
+    assert np.isfinite(p).all()
+    for b in (0, B - 1):
+        m2 = _cloth()
+        s2 = _synthetic_reduced(m2)
+        s2.run_steps(f[b], 64, num_iterations=10)
+        assert s2._resident is not None
+        err = np.abs(p[b] - m2.positions).max()
+        # identical math, different rounding: the any-sim contact branch
+        # runs airborne sims through the (exact) full-space step whose
+        # bf16-storage dots round differently than the solo affine path —
+        # ~5e-4 drift over 64 f32 steps; interpret-mode f64 matches 1e-6
+        # (tests/test_resident_batched.py)
+        assert err < 2e-3, f"sim {b} batched-vs-solo max err {err:.2e}"
 
 
 CHECKS = {"contact": check_contact, "tets": check_tets,

@@ -1,0 +1,163 @@
+"""Batched resident kernel (ensemble serving through the flagship Pallas
+path): interpret-mode equivalence with per-sim run_steps.
+
+VERDICT r2 item 1 (batch the resident kernel) and item 7 (per-sim target
+schedules in batched serving).
+"""
+
+import numpy as np
+
+from test_resident_kernel import _poke_shift, _solver
+from test_sim_reduced_position import pipeline  # noqa: F401
+from test_sim_solver import gravity_forces
+
+
+def _per_sim_forces(model, B):
+    """B gravity fields with per-sim scaling so trajectories diverge."""
+    base = gravity_forces(model)
+    return np.stack([base * (1.0 + 0.15 * b) for b in range(B)])
+
+
+def test_batched_resident_matches_per_sim_run_steps(pipeline):
+    basis_dir, pos_path, _ = pipeline
+    B = 3
+    solver, model = _solver(basis_dir, pos_path, "interpret")
+    assert solver._resident is not None
+    run = solver.make_batched_run()
+
+    fs = _per_sim_forces(model, B)
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    p, v = run(pos, vel, fs, 7, num_iterations=6)
+    # the batched RESIDENT kernel must actually have been used
+    assert solver._resident_batched.get(B) is not None
+    p = np.asarray(p)
+    v = np.asarray(v)
+
+    for b in range(B):
+        s_ref, m_ref = _solver(basis_dir, pos_path, "interpret")
+        s_ref.run_steps(fs[b], 7, num_iterations=6)
+        np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-6)
+        np.testing.assert_allclose(v[b], m_ref.velocities, atol=1e-4)
+
+
+def test_batched_resident_chunks_continue_animation(pipeline):
+    """Consecutive make_batched_run calls with targets_seq omitted must
+    CONTINUE the model's animated schedule (internal serving frame), not
+    replay the same window (round-2 advisor finding)."""
+    basis_dir, pos_path, _ = pipeline
+    B = 2
+    solver, model = _solver(basis_dir, pos_path, "interpret")
+    model.add_positional_constraint(12, wi=1e7,
+                                    motion_type="user_defined",
+                                    frame_shift=_poke_shift())
+    solver.set_dirty()
+    solver.prepare(solver.args)
+    assert solver._resident is not None
+    run = solver.make_batched_run()
+
+    f = gravity_forces(model)
+    fs = np.tile(f, (B, 1, 1))
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    p, v = run(pos, vel, fs, 6, num_iterations=5)
+    p, v = run(p, v, fs, 6, num_iterations=5)       # chunk 2 continues
+
+    s_ref, m_ref = _solver(basis_dir, pos_path, "interpret")
+    m_ref.add_positional_constraint(12, wi=1e7,
+                                    motion_type="user_defined",
+                                    frame_shift=_poke_shift())
+    s_ref.set_dirty()
+    s_ref.prepare(s_ref.args)
+    s_ref.run_steps(f, 12, num_iterations=5)
+    np.testing.assert_allclose(np.asarray(p)[0], m_ref.positions,
+                               atol=1e-6)
+
+
+def _poked_reference(basis_dir, pos_path, shift, f, steps, iters):
+    s, m = _solver(basis_dir, pos_path, "interpret")
+    m.add_positional_constraint(12, wi=1e7, motion_type="user_defined",
+                                frame_shift=shift)
+    s.set_dirty()
+    s.prepare(s.args)
+    s.run_steps(f, steps, num_iterations=iters)
+    return m
+
+
+def _per_sim_schedule_case(pipeline, pallas_mode):
+    """VERDICT item 7 'Done' criterion: 2 sims, different poke schedules,
+    each matches its own single-sim run_steps."""
+    basis_dir, pos_path, _ = pipeline
+    B = 2
+    shifts = [_poke_shift(amp=0.3), _poke_shift(amp=-0.2, per=4)]
+    solver, model = _solver(basis_dir, pos_path, pallas_mode)
+    model.add_positional_constraint(12, wi=1e7,
+                                    motion_type="user_defined",
+                                    frame_shift=shifts[0])
+    solver.set_dirty()
+    solver.prepare(solver.args)
+    run = solver.make_batched_run()
+
+    # per-sim (B, T, e, 3) timelines from each sim's own schedule
+    from animsnapbases_tpu.sim.solver import positional_targets_timeline
+
+    tls = []
+    for b in range(B):
+        model._positional[-1]["frame_shift"] = shifts[b]
+        tl, animated = positional_targets_timeline(model, 0, 10)
+        assert animated
+        tls.append(tl)
+    model._positional[-1]["frame_shift"] = shifts[0]
+    T = max(t.shape[0] for t in tls)
+    tls = [np.concatenate([t, np.repeat(t[-1:], T - len(t), axis=0)])
+           if len(t) < T else t for t in tls]
+    targets_seq = np.stack(tls)
+
+    f = gravity_forces(model)
+    fs = np.tile(f, (B, 1, 1))
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    p, v = run(pos, vel, fs, 10, num_iterations=5,
+               targets_seq=targets_seq)
+    p = np.asarray(p)
+
+    for b in range(B):
+        m_ref = _poked_reference(basis_dir, pos_path, shifts[b], f, 10, 5)
+        np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-5)
+
+
+def test_batched_resident_per_sim_schedules(pipeline):
+    _per_sim_schedule_case(pipeline, "interpret")
+
+
+def test_batched_vmap_per_sim_schedules(pipeline):
+    """The XLA (vmap) fallback honours per-sim (B, T, e, 3) schedules
+    too."""
+    _per_sim_schedule_case(pipeline, "off")
+
+
+def test_batched_resident_floor_contact(pipeline):
+    """One sim slammed into the floor while the other stays airborne: the
+    any-sim contact branch must stay exact for BOTH."""
+    basis_dir, pos_path, _ = pipeline
+    B = 2
+    solver, model = _solver(basis_dir, pos_path, "interpret")
+    assert model.floor_collision
+    run = solver.make_batched_run()
+
+    base = gravity_forces(model)
+    fs = np.stack([base, base * 40.0])      # sim 1 hits the floor
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    p, v = run(pos, vel, fs, 12, num_iterations=6)
+    assert solver._resident_batched.get(B) is not None
+    p = np.asarray(p)
+
+    floored = False
+    for b in range(B):
+        s_ref, m_ref = _solver(basis_dir, pos_path, "interpret")
+        s_ref.run_steps(fs[b], 12, num_iterations=6)
+        np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-6)
+        floored = floored or np.any(
+            np.asarray(m_ref.positions)[:, 1] <= m_ref.floor_height + 1e-9)
+    assert floored, "test scene never touched the floor"

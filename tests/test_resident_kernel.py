@@ -256,6 +256,27 @@ def test_recorded_run_steps_matches_step_loop(pipeline):
     assert s_b.frame == 13
 
 
+def test_recorded_run_sets_floor_corrections(pipeline):
+    """run_steps(record=True) must leave model.positions_corrections at
+    the LAST step's raw-minus-clamped predictor, matching the per-frame
+    convention (round-2 advisor finding: chunked record=True replays left
+    the floor-correction state stale)."""
+    basis_dir, pos_path, _ = pipeline
+    s, m = _solver(basis_dir, pos_path, "off")
+    f = gravity_forces(m) * 50.0                  # drive into the floor
+    s.run_steps(f, 12, num_iterations=6, record=True)
+    p0, v0 = m.positions.copy(), m.velocities.copy()
+    s.run_steps(f, 1, num_iterations=6, record=True)
+
+    dt = s.dt
+    sn_y = p0[:, 1] + dt * v0[:, 1] + dt * dt * f[:, 1] / m.mass
+    expected = np.minimum(sn_y - m.floor_height, 0.0)
+    assert expected.min() < 0, "scene never reached the floor"
+    np.testing.assert_allclose(m.positions_corrections[:, 1], expected,
+                               atol=1e-8)
+    assert np.all(m.positions_corrections[:, [0, 2]] == 0)
+
+
 def test_oversized_schedule_host_window_fallback(pipeline):
     """Schedules past RB_SCHED_DEVICE_LIMIT are never uploaded whole: the
     per-call window is built on host and shipped with the call, matching
