@@ -6,9 +6,10 @@ Native replacements for the reference's libigl/tetgen calls
 ``Constraint_projections.py:692-713``): the winding number is the exact
 solid-angle sum (Jacobson et al. 2013), fully vectorized; tetrahedralization
 uses Delaunay of the surface vertices filtered by winding number of the tet
-barycenters.  Unlike tetgen this inserts no Steiner points, so element
-quality is lower on thin geometry — adequate for the procedural models the
-demos tetrahedralize (boxes, bars)."""
+barycenters.  With ``steiner=True`` a Delaunay-refinement pass inserts
+circumcenters of low-quality interior tets (the tetgen-style quality
+mechanism) — recommended for thin or highly non-convex surfaces where
+the vertex-only Delaunay produces slivers."""
 
 from __future__ import annotations
 
@@ -78,25 +79,101 @@ def orient_faces_consistently(F: np.ndarray) -> np.ndarray:
     return F
 
 
+def tet_quality(V: np.ndarray, T: np.ndarray) -> np.ndarray:
+    """Per-tet shape quality in (0, 1]: ``6*sqrt(2)*vol / l_rms^3`` — 1
+    for the regular tetrahedron, -> 0 for slivers (volume-degenerate
+    elements with non-degenerate edges)."""
+    P = np.asarray(V, dtype=float)[np.asarray(T, dtype=np.int64)]
+    e = np.stack([P[:, 1] - P[:, 0], P[:, 2] - P[:, 0], P[:, 3] - P[:, 0],
+                  P[:, 2] - P[:, 1], P[:, 3] - P[:, 1], P[:, 3] - P[:, 2]],
+                 axis=1)                              # (m, 6, 3)
+    vol = np.abs(np.einsum(
+        "mj,mj->m", np.cross(e[:, 0], e[:, 1]), e[:, 2])) / 6.0
+    l_rms = np.sqrt((e ** 2).sum(axis=2).mean(axis=1))
+    return 6.0 * np.sqrt(2.0) * vol / np.maximum(l_rms, 1e-300) ** 3
+
+
+def _circumcenters(V: np.ndarray, T: np.ndarray) -> np.ndarray:
+    """Circumcenters of tets (m, 3) (rows of 2(p_i - p_0) x = |p_i|^2 -
+    |p_0|^2)."""
+    P = np.asarray(V, dtype=float)[np.asarray(T, dtype=np.int64)]
+    A = 2.0 * (P[:, 1:] - P[:, :1])                   # (m, 3, 3)
+    b = (P[:, 1:] ** 2).sum(axis=2) - (P[:, :1] ** 2).sum(axis=2)
+    # guard degenerate tets: fall back to the barycenter
+    det = np.linalg.det(A)
+    ok = np.abs(det) > 1e-12
+    centers = P.mean(axis=1)
+    if ok.any():
+        centers[ok] = np.linalg.solve(A[ok], b[ok][..., None])[..., 0]
+    return centers
+
+
 def tetrahedralize(V: np.ndarray, F: np.ndarray,
-                   inside_threshold: float = 0.5):
+                   inside_threshold: float = 0.5,
+                   steiner: bool = False, min_quality: float = 0.15,
+                   max_rounds: int = 4, max_points: int | None = None):
     """Tetrahedralize the volume bounded by surface (V, F):
     Delaunay of the vertices, keeping tets whose barycenter has winding
     number > threshold.  Returns (TV, IT, F_boundary) with the same
-    reversed-winding convention as the reference wrapper."""
+    reversed-winding convention as the reference wrapper.
+
+    ``steiner=True`` adds tetgen-style quality refinement: up to
+    ``max_rounds`` passes insert the circumcenters of interior tets with
+    :func:`tet_quality` below ``min_quality`` (only circumcenters that
+    land strictly inside the surface) and re-run the filtered Delaunay.
+    ``max_points`` caps the number of inserted Steiner vertices (default
+    ``len(V)``).  TV then contains the surface vertices first, Steiner
+    vertices after — consumers indexing surface vertices by position are
+    unaffected."""
     from scipy.spatial import Delaunay
 
     from animsnapbases_tpu.geometry.mesh import boundary_facets
 
     V = np.asarray(V, dtype=float)
     F = orient_faces_consistently(F)
-    tri = Delaunay(V)
-    TT = tri.simplices.astype(np.int64)
-    TT = TT[:, ::-1]
+    if max_points is None:
+        max_points = len(V)
 
-    bc = V[TT].mean(axis=1)
-    w = winding_number(V, F, bc)
-    IT = TT[np.abs(w) > inside_threshold]
+    scale = (V.max(axis=0) - V.min(axis=0)).max()
+
+    def build(P):
+        TT = Delaunay(P).simplices.astype(np.int64)[:, ::-1]
+        # drop zero-volume Delaunay artifacts (cospherical/coplanar point
+        # configurations, e.g. regular grids, triangulate flat sims)
+        Pt = P[TT]
+        vol = np.abs(np.einsum(
+            "mj,mj->m", np.cross(Pt[:, 1] - Pt[:, 0], Pt[:, 2] - Pt[:, 0]),
+            Pt[:, 3] - Pt[:, 0])) / 6.0
+        TT = TT[vol > 1e-10 * scale ** 3]
+        bc = P[TT].mean(axis=1)
+        w = winding_number(V, F, bc)
+        return TT[np.abs(w) > inside_threshold]
+
+    TV = V
+    IT = build(TV)
+    if steiner:
+        budget = max_points
+        for _ in range(max_rounds):
+            q = tet_quality(TV, IT)
+            bad = IT[q < min_quality]
+            if len(bad) == 0 or budget <= 0:
+                break
+            cand = _circumcenters(TV, bad)
+            # strictly interior circumcenters only (boundary slivers whose
+            # circumcenter escapes the surface cannot be refined this way)
+            w = np.abs(winding_number(V, F, cand))
+            cand = cand[w > 0.9]
+            # dedup near-coincident candidates (shared circumspheres)
+            if len(cand):
+                scale = (V.max(axis=0) - V.min(axis=0)).max()
+                key = np.round(cand / (1e-6 * scale)).astype(np.int64)
+                _, keep = np.unique(key, axis=0, return_index=True)
+                cand = cand[np.sort(keep)][:budget]
+            if len(cand) == 0:
+                break
+            budget -= len(cand)
+            TV = np.concatenate([TV, cand])
+            IT = build(TV)
 
     faces = boundary_facets(IT)
-    return V, IT, faces[:, ::-1]
+    return TV, IT, faces[:, ::-1]

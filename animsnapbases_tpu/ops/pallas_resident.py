@@ -306,15 +306,27 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
     REBASES, see below), not once per step.
 
     Floor collision (the only full-space nonlinearity in a PD step) is
-    handled EXACTLY with an adaptive branch: each step materializes only
-    the y rows of the predictor (one (1, r) x (r, N) dot) and tests the
-    clamp; steps with contact run the standard full-space step on the
-    materialized state and re-anchor the affine base at the result.
+    handled EXACTLY with a two-mode state machine:
+
+    * AFFINE mode (contact-free): each step materializes only the y rows
+      of the predictor (one (nb, r) x (r, N) dot) and tests the clamp.
+    * CONTACT mode (entered when any clamp fires): the floor only
+      touches the y dimension, so x/z stay in affine coordinates while
+      y is carried MATERIALIZED (Py/Vy (nb, N) scratch) together with
+      incrementally-maintained projections buPy/buVy = U^T A_c-rows of
+      Py/Vy.  A persistent-contact step then costs TWO big dots — the
+      clamp-correction projection ``utac_y^T corr_y`` and the y-row lift
+      ``u_y U_y`` — instead of the seven the old re-anchoring branch
+      paid (full project_base + full lift + check), because the smooth
+      part of ``U^T A_c sn`` comes from the recursions
+      ``buPy' = buPy + dt buVy + bu_fa_y + pc + (M_utac u)_y``.
+      The mode exits at the next periodic rebase (mixed-representation
+      materialization), which also bounds the incremental-projection
+      drift exactly like it bounds the affine coefficients.
+
     Contact-free stretches run at affine speed; contact-dominated
-    stretches run at roughly half the standard kernel's rate (~28k
-    steps/s at bunny scale, measured resting on the floor — consecutive
-    contact steps take the anchored fast path: elementwise predictor,
-    no materialization dots, lazily-deferred base projections).
+    stretches run at a bit under half affine speed (~2 of the ~5
+    all-mode big dots per step are unavoidable in contact).
 
     Exactness: identical math to :func:`build_resident_multistep` — the
     gravity/step recursions are linear and the nonlinear constraint
@@ -356,7 +368,8 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
              minv_ref) = refs[:14]
             garrs = [ref[:] for ref in refs[14:14 + len(flat_arrays)]]
             (out_p_ref, out_v_ref, b0_ref, b1_ref, bu0_ref, bu1_ref,
-             ap_ref, av_ref, wp_ref, wv_ref, stale_ref) = \
+             ap_ref, av_ref, wp_ref, wv_ref, py_ref, vy_ref, bupy_ref,
+             buvy_ref, stale_ref, mode_ref) = \
                 refs[14 + len(flat_arrays):]
 
             usel_inv = uselinv_ref[:]
@@ -406,8 +419,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                      for d in range(3)], axis=0)
 
             # anchor the bases at the entry state; base projections (bu)
-            # are computed LAZILY (stale flag) — a contact-dominated run
-            # never needs them
+            # are computed LAZILY (stale flag)
             b0_ref[:] = p_ref[:]
             b1_ref[:] = v_ref[:]
             ap_ref[:] = e0
@@ -415,6 +427,26 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
             wp_ref[:] = zw
             wv_ref[:] = zw
             stale_ref[0, 0] = 1
+            mode_ref[0, 0] = 0          # 0 = affine, 1 = contact-y
+            if floor:
+                fa_y = fa[nb:2 * nb]
+                bu_fa_y = bu_fa[nb:2 * nb]
+                py_ref[:] = jnp.zeros((nb, n), dtype=fa.dtype)
+                vy_ref[:] = jnp.zeros((nb, n), dtype=fa.dtype)
+                bupy_ref[:] = jnp.zeros((nb, r), dtype=fa.dtype)
+                buvy_ref[:] = jnp.zeros((nb, r), dtype=fa.dtype)
+
+            def _y_rows(full, y_block):
+                """Replace the y dim-block of a dim-major array."""
+                return jnp.concatenate(
+                    [full[0:nb], y_block, full[2 * nb:]], axis=0)
+
+            def _refresh_bu():
+                @pl.when(stale_ref[0, 0] == 1)
+                def _():
+                    bu0_ref[:] = project_base(b0_ref[:])
+                    bu1_ref[:] = project_base(b1_ref[:])
+                    stale_ref[0, 0] = 0
 
             def step(i, carry):
                 do = jnp.logical_and(
@@ -422,7 +454,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                     jax.lax.rem(i, jnp.asarray(rebase_every,
                                                dtype=i.dtype)) == 0)
 
-                @pl.when(do)
+                @pl.when(do & (mode_ref[0, 0] == 0))
                 def _rebase():
                     Pf = materialize(ap_ref[:], wp_ref[:])
                     Vf = materialize(av_ref[:], wv_ref[:])
@@ -434,6 +466,27 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                     wv_ref[:] = zw
                     stale_ref[0, 0] = 1
 
+                if floor:
+                    # contact-mode rebase: mixed materialization (x/z
+                    # affine, y from the materialized scratch) — also the
+                    # EXIT back to affine mode, bounding the incremental
+                    # buPy/buVy drift exactly like the coefficient drift
+                    @pl.when(do & (mode_ref[0, 0] == 1))
+                    def _rebase_contact():
+                        Pf = _y_rows(materialize(ap_ref[:], wp_ref[:]),
+                                     py_ref[:])
+                        Vf = _y_rows(materialize(av_ref[:], wv_ref[:]),
+                                     vy_ref[:])
+                        b0_ref[:] = Pf
+                        b1_ref[:] = Vf
+                        ap_ref[:] = e0
+                        av_ref[:] = e1
+                        wp_ref[:] = zw
+                        wv_ref[:] = zw
+                        stale_ref[0, 0] = 1
+                        mode_ref[0, 0] = 0
+
+                mode = mode_ref[0, 0]
                 ap = ap_ref[:]
                 av = av_ref[:]
                 wp = wp_ref[:]
@@ -444,12 +497,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                     pl.ds(3 * nb * jnp.minimum(i, t_len - 1), 3 * nb)]
 
                 def affine_step():
-                    @pl.when(stale_ref[0, 0] == 1)
-                    def _refresh():
-                        bu0_ref[:] = project_base(b0_ref[:])
-                        bu1_ref[:] = project_base(b1_ref[:])
-                        stale_ref[0, 0] = 0
-
+                    _refresh_bu()
                     rb_lin = (asn[:, 0:1] * bu0_ref[:]
                               + asn[:, 1:2] * bu1_ref[:]
                               + asn[:, 2:3] * bu_fa
@@ -479,66 +527,130 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                     wv_ref[:] = (wq - wp) / dt
 
                 if floor:
-                    # exact contact check: materialize ONLY the y rows of
-                    # the predictor (one (nb, r) x (r, N) dot)
-                    sn_y = (asn[nb:2 * nb, 0:1] * b0_ref[nb:2 * nb]
-                            + asn[nb:2 * nb, 1:2] * b1_ref[nb:2 * nb]
-                            + asn[nb:2 * nb, 2:3] * fa[nb:2 * nb]
-                            + _dot(wsn[nb:2 * nb].astype(mm_dtype),
-                                   ulift_ref[1], acc))
-                    clamped = jnp.any(sn_y < floor_h)
-
-                    @pl.when(jnp.logical_not(clamped))
-                    def _free():
-                        affine_step()
-
-                    # exact standard step on the materialized state,
-                    # then re-anchor the affine base at the result (the
-                    # clamped predictor leaves the affine span)
-                    def contact_tail(P, sn):
-                        sn = jnp.where(row_is_y & (sn < floor_h),
-                                       floor_h, sn)
-                        rb_const = rb_ex - project_base(sn)
-                        rb = iterate(sn[:, :n_sel], rb_const,
-                                     num_iterations)
+                    def contact_mode_step():
+                        """One exact step in contact mode: x/z ride the
+                        affine coefficients (whose y rows are unused);
+                        y is materialized with incrementally-maintained
+                        projections.  TWO big dots: pc and the y lift."""
+                        _refresh_bu()
+                        asn_ = ap_ref[:] + dt * av_ref[:] + e2
+                        wsn_ = wp_ref[:] + dt * wv_ref[:]
+                        sn_y = py_ref[:] + dt * vy_ref[:] + fa_y
+                        sn_y_cl = jnp.maximum(sn_y, floor_h)
+                        corr_y = sn_y_cl - sn_y
+                        pc = _dot(corr_y.astype(mm_dtype), utac_ref[1],
+                                  acc)                        # (nb, r)
+                        bupsn = bupy_ref[:] + dt * buvy_ref[:] + bu_fa_y
+                        rb_lin_a = (asn_[:, 0:1] * bu0_ref[:]
+                                    + asn_[:, 1:2] * bu1_ref[:]
+                                    + asn_[:, 2:3] * bu_fa
+                                    + jnp.concatenate(
+                                        [_dot(wsn_[d * nb:(d + 1) * nb],
+                                              mutac[d], acc)
+                                         for d in range(3)], axis=0))
+                        rb_const = rb_ex - _y_rows(rb_lin_a, bupsn + pc)
+                        snsel_a = (asn_[:, 0:1] * b0_ref[:, :n_sel]
+                                   + asn_[:, 1:2] * b1_ref[:, :n_sel]
+                                   + asn_[:, 2:3] * fa_sel
+                                   + jnp.concatenate(
+                                       [_dot(wsn_[d * nb:(d + 1) * nb],
+                                             uselT[d], acc)
+                                        for d in range(3)], axis=0))
+                        snT_sel = _y_rows(snsel_a, sn_y_cl[:, :n_sel])
+                        rb = iterate(snT_sel, rb_const, num_iterations)
                         u = jnp.concatenate(
                             [_dot(rb[d * nb:(d + 1) * nb], inv[d], acc)
                              for d in range(3)], axis=0)
-                        q = sn + jnp.concatenate(
-                            [_dot(u[d * nb:(d + 1) * nb].astype(mm_dtype),
-                                  ulift_ref[d], acc)
-                             for d in range(3)], axis=0)
-                        b0_ref[:] = q
-                        b1_ref[:] = (q - P) / dt
-                        ap_ref[:] = e0
-                        av_ref[:] = e1
-                        wp_ref[:] = zw
-                        wv_ref[:] = zw
-                        stale_ref[0, 0] = 1
+                        # x/z: standard affine coefficient updates (the y
+                        # rows of these arrays are dead in contact mode)
+                        wq = wsn_ + u
+                        wp_old = wp_ref[:]
+                        ap_ref[:] = asn_
+                        av_ref[:] = av_ref[:] + e2 / dt
+                        wp_ref[:] = wq
+                        wv_ref[:] = (wq - wp_old) / dt
+                        # y: materialized update + projection recursions
+                        u_y = u[nb:2 * nb]
+                        q_y = sn_y_cl + _dot(u_y.astype(mm_dtype),
+                                             ulift_ref[1], acc)
+                        vy_ref[:] = (q_y - py_ref[:]) / dt
+                        py_ref[:] = q_y
+                        bup_new = bupsn + pc + _dot(u_y, mutac[1], acc)
+                        buvy_ref[:] = (bup_new - bupy_ref[:]) / dt
+                        bupy_ref[:] = bup_new
 
-                    # stale == 1 implies the coefficients are EXACTLY the
-                    # identity (set only by rebase/contact, cleared only
-                    # by the affine refresh), so P = b0 and the predictor
-                    # is elementwise — consecutive contact steps skip the
-                    # materialization dots and run at standard-kernel cost
-                    anchored = stale_ref[0, 0] == 1
+                    @pl.when(mode == 1)
+                    def _steady_contact():
+                        contact_mode_step()
 
-                    @pl.when(clamped & anchored)
-                    def _contact_anchored():
-                        contact_tail(b0_ref[:],
-                                     b0_ref[:] + dt * b1_ref[:] + fa)
+                    @pl.when(mode == 0)
+                    def _affine_mode():
+                        # exact contact check: materialize ONLY the y
+                        # rows of the predictor (one (nb, r) x (r, N)
+                        # dot)
+                        sn_y = (asn[nb:2 * nb, 0:1] * b0_ref[nb:2 * nb]
+                                + asn[nb:2 * nb, 1:2] * b1_ref[nb:2 * nb]
+                                + asn[nb:2 * nb, 2:3] * fa_y
+                                + _dot(wsn[nb:2 * nb].astype(mm_dtype),
+                                       ulift_ref[1], acc))
+                        clamped = jnp.any(sn_y < floor_h)
 
-                    @pl.when(clamped & jnp.logical_not(anchored))
-                    def _contact_general():
-                        contact_tail(materialize(ap, wp),
-                                     materialize(asn, wsn))
+                        @pl.when(jnp.logical_not(clamped))
+                        def _free():
+                            affine_step()
+
+                        @pl.when(clamped)
+                        def _enter_contact():
+                            # materialize the y state + its projections
+                            # from the affine coordinates, then run the
+                            # contact-mode step for THIS step too
+                            _refresh_bu()
+                            apy = ap[nb:2 * nb]
+                            avy = av[nb:2 * nb]
+                            wpy = wp[nb:2 * nb]
+                            wvy = wv[nb:2 * nb]
+                            py_ref[:] = (
+                                apy[:, 0:1] * b0_ref[nb:2 * nb]
+                                + apy[:, 1:2] * b1_ref[nb:2 * nb]
+                                + apy[:, 2:3] * fa_y
+                                + _dot(wpy.astype(mm_dtype),
+                                       ulift_ref[1], acc))
+                            vy_ref[:] = (
+                                avy[:, 0:1] * b0_ref[nb:2 * nb]
+                                + avy[:, 1:2] * b1_ref[nb:2 * nb]
+                                + avy[:, 2:3] * fa_y
+                                + _dot(wvy.astype(mm_dtype),
+                                       ulift_ref[1], acc))
+                            bupy_ref[:] = (
+                                apy[:, 0:1] * bu0_ref[nb:2 * nb]
+                                + apy[:, 1:2] * bu1_ref[nb:2 * nb]
+                                + apy[:, 2:3] * bu_fa_y
+                                + _dot(wpy, mutac[1], acc))
+                            buvy_ref[:] = (
+                                avy[:, 0:1] * bu0_ref[nb:2 * nb]
+                                + avy[:, 1:2] * bu1_ref[nb:2 * nb]
+                                + avy[:, 2:3] * bu_fa_y
+                                + _dot(wvy, mutac[1], acc))
+                            mode_ref[0, 0] = 1
+                            contact_mode_step()
                 else:
                     affine_step()
                 return carry
 
             jax.lax.fori_loop(0, steps_ref[0, 0], step, 0)
-            out_p_ref[:] = materialize(ap_ref[:], wp_ref[:])
-            out_v_ref[:] = materialize(av_ref[:], wv_ref[:])
+
+            @pl.when(mode_ref[0, 0] == 0)
+            def _out_affine():
+                out_p_ref[:] = materialize(ap_ref[:], wp_ref[:])
+                out_v_ref[:] = materialize(av_ref[:], wv_ref[:])
+
+            if floor:
+                @pl.when(mode_ref[0, 0] == 1)
+                def _out_contact():
+                    out_p_ref[:] = _y_rows(
+                        materialize(ap_ref[:], wp_ref[:]), py_ref[:])
+                    out_v_ref[:] = _y_rows(
+                        materialize(av_ref[:], wv_ref[:]), vy_ref[:])
 
         out_shape = (jax.ShapeDtypeStruct((3 * nb, n), P0.dtype),
                      jax.ShapeDtypeStruct((3 * nb, n), P0.dtype))
@@ -564,7 +676,12 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                             pltpu.VMEM((3 * nb, 3), sdt),      # av
                             pltpu.VMEM((3 * nb, r), sdt),      # wp
                             pltpu.VMEM((3 * nb, r), sdt),      # wv
-                            pltpu.SMEM((1, 1), jnp.int32)],   # bu stale
+                            pltpu.VMEM((nb, n), sdt),          # Py
+                            pltpu.VMEM((nb, n), sdt),          # Vy
+                            pltpu.VMEM((nb, r), sdt),          # buPy
+                            pltpu.VMEM((nb, r), sdt),          # buVy
+                            pltpu.SMEM((1, 1), jnp.int32),    # bu stale
+                            pltpu.SMEM((1, 1), jnp.int32)],   # mode
             compiler_params=compiler_params,
             interpret=interpret,
         )(steps_arr, P0, V0, fext,

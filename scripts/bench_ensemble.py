@@ -27,8 +27,10 @@ sys.path.insert(0, os.path.dirname(_HERE))
 import bench  # noqa: E402
 
 BATCH = 8
-CHUNK = 512
-N_CHUNKS = 5
+# long chunks amortize the ~50-100 ms tunnel dispatch, exactly as the
+# solo bench's 45k-step chunks do (dynamic trip count: no recompile)
+CHUNK = 16384
+N_CHUNKS = 6
 
 
 def main():
