@@ -129,22 +129,10 @@ class ConstraintComponents:
         # device_mesh_shards (constraintProj_bases section) builds the
         # mesh that shards the Gram POD and the device DEIM scan; the
         # library kwarg (assigning self.pod_mesh directly) still works
-        self.pod_mesh = None
-        shards = int(getattr(param, "device_mesh_shards", 0) or 0)
-        if shards > 1:
-            import jax
+        from animsnapbases_tpu.parallel import mesh_from_shards
 
-            if len(jax.devices()) >= shards:
-                from animsnapbases_tpu.parallel import build_device_mesh
-
-                self.pod_mesh = build_device_mesh((shards,), ("model",))
-            else:
-                import warnings
-
-                warnings.warn(
-                    f"device_mesh_shards={shards} requested but only "
-                    f"{len(jax.devices())} devices are visible; bases "
-                    f"compute stays single-device")
+        self.pod_mesh = mesh_from_shards(
+            getattr(param, "device_mesh_shards", 0))
 
     # ------------------------------------------------------------------
     def config(self, fileNameBases="p_nl_",
@@ -456,6 +444,19 @@ class ConstraintComponents:
     # ------------------------------------------------------------------
 
     @log_time
+    def _device_comps(self):
+        """Device-resident copy of ``self.comps`` for the device selection
+        scans, uploaded ONCE and cached (a 137 MB basis at the canonical
+        bunny budget costs seconds per H2D over a tunneled link; the
+        device-POD path populates the cache for free, the host-BLAS POD
+        path pays the upload on the first device selection only).
+        Invalidated wherever ``comps`` changes (post_process)."""
+        comps_dev = getattr(self, "_comps_device", None)
+        if comps_dev is None or comps_dev.shape != self.comps.shape:
+            self._comps_device = jnp.asarray(self.comps)
+            comps_dev = self._comps_device
+        return comps_dev
+
     def deim(self, device: bool | None = None):
         """Classic row-wise DEIM on (ep, K, d) bases.
 
@@ -476,11 +477,7 @@ class ConstraintComponents:
         if device:
             from animsnapbases_tpu.ops.deim_scan import deim_rows_host_result
 
-            comps_dev = getattr(self, "_comps_device", None)
-            bases_in = (comps_dev.swapaxes(0, 1)
-                        if comps_dev is not None
-                        and comps_dev.shape[0] == self.comps.shape[0]
-                        else self.comps.swapaxes(0, 1))
+            bases_in = self._device_comps().swapaxes(0, 1)
             Pt, alphas, ranges = deim_rows_host_result(bases_in, p, K,
                                                        mesh=mesh)
             if len(np.unique(Pt)) < len(Pt):
@@ -565,7 +562,7 @@ class ConstraintComponents:
             )
 
             Pt, alphas, ranges = deim_blocks_host_result(
-                self.comps.swapaxes(0, 1), p, K, mesh=mesh)
+                self._device_comps().swapaxes(0, 1), p, K, mesh=mesh)
             if len(np.unique(alphas)) < len(alphas):
                 # rank-exhausted basis: fall back to the host loop, which
                 # detects the zero residual (same guard as deim())

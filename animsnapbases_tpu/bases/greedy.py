@@ -60,11 +60,7 @@ def deflate(R: jnp.ndarray, wk: jnp.ndarray, support: jnp.ndarray):
 
 
 @partial(jax.jit, static_argnames=("num_components",))
-def extract_global(R0: jnp.ndarray, num_components: int):
-    """Full greedy extraction with global support as a device-side scan.
-
-    Returns (comps (K, N, 3), weights (F, K), sigma0s (K,), res_norms (K,),
-    indices (K,), R_final)."""
+def _extract_global_impl(R0: jnp.ndarray, num_components: int):
     ones = jnp.ones(R0.shape[1], dtype=R0.dtype)
 
     def step(R, _):
@@ -76,3 +72,29 @@ def extract_global(R0: jnp.ndarray, num_components: int):
     R_final, (C, W, sig, res, idxs) = jax.lax.scan(
         step, R0, None, length=num_components)
     return C, W.T, sig, res, idxs, R_final
+
+
+def extract_global(R0: jnp.ndarray, num_components: int, mesh=None):
+    """Full greedy extraction with global support as a device-side scan.
+
+    Returns (comps (K, N, 3), weights (F, K), sigma0s (K,), res_norms (K,),
+    indices (K,), R_final).  ``mesh`` (jax.sharding.Mesh with a 'model'
+    axis) shards the vertex axis — argmax/deflation run vertex-parallel
+    with XLA-inserted collectives, selections and components identical
+    to single-device (zero-padded columns never win the argmax)."""
+    R0 = jnp.asarray(R0)
+    if mesh is None:
+        return _extract_global_impl(R0, num_components)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = R0.shape[1]
+    shards = mesh.shape["model"]
+    pad = (-n) % shards
+    if pad:
+        R0 = jnp.concatenate(
+            [R0, jnp.zeros((R0.shape[0], pad, R0.shape[2]), R0.dtype)],
+            axis=1)
+    R0 = jax.device_put(R0, NamedSharding(mesh, P(None, "model", None)))
+    C, W, sig, res, idxs, R_final = _extract_global_impl(R0,
+                                                         num_components)
+    return C[:, :n], W, sig, res, idxs, R_final[:, :n]

@@ -58,6 +58,12 @@ class PositionComponents:
                 build_geodesics=(param.q_support == "local"
                                  or param.vertPos_bases_type == "SPLOCS"))
         self.pos_snapshots = pos_snapshots
+        # sharded greedy extraction (config-driven, same flag as the
+        # constraint pipeline); library callers may assign pod_mesh too
+        from animsnapbases_tpu.parallel import mesh_from_shards
+
+        self.pod_mesh = mesh_from_shards(
+            getattr(param, "device_mesh_shards", 0))
 
         self.numComp = param.vertPos_numComponents
         self.support = param.q_support
@@ -91,7 +97,8 @@ class PositionComponents:
         if self.support == "local":
             comps, weights, measures = self._extract_local(R0, K, writer)
         else:
-            C, W, sig, res, idxs, _ = greedy.extract_global(R0, K)
+            C, W, sig, res, idxs, _ = greedy.extract_global(
+                R0, K, mesh=getattr(self, "pod_mesh", None))
             comps = np.asarray(C)
             weights = np.asarray(W)
             measures = np.column_stack([np.arange(K), np.asarray(sig),

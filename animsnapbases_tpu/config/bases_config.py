@@ -243,6 +243,10 @@ class BasesConfig:
         self.splocs_lambda = splocs.get("lambda", 2.0)
         self.splocs_rho = splocs.get("rho", 10.0)
         self.run_pca_tests = vp.get("run_tests", False)
+        # sharded bases compute (position pipeline honours it too; the
+        # constraintProj section may override)
+        self.device_mesh_shards = vp.get(
+            "device_mesh_shards", cfg.get("device_mesh_shards", 0))
 
     # ------------------------------------------------------------------
     def _load_constproj(self, cfg: dict) -> None:
@@ -279,7 +283,8 @@ class BasesConfig:
                                                          "deim")
         self.constProj_basis_type = cp.get("basis_type", "pod_vectorized")
         self.deim_desired_num_components = cp.get("desired_num_components", -1)
-        self.device_mesh_shards = cp.get("device_mesh_shards", 0)
+        self.device_mesh_shards = cp.get("device_mesh_shards",
+                                          self.device_mesh_shards)
 
         base = os.path.join(self.snapshots_repo_dir, self.name, self.experiment)
         p_folder = ctype.get("p_snaps_folder", "")

@@ -283,7 +283,8 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                           mass_inv: np.ndarray, dt: float,
                           floor: bool, floor_h: float,
                           n_sel: int, rebase_every: int = 256,
-                          interpret: bool = False, nb: int = 1):
+                          interpret: bool = False, nb: int = 1,
+                          contact_mode: bool = True):
     """Affine-coordinate resident kernel: contact-free steps never touch
     the full vertex space.
 
@@ -327,6 +328,15 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
     Contact-free stretches run at affine speed; contact-dominated
     stretches run at a bit under half affine speed (~2 of the ~5
     all-mode big dots per step are unavoidable in contact).
+
+    ``contact_mode=False`` builds a LEANER kernel whose contact handling
+    is a re-anchoring tail (exact standard full-space step on the
+    materialized state, then re-anchor the affine base): measured on the
+    51k-vertex bridge, the contact-mode machinery slows the CONTACT-FREE
+    loop ~5x (Mosaic's allocation for the extra branch state crowds the
+    ~39 MB of bf16 matrices; the bunny's 11 MB is unaffected), so large
+    models trade slower (rare) contact steps for full-speed free flight.
+    Both variants are exact.
 
     Exactness: identical math to :func:`build_resident_multistep` — the
     gravity/step recursions are linear and the nonlinear constraint
@@ -430,6 +440,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
             mode_ref[0, 0] = 0          # 0 = affine, 1 = contact-y
             if floor:
                 fa_y = fa[nb:2 * nb]
+            if floor and contact_mode:
                 bu_fa_y = bu_fa[nb:2 * nb]
                 py_ref[:] = jnp.zeros((nb, n), dtype=fa.dtype)
                 vy_ref[:] = jnp.zeros((nb, n), dtype=fa.dtype)
@@ -466,7 +477,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                     wv_ref[:] = zw
                     stale_ref[0, 0] = 1
 
-                if floor:
+                if floor and contact_mode:
                     # contact-mode rebase: mixed materialization (x/z
                     # affine, y from the materialized scratch) — also the
                     # EXIT back to affine mode, bounding the incremental
@@ -526,7 +537,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                     wp_ref[:] = wq
                     wv_ref[:] = (wq - wp) / dt
 
-                if floor:
+                if floor and contact_mode:
                     def contact_mode_step():
                         """One exact step in contact mode: x/z ride the
                         affine coefficients (whose y rows are unused);
@@ -579,10 +590,6 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                         buvy_ref[:] = (bup_new - bupy_ref[:]) / dt
                         bupy_ref[:] = bup_new
 
-                    @pl.when(mode == 1)
-                    def _steady_contact():
-                        contact_mode_step()
-
                     @pl.when(mode == 0)
                     def _affine_mode():
                         # exact contact check: materialize ONLY the y
@@ -602,8 +609,9 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                         @pl.when(clamped)
                         def _enter_contact():
                             # materialize the y state + its projections
-                            # from the affine coordinates, then run the
-                            # contact-mode step for THIS step too
+                            # from the affine coordinates and flip the
+                            # mode flag; the single contact-mode block
+                            # below (re-read flag) runs THIS step too
                             _refresh_bu()
                             apy = ap[nb:2 * nb]
                             avy = av[nb:2 * nb]
@@ -632,7 +640,52 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                                 + avy[:, 2:3] * bu_fa_y
                                 + _dot(wvy, mutac[1], acc))
                             mode_ref[0, 0] = 1
-                            contact_mode_step()
+
+                    # ONE inline serves both steady contact (mode was 1)
+                    # and the entry step (the affine branch just flipped
+                    # the flag): re-read the flag
+                    @pl.when(mode_ref[0, 0] == 1)
+                    def _contact():
+                        contact_mode_step()
+                elif floor:
+                    # lean contact variant (contact_mode=False, large
+                    # models): exact standard step on the materialized
+                    # state, then re-anchor the affine base — no extra
+                    # per-step state for Mosaic to keep resident
+                    sn_y = (asn[nb:2 * nb, 0:1] * b0_ref[nb:2 * nb]
+                            + asn[nb:2 * nb, 1:2] * b1_ref[nb:2 * nb]
+                            + asn[nb:2 * nb, 2:3] * fa_y
+                            + _dot(wsn[nb:2 * nb].astype(mm_dtype),
+                                   ulift_ref[1], acc))
+                    clamped = jnp.any(sn_y < floor_h)
+
+                    @pl.when(jnp.logical_not(clamped))
+                    def _free():
+                        affine_step()
+
+                    @pl.when(clamped)
+                    def _contact_reanchor():
+                        P = materialize(ap, wp)
+                        sn = materialize(asn, wsn)
+                        sn = jnp.where(row_is_y & (sn < floor_h),
+                                       floor_h, sn)
+                        rb_const = rb_ex - project_base(sn)
+                        rb = iterate(sn[:, :n_sel], rb_const,
+                                     num_iterations)
+                        u = jnp.concatenate(
+                            [_dot(rb[d * nb:(d + 1) * nb], inv[d], acc)
+                             for d in range(3)], axis=0)
+                        q = sn + jnp.concatenate(
+                            [_dot(u[d * nb:(d + 1) * nb].astype(mm_dtype),
+                                  ulift_ref[d], acc)
+                             for d in range(3)], axis=0)
+                        b0_ref[:] = q
+                        b1_ref[:] = (q - P) / dt
+                        ap_ref[:] = e0
+                        av_ref[:] = e1
+                        wp_ref[:] = zw
+                        wv_ref[:] = zw
+                        stale_ref[0, 0] = 1
                 else:
                     affine_step()
                 return carry
@@ -644,7 +697,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                 out_p_ref[:] = materialize(ap_ref[:], wp_ref[:])
                 out_v_ref[:] = materialize(av_ref[:], wv_ref[:])
 
-            if floor:
+            if floor and contact_mode:
                 @pl.when(mode_ref[0, 0] == 1)
                 def _out_contact():
                     out_p_ref[:] = _y_rows(
@@ -676,10 +729,16 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                             pltpu.VMEM((3 * nb, 3), sdt),      # av
                             pltpu.VMEM((3 * nb, r), sdt),      # wp
                             pltpu.VMEM((3 * nb, r), sdt),      # wv
-                            pltpu.VMEM((nb, n), sdt),          # Py
-                            pltpu.VMEM((nb, n), sdt),          # Vy
-                            pltpu.VMEM((nb, r), sdt),          # buPy
-                            pltpu.VMEM((nb, r), sdt),          # buVy
+                            # contact-mode y state (token-sized when the
+                            # lean variant is built)
+                            pltpu.VMEM((nb, n) if contact_mode
+                                       else (1, 1), sdt),      # Py
+                            pltpu.VMEM((nb, n) if contact_mode
+                                       else (1, 1), sdt),      # Vy
+                            pltpu.VMEM((nb, r) if contact_mode
+                                       else (1, 1), sdt),      # buPy
+                            pltpu.VMEM((nb, r) if contact_mode
+                                       else (1, 1), sdt),      # buVy
                             pltpu.SMEM((1, 1), jnp.int32),    # bu stale
                             pltpu.SMEM((1, 1), jnp.int32)],   # mode
             compiler_params=compiler_params,

@@ -22,5 +22,6 @@ from animsnapbases_tpu.parallel.ensemble import (
     make_ensemble_step,
     make_element_sharded_step,
     build_device_mesh,
+    mesh_from_shards,
 )
 from animsnapbases_tpu.parallel.reduced_tp import make_tp_reduced_step

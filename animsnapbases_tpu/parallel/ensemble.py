@@ -30,6 +30,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from animsnapbases_tpu.sim import projections
 
 
+def mesh_from_shards(shards: int):
+    """1-D ('model',) mesh over ``shards`` devices for sharded bases
+    compute, or None (with a warning) when shards <= 1 or too few
+    devices are visible — config-driven callers degrade to
+    single-device."""
+    shards = int(shards or 0)
+    if shards <= 1:
+        return None
+    import jax
+
+    if len(jax.devices()) < shards:
+        import warnings
+
+        warnings.warn(
+            f"device_mesh_shards={shards} requested but only "
+            f"{len(jax.devices())} devices are visible; bases compute "
+            f"stays single-device")
+        return None
+    return build_device_mesh((shards,), ("model",))
+
+
 def build_device_mesh(shape: tuple[int, ...], axis_names: tuple[str, ...],
                       devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()

@@ -187,6 +187,9 @@ class AnimSnapBasesSolver:
     """Reduced solver with reference-compatible construction from sim args."""
 
     DENSE_LIMIT = 2400
+    # contact-MODE machinery allowed only when the two bf16 matrices fit
+    # comfortably (bridge-scale 39 MB measured a 5x contact-free slowdown)
+    CONTACT_MODE_VMEM_LIMIT = 24 * (1 << 20)
 
     def __init__(self, args, dtype=None, pallas_mode: str = "auto",
                  matmul_dtype=None):
@@ -513,6 +516,16 @@ class AnimSnapBasesSolver:
                  for d in range(3)]).astype(np_dtype)      # (3, r, r)
         # everything a batched (nb > 1) rebuild needs — the big operands
         # are shared across the batch, so ensemble runners reuse them
+        # the contact-MODE machinery costs the contact-free loop ~5x on
+        # big models (Mosaic crowds the ~39 MB bridge matrices; measured
+        # 128k -> 27k steps/s) while being the 2.8x contact win on small
+        # ones — gate it on the bf16 matrix footprint unless the caller
+        # overrides via solver.resident_contact_mode
+        big_bytes = 2 * 3 * n * r * mm_dtype.itemsize
+        contact_mode = getattr(self, "resident_contact_mode", None)
+        if contact_mode is None:
+            contact_mode = big_bytes <= self.CONTACT_MODE_VMEM_LIMIT
+
         self._resident_state = {
             "ops": ops, "U_liftT": U_liftT, "ut_acT": ut_acT,
             "M_utac": M_utac, "U_selT": U_selT.astype(np_dtype),
@@ -521,6 +534,7 @@ class AnimSnapBasesSolver:
             "np_dtype": np_dtype, "mm_dtype": mm_dtype,
             "n": n, "r": r, "n_sel": n_sel,
             "g_total": g_total, "m_total": m_total,
+            "contact_mode": contact_mode,
         }
         self._resident_batched = {}
 
@@ -540,7 +554,7 @@ class AnimSnapBasesSolver:
                 self.model.floor_collision, self.model.floor_height,
                 n_sel,
                 rebase_every=getattr(self, "resident_rebase_every", 256),
-                interpret=interpret)
+                interpret=interpret, contact_mode=contact_mode)
             self._resident_kind = "affine"
             # if Mosaic rejects the affine kernel at first compile, the
             # standard resident kernel (35-75k steps/s) is still far
@@ -600,7 +614,8 @@ class AnimSnapBasesSolver:
                 self.dt, self.model.floor_collision,
                 self.model.floor_height, st["n_sel"],
                 rebase_every=getattr(self, "resident_rebase_every", 256),
-                interpret=st["interpret"], nb=nb)
+                interpret=st["interpret"], nb=nb,
+                contact_mode=st["contact_mode"])
         else:
             run = build_resident_multistep(
                 *common, st["mass_inv"], self.dt,

@@ -213,3 +213,19 @@ def test_sharded_device_deim_matches_unsharded():
     a1 = deim_blocks(B, p)
     a2 = deim_blocks(B, p, mesh=mesh)
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_sharded_greedy_extraction_matches():
+    """extract_global with a mesh (vertex axis sharded, zero-padded to
+    the axis size) picks the same vertices and components."""
+    from animsnapbases_tpu.bases import greedy
+
+    rng = np.random.default_rng(7)
+    F, N = 12, 203              # deliberately not divisible by 8
+    R0 = jnp.asarray(rng.standard_normal((F, N, 3)))
+    mesh = build_device_mesh((8,), ("model",))
+    C1, W1, s1, r1, i1, _ = greedy.extract_global(R0, 9)
+    C2, W2, s2, r2, i2, _ = greedy.extract_global(R0, 9, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(C2), np.asarray(C1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(W2), np.asarray(W1), atol=1e-12)

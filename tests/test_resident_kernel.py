@@ -376,3 +376,31 @@ def test_resident_fuzz_random_targets_and_chunks(pipeline, seed):
     assert s_res._resident is not None
     assert s_res.frame == 24
     np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-5)
+
+
+def test_lean_contact_variant_matches_step_loop(pipeline):
+    """contact_mode=False (the large-model build: re-anchoring contact
+    tail instead of the contact-mode machinery) must match the per-frame
+    step exactly through floor contact and rebase crossings."""
+    basis_dir, pos_path, _ = pipeline
+    s_res, m_res = _solver(basis_dir, pos_path, "interpret", floor=True,
+                           rebase_every=4)
+    s_res.resident_contact_mode = False
+    s_res.set_dirty()
+    s_res.prepare(s_res.args)
+    assert s_res._resident is not None
+    assert s_res._resident_state["contact_mode"] is False
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=True)
+
+    for m in (m_res, m_ref):
+        m.positions = m.positions.copy()
+        m.positions[:, 1] -= 2.92            # hover just above the floor
+    f = gravity_forces(m_ref) * 4.0
+    s_res.run_steps(f, 14, num_iterations=6)
+    for _ in range(14):
+        s_ref.step(f, num_iterations=6)
+    # the scene genuinely clamped (the lean contact tail actually ran)
+    assert float(np.asarray(m_ref.positions)[:, 1].min()) < 0.06
+    np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-6)
+    np.testing.assert_allclose(m_res.velocities, m_ref.velocities,
+                               atol=1e-4)
