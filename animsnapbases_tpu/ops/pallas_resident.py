@@ -332,11 +332,11 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
     ``contact_mode=False`` builds a LEANER kernel whose contact handling
     is a re-anchoring tail (exact standard full-space step on the
     materialized state, then re-anchor the affine base): measured on the
-    51k-vertex bridge, the contact-mode machinery slows the CONTACT-FREE
-    loop ~5x (Mosaic's allocation for the extra branch state crowds the
-    ~39 MB of bf16 matrices; the bunny's 11 MB is unaffected), so large
-    models trade slower (rare) contact steps for full-speed free flight.
-    Both variants are exact.
+    51k-vertex bridge, the contact-mode machinery's presence slows the
+    CONTACT-FREE loop ~4x (27k vs 108k steps/s — the cost scales with
+    the vertex count, not operand bytes; the 14k-vertex bunny is
+    unaffected even batched x8), so large models trade slower (rare)
+    contact steps for full-speed free flight.  Both variants are exact.
 
     Exactness: identical math to :func:`build_resident_multistep` — the
     gravity/step recursions are linear and the nonlinear constraint

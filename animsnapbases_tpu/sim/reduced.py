@@ -187,9 +187,12 @@ class AnimSnapBasesSolver:
     """Reduced solver with reference-compatible construction from sim args."""
 
     DENSE_LIMIT = 2400
-    # contact-MODE machinery allowed only when the two bf16 matrices fit
-    # comfortably (bridge-scale 39 MB measured a 5x contact-free slowdown)
-    CONTACT_MODE_VMEM_LIMIT = 24 * (1 << 20)
+    # contact-MODE machinery allowed only below this vertex count: at the
+    # 51k-vertex bridge its presence slows the contact-FREE affine loop
+    # ~4x (27k vs 108k steps/s measured; the lean re-anchoring variant
+    # restores full speed) while the 14k-vertex bunny is unaffected even
+    # batched x8 — the cost scales with N, not with operand bytes
+    CONTACT_MODE_MAX_VERTS = 32768
 
     def __init__(self, args, dtype=None, pallas_mode: str = "auto",
                  matmul_dtype=None):
@@ -516,15 +519,13 @@ class AnimSnapBasesSolver:
                  for d in range(3)]).astype(np_dtype)      # (3, r, r)
         # everything a batched (nb > 1) rebuild needs — the big operands
         # are shared across the batch, so ensemble runners reuse them
-        # the contact-MODE machinery costs the contact-free loop ~5x on
-        # big models (Mosaic crowds the ~39 MB bridge matrices; measured
-        # 128k -> 27k steps/s) while being the 2.8x contact win on small
-        # ones — gate it on the bf16 matrix footprint unless the caller
-        # overrides via solver.resident_contact_mode
-        big_bytes = 2 * 3 * n * r * mm_dtype.itemsize
+        # the contact-MODE machinery is the 2.8x contact win on small
+        # models but costs the contact-FREE loop ~4x past ~50k vertices
+        # (see CONTACT_MODE_MAX_VERTS) — gate it on the vertex count
+        # unless the caller overrides via solver.resident_contact_mode
         contact_mode = getattr(self, "resident_contact_mode", None)
         if contact_mode is None:
-            contact_mode = big_bytes <= self.CONTACT_MODE_VMEM_LIMIT
+            contact_mode = n <= self.CONTACT_MODE_MAX_VERTS
 
         self._resident_state = {
             "ops": ops, "U_liftT": U_liftT, "ut_acT": ut_acT,
