@@ -94,17 +94,18 @@ def render_error_heatmaps(verts_seq, faces, error_maps, out_dir: str,
 
     from animsnapbases_tpu.analysis.viewer import _render_mesh
 
-    os.makedirs(out_dir, exist_ok=True)
     frames = [int(f) for f in frames]
+    if not frames:
+        return []
+    os.makedirs(out_dir, exist_ok=True)
     vmax = max(float(np.max([error_maps[f].max() for f in frames])), 1e-12)
     paths = []
     for f_idx in frames:
         fig = plt.figure(figsize=(6, 6))
         ax = fig.add_subplot(111, projection="3d")
-        # normalize against the shared scale by clipping into [0, vmax]
-        scal = np.clip(error_maps[f_idx], 0.0, vmax)
         _render_mesh(ax, np.asarray(verts_seq[f_idx]), faces,
-                     scalars=scal, cmap=cmap)
+                     scalars=error_maps[f_idx], cmap=cmap,
+                     vmin=0.0, vmax=vmax)
         sm = plt.cm.ScalarMappable(cmap=cmap,
                                    norm=plt.Normalize(0.0, vmax))
         fig.colorbar(sm, ax=ax, shrink=0.6, label=prefix)

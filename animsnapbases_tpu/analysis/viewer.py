@@ -20,11 +20,14 @@ from mpl_toolkits.mplot3d.art3d import Poly3DCollection  # noqa: E402
 from animsnapbases_tpu.io.h5anim import read_animation_h5, read_components_h5
 
 
-def _render_mesh(ax, verts, tris, scalars=None, cmap="viridis"):
+def _render_mesh(ax, verts, tris, scalars=None, cmap="viridis",
+                 vmin=None, vmax=None):
     polys = verts[np.asarray(tris)]
     if scalars is not None:
         face_vals = np.asarray(scalars)[np.asarray(tris)].mean(axis=1)
-        norm = plt.Normalize(face_vals.min(), face_vals.max() + 1e-12)
+        norm = plt.Normalize(
+            face_vals.min() if vmin is None else vmin,
+            (face_vals.max() + 1e-12) if vmax is None else vmax)
         colors = plt.get_cmap(cmap)(norm(face_vals))
         pc = Poly3DCollection(polys, facecolors=colors, edgecolor="none")
     else:

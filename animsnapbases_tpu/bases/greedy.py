@@ -87,13 +87,10 @@ def extract_global(R0: jnp.ndarray, num_components: int, mesh=None):
         return _extract_global_impl(R0, num_components)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from animsnapbases_tpu.utils.padding import zero_pad_to_multiple
+
     n = R0.shape[1]
-    shards = mesh.shape["model"]
-    pad = (-n) % shards
-    if pad:
-        R0 = jnp.concatenate(
-            [R0, jnp.zeros((R0.shape[0], pad, R0.shape[2]), R0.dtype)],
-            axis=1)
+    R0 = zero_pad_to_multiple(R0, 1, mesh.shape["model"])
     R0 = jax.device_put(R0, NamedSharding(mesh, P(None, "model", None)))
     C, W, sig, res, idxs, R_final = _extract_global_impl(R0,
                                                          num_components)

@@ -72,13 +72,9 @@ def _shard_cols(basesT, mesh):
     collectives."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    n = mesh.shape["model"]
-    ep = basesT.shape[1]
-    pad = (-ep) % n
-    if pad:
-        basesT = jnp.concatenate(
-            [basesT, jnp.zeros((basesT.shape[0], pad, basesT.shape[2]),
-                               basesT.dtype)], axis=1)
+    from animsnapbases_tpu.utils.padding import zero_pad_to_multiple
+
+    basesT = zero_pad_to_multiple(basesT, 1, mesh.shape["model"])
     return jax.device_put(basesT, NamedSharding(mesh, P(None, "model",
                                                         None)))
 

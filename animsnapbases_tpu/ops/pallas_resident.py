@@ -145,6 +145,12 @@ def _make_runners(_body, const_inputs, flat_arrays):
     run.windowed = run_windowed
     run.raw = run_raw
     run.aot_compile = aot_compile
+    # for callers that jit their own wrapper around the kernel: pass
+    # `operands` as TRACED args of that jit (baking them in as closure
+    # constants embeds the tens-of-MB matrices in the HLO — slow
+    # lowering, bloated persistent-cache entries)
+    run.body = _body
+    run.operands = (tuple(const_inputs), tuple(flat_arrays))
     return run
 
 
@@ -663,10 +669,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                     def _free():
                         affine_step()
 
-                    @pl.when(clamped)
-                    def _contact_reanchor():
-                        P = materialize(ap, wp)
-                        sn = materialize(asn, wsn)
+                    def contact_tail(P, sn):
                         sn = jnp.where(row_is_y & (sn < floor_h),
                                        floor_h, sn)
                         rb_const = rb_ex - project_base(sn)
@@ -686,6 +689,23 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                         wp_ref[:] = zw
                         wv_ref[:] = zw
                         stale_ref[0, 0] = 1
+
+                    # stale == 1 implies the coefficients are EXACTLY the
+                    # identity (set only by rebase/contact, cleared only
+                    # by the affine refresh), so P = b0 and the predictor
+                    # is elementwise — consecutive contact steps skip the
+                    # materialization dots
+                    anchored = stale_ref[0, 0] == 1
+
+                    @pl.when(clamped & anchored)
+                    def _contact_anchored():
+                        contact_tail(b0_ref[:],
+                                     b0_ref[:] + dt * b1_ref[:] + fa)
+
+                    @pl.when(clamped & jnp.logical_not(anchored))
+                    def _contact_general():
+                        contact_tail(materialize(ap, wp),
+                                     materialize(asn, wsn))
                 else:
                     affine_step()
                 return carry
@@ -729,15 +749,15 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                             pltpu.VMEM((3 * nb, 3), sdt),      # av
                             pltpu.VMEM((3 * nb, r), sdt),      # wp
                             pltpu.VMEM((3 * nb, r), sdt),      # wv
-                            # contact-mode y state (token-sized when the
-                            # lean variant is built)
-                            pltpu.VMEM((nb, n) if contact_mode
+                # contact-mode y state (token-sized unless the
+                            # machinery is built AND can fire)
+                            pltpu.VMEM((nb, n) if floor and contact_mode
                                        else (1, 1), sdt),      # Py
-                            pltpu.VMEM((nb, n) if contact_mode
+                            pltpu.VMEM((nb, n) if floor and contact_mode
                                        else (1, 1), sdt),      # Vy
-                            pltpu.VMEM((nb, r) if contact_mode
+                            pltpu.VMEM((nb, r) if floor and contact_mode
                                        else (1, 1), sdt),      # buPy
-                            pltpu.VMEM((nb, r) if contact_mode
+                            pltpu.VMEM((nb, r) if floor and contact_mode
                                        else (1, 1), sdt),      # buVy
                             pltpu.SMEM((1, 1), jnp.int32),    # bu stale
                             pltpu.SMEM((1, 1), jnp.int32)],   # mode

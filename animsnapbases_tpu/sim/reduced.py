@@ -447,6 +447,7 @@ class AnimSnapBasesSolver:
         (run_fn, perm, iperm, fext_is_free) or None."""
         self._resident_state = None
         self._resident_batched = {}
+        self._batched_call_cache = {}   # closures capture the old build
         if getattr(self, "_fused_pack", None) is None:
             return None
         if self._collision_mode == "device":
@@ -602,6 +603,10 @@ class AnimSnapBasesSolver:
             budget += (4 * 3 * nb * st["n"] * st["np_dtype"].itemsize
                        + 3 * nb * (st["r"] + st["n_sel"])
                        * st["np_dtype"].itemsize)
+            if st["contact_mode"] and self.model.floor_collision:
+                # contact-mode y scratch: Py/Vy (nb, N) + buPy/buVy
+                budget += (2 * nb * (st["n"] + st["r"])
+                           * st["np_dtype"].itemsize)
         if budget > 48 * (1 << 20):
             self._resident_batched[nb] = None
             return None
@@ -1053,15 +1058,6 @@ class AnimSnapBasesSolver:
                                            num_iterations=num_iterations)
             )(positions, velocities, fext, targets_seq)
 
-        def _pow2_pad(tl, axis):
-            t = tl.shape[axis]
-            t_pad = 1 << max(t - 1, 0).bit_length()
-            if t_pad > t:
-                last = np.take(tl, [-1], axis=axis)
-                tl = np.concatenate(
-                    [tl, np.repeat(last, t_pad - t, axis=axis)], axis=axis)
-            return tl
-
         def run(positions, velocities, fext, num_steps, num_iterations=10,
                 targets_seq=None):
             if targets_seq is None:
@@ -1069,9 +1065,11 @@ class AnimSnapBasesSolver:
                                                     num_steps)
                 per_sim = False
             else:
+                from animsnapbases_tpu.utils.padding import pow2_pad
+
                 tl = np.asarray(targets_seq)
                 per_sim = tl.ndim == 4
-                tl = _pow2_pad(tl, 1 if per_sim else 0)
+                tl = pow2_pad(tl, axis=1 if per_sim else 0)
             out = None
             if mesh is None:
                 out = self._run_batched_resident(
@@ -1133,9 +1131,12 @@ class AnimSnapBasesSolver:
             n = st["n"]
 
             @partial(jax.jit, static_argnames=("num_iterations",))
-            def call(pos, vel, fx, rb_dev, steps_arr, num_iterations):
+            def call(pos, vel, fx, rb_dev, steps_arr, consts, arrays,
+                     num_iterations):
                 # pack (B, N, 3) -> dim-major (3B, N), run the kernel,
-                # unpack — all in ONE jit (one dispatch per chunk)
+                # unpack — all in ONE jit (one dispatch per chunk); the
+                # kernel operands ride as traced args, NOT closure
+                # constants (keeps the HLO small, see run.operands)
                 def pack(x):
                     return x[:, perm_j, :].transpose(2, 0, 1).reshape(
                         3 * B, n)
@@ -1144,16 +1145,18 @@ class AnimSnapBasesSolver:
                     return y.reshape(3, B, n).transpose(1, 2, 0)[
                         :, iperm_j, :]
 
-                Pf, Vf = run_b.raw(pack(pos), pack(vel), pack(fx), rb_dev,
-                                   steps_arr, num_iterations)
+                Pf, Vf = run_b.body(pack(pos), pack(vel), pack(fx),
+                                    rb_dev, steps_arr, consts, arrays,
+                                    num_iterations)
                 return unpack(Pf), unpack(Vf)
 
             cache[key] = call
         steps_arr = jnp.asarray([[num_steps]], dtype=jnp.int32)
+        consts, arrays = run_b.operands
         try:
             return call(self._cast(positions), self._cast(velocities),
                         self._cast(fext), self._cast(rb), steps_arr,
-                        num_iterations=num_iterations)
+                        consts, arrays, num_iterations=num_iterations)
         except Exception as e:
             import warnings
 
@@ -1403,6 +1406,12 @@ class AnimSnapBasesSolver:
                         self._resident = (fallback(), perm, iperm)
                         self._resident_kind = "standard"
                         self._resident_fallback = None
+                        # keep the batched path consistent: rebuilds must
+                        # use the standard kernel too, not re-fail affine
+                        if self._resident_state is not None:
+                            self._resident_state["use_affine"] = False
+                        self._resident_batched = {}
+                        self._batched_call_cache = {}
                         return self.run_steps(fext, num_steps,
                                               num_iterations)
                     # standard kernel failed too (e.g. operands + staging

@@ -581,11 +581,9 @@ def positional_targets_timeline(model: DeformableModel, frame: int,
                 and c["frame_shift"] is not None):
             shift = c["frame_shift"]
             tl[:, i] += shift[np.minimum(frames, len(shift) - 1)]
-    t_pad = 1 << max(t_eff - 1, 0).bit_length()
-    if t_pad > t_eff:
-        tl = np.concatenate(
-            [tl, np.repeat(tl[-1:], t_pad - t_eff, axis=0)])
-    return tl, True
+    from animsnapbases_tpu.utils.padding import pow2_pad
+
+    return pow2_pad(tl, axis=0), True
 
 
 def make_device_global_solve(model: DeformableModel, dt: float,

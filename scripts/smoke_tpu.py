@@ -145,8 +145,68 @@ def check_batched():
         assert err < 2e-3, f"sim {b} batched-vs-solo max err {err:.2e}"
 
 
+def check_batched_poke():
+    """Per-sim ANIMATED schedules through the batched resident kernel:
+    the (T, 3B, r) rb-timeline layout with per-step dynamic loads at
+    nb > 1 must compile under Mosaic and track each sim's own poke."""
+    model = _cloth()
+    solver = _synthetic_reduced(model)
+    assert solver._resident is not None
+
+    def shift(amp, per=8, cycles=2):
+        seg = np.concatenate([np.linspace(0.0, amp, per // 2),
+                              np.linspace(amp, 0.0, per - per // 2)])
+        s = np.zeros((cycles * per, 3))
+        s[:, 2] = np.tile(seg, cycles)
+        return s
+
+    B = 2
+    shifts = [shift(0.4), shift(-0.3, per=6)]
+    model.add_positional_constraint(10, wi=1e6,
+                                    motion_type="user_defined",
+                                    frame_shift=shifts[0])
+    solver.set_dirty()
+    solver.prepare(solver.args)
+    run = solver.make_batched_run()
+
+    from animsnapbases_tpu.sim.solver import positional_targets_timeline
+
+    tls = []
+    for b in range(B):
+        model._positional[-1]["frame_shift"] = shifts[b]
+        tl, animated = positional_targets_timeline(model, 0, 16)
+        assert animated
+        tls.append(tl)
+    model._positional[-1]["frame_shift"] = shifts[0]
+    T = max(len(t) for t in tls)
+    tls = [np.concatenate([t, np.repeat(t[-1:], T - len(t), axis=0)])
+           if len(t) < T else t for t in tls]
+
+    f = np.tile(_gravity(model), (B, 1, 1))
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    p, v = run(pos, vel, f, 16, num_iterations=8,
+               targets_seq=np.stack(tls))
+    assert solver._resident_batched.get(B) is not None, \
+        "Mosaic rejected the batched animated kernel (vmap fallback ran)"
+    p = np.asarray(p)
+    assert np.isfinite(p).all()
+    for b in range(B):
+        m2 = _cloth()
+        s2 = _synthetic_reduced(m2)
+        m2.add_positional_constraint(10, wi=1e6,
+                                     motion_type="user_defined",
+                                     frame_shift=shifts[b])
+        s2.set_dirty()
+        s2.prepare(s2.args)
+        s2.run_steps(_gravity(m2), 16, num_iterations=8)
+        err = np.abs(p[b] - m2.positions).max()
+        assert err < 2e-3, f"sim {b} poked batched-vs-solo err {err:.2e}"
+
+
 CHECKS = {"contact": check_contact, "tets": check_tets,
-          "bend": check_bend, "batched": check_batched}
+          "bend": check_bend, "batched": check_batched,
+          "batched_poke": check_batched_poke}
 
 
 def main():

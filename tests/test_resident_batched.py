@@ -161,3 +161,34 @@ def test_batched_resident_floor_contact(pipeline):
         floored = floored or np.any(
             np.asarray(m_ref.positions)[:, 1] <= m_ref.floor_height + 1e-9)
     assert floored, "test scene never touched the floor"
+
+
+def test_batched_resident_block_form(tmp_path_factory):
+    """Block-form interpolation (deim_pca_blocks: whole p-row blocks, W
+    permuted to row-major blocks at pack time) through the BATCHED
+    resident kernel — the block emitters' dim-major (3nb, pm) outputs
+    must stay exact at nb > 1."""
+    import test_reduced_block_form as tbf
+
+    block_basis = tbf.block_basis.__wrapped__(tmp_path_factory)
+    basis_dir, _, pos_path = block_basis
+    B = 2
+    solver, model = tbf._block_reduced(basis_dir, pos_path, "interpret")
+    assert solver._resident is not None
+    run = solver.make_batched_run()
+
+    from test_sim_solver import gravity_forces
+
+    base = gravity_forces(model)
+    fs = np.stack([base * (1.0 + 0.2 * b) for b in range(B)])
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    p, v = run(pos, vel, fs, 9, num_iterations=6)
+    assert solver._resident_batched.get(B) is not None
+    p = np.asarray(p)
+
+    for b in range(B):
+        s_ref, m_ref = tbf._block_reduced(basis_dir, pos_path,
+                                          "interpret")
+        s_ref.run_steps(fs[b], 9, num_iterations=6)
+        np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-6)
