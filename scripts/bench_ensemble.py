@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(_HERE))
 
 import bench  # noqa: E402
 
-BATCH = 8
+BATCH = int(os.environ.get("ENSEMBLE_BATCH", "8"))
 # long chunks amortize the ~50-100 ms tunnel dispatch, exactly as the
 # solo bench's 45k-step chunks do (dynamic trip count: no recompile)
 CHUNK = 16384
