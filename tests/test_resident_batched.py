@@ -192,3 +192,29 @@ def test_batched_resident_block_form(tmp_path_factory):
                                           "interpret")
         s_ref.run_steps(fs[b], 9, num_iterations=6)
         np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-6)
+
+
+def test_batched_standard_kernel_matches(pipeline):
+    """The batched STANDARD (non-affine) resident kernel — what ensemble
+    rebuilds use after an affine Mosaic failure — must match per-sim
+    runs."""
+    basis_dir, pos_path, _ = pipeline
+    B = 2
+    solver, model = _solver(basis_dir, pos_path, "interpret")
+    assert solver._resident_state["use_affine"] is True
+    solver._resident_state["use_affine"] = False     # simulate fallback
+    solver._resident_batched = {}
+    solver._batched_call_cache = {}
+    run = solver.make_batched_run()
+
+    fs = _per_sim_forces(model, B)
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    p, v = run(pos, vel, fs, 7, num_iterations=6)
+    assert solver._resident_batched.get(B) is not None
+    p = np.asarray(p)
+
+    for b in range(B):
+        s_ref, m_ref = _solver(basis_dir, pos_path, "interpret")
+        s_ref.run_steps(fs[b], 7, num_iterations=6)
+        np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-6)
