@@ -218,3 +218,52 @@ def test_batched_standard_kernel_matches(pipeline):
         s_ref, m_ref = _solver(basis_dir, pos_path, "interpret")
         s_ref.run_steps(fs[b], 7, num_iterations=6)
         np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-6)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_batched_serving_fuzz_random_chunks(pipeline, seed):
+    """Seeded fuzz of ensemble serving: random per-sim forces + a random
+    animated schedule served in RANDOM chunk splits (the internal
+    serving-frame counter advancing across calls) must match each sim's
+    own chunked run_steps."""
+    basis_dir, pos_path, _ = pipeline
+    rng = np.random.default_rng(seed)
+    B = 2
+    shift = rng.normal(scale=0.1, size=(int(rng.integers(6, 18)), 3))
+    target = int(rng.integers(0, 20))
+    total_steps = 20
+    chunks = []
+    left = total_steps
+    while left:
+        n = min(int(rng.integers(1, 7)), left)
+        chunks.append(n)
+        left -= n
+
+    def build(mode):
+        s, m = _solver(basis_dir, pos_path, mode)
+        m.add_positional_constraint(target, wi=1e6,
+                                    motion_type="user_defined",
+                                    frame_shift=shift.copy())
+        s.set_dirty()
+        s.prepare(s.args)
+        return s, m
+
+    solver, model = build("interpret")
+    run = solver.make_batched_run()
+    fs = np.stack([gravity_forces(model) * (1.0 + 0.2 * b)
+                   for b in range(B)])
+    p = np.tile(model.positions, (B, 1, 1))
+    v = np.zeros_like(p)
+    for n in chunks:
+        p, v = run(p, v, fs, n, num_iterations=5)
+    assert solver._resident_batched.get(B) is not None
+    p = np.asarray(p)
+
+    for b in range(B):
+        s_ref, m_ref = build("interpret")
+        for n in chunks:
+            s_ref.run_steps(fs[b], n, num_iterations=5)
+        np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-5)
