@@ -669,7 +669,16 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                     def _free():
                         affine_step()
 
-                    def contact_tail(P, sn):
+                    # NOTE: deliberately NO anchored fast path here — a
+                    # third iterate inline measurably taxes the UNTAKEN
+                    # contact-free loop at large N (bridge: 108k -> 35k
+                    # steps/s with it present), which is the regime this
+                    # lean variant exists for.  Contact-dominated large
+                    # models pay the two materialization dots per step.
+                    @pl.when(clamped)
+                    def _contact_reanchor():
+                        P = materialize(ap, wp)
+                        sn = materialize(asn, wsn)
                         sn = jnp.where(row_is_y & (sn < floor_h),
                                        floor_h, sn)
                         rb_const = rb_ex - project_base(sn)
@@ -689,23 +698,6 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                         wp_ref[:] = zw
                         wv_ref[:] = zw
                         stale_ref[0, 0] = 1
-
-                    # stale == 1 implies the coefficients are EXACTLY the
-                    # identity (set only by rebase/contact, cleared only
-                    # by the affine refresh), so P = b0 and the predictor
-                    # is elementwise — consecutive contact steps skip the
-                    # materialization dots
-                    anchored = stale_ref[0, 0] == 1
-
-                    @pl.when(clamped & anchored)
-                    def _contact_anchored():
-                        contact_tail(b0_ref[:],
-                                     b0_ref[:] + dt * b1_ref[:] + fa)
-
-                    @pl.when(clamped & jnp.logical_not(anchored))
-                    def _contact_general():
-                        contact_tail(materialize(ap, wp),
-                                     materialize(asn, wsn))
                 else:
                     affine_step()
                 return carry
@@ -761,6 +753,232 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                                        else (1, 1), sdt),      # buVy
                             pltpu.SMEM((1, 1), jnp.int32),    # bu stale
                             pltpu.SMEM((1, 1), jnp.int32)],   # mode
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(steps_arr, P0, V0, fext,
+          rb_extra.reshape(-1, rb_extra.shape[-1]), *consts, *arrays)
+
+    return _make_runners(_body, const_inputs, flat_arrays)
+
+
+def build_resident_affine_exit(iteration_terms, gather_slices, layout,
+                               G_allT: np.ndarray, WT_all: np.ndarray,
+                               usel_inv: np.ndarray, inv3: np.ndarray,
+                               U_liftT: np.ndarray, ut_acT: np.ndarray,
+                               M_utac: np.ndarray, U_selT: np.ndarray,
+                               mass_inv: np.ndarray, dt: float,
+                               floor_h: float, n_sel: int,
+                               rebase_every: int = 256,
+                               interpret: bool = False, nb: int = 1):
+    """TIER-1 affine kernel: pure contact-free stepping with EARLY EXIT.
+
+    Carries no contact-handling code at all — each step checks the floor
+    clamp exactly (the y-row predictor materialization) and, on the
+    FIRST would-be contact, stops WITHOUT applying that step, returning
+    the completed-step count alongside the state.  The caller finishes
+    the chunk on a contact-capable kernel and may retry this one later.
+
+    Why a separate kernel: the mere textual presence of contact-handling
+    branches (however untaken) taxes Mosaic's contact-free loop at large
+    N — measured on the 51k-vertex bridge: ~300k steps/s for this
+    contact-less graph vs 108k for the lean variant vs 27k for the
+    contact-mode build.  Stripping the handling into its own kernel
+    recovers the full rate for the (dominant) contact-free regime while
+    keeping floor contact exact through the two-tier dispatch.
+
+    Returns run(P (3nb, N), V, fext, rb_seq, num_steps, num_iterations)
+    -> (P', V', steps_done (1, 1) int32); state reflects exactly
+    ``steps_done`` completed steps.  ``run.windowed`` as usual.
+    """
+    acc = jnp.float32 if U_liftT.dtype != np.float64 else jnp.float64
+    r = inv3.shape[1]
+    n = U_liftT.shape[2]
+    dt2 = dt * dt
+    state_dtype = mass_inv.dtype
+
+    flat_arrays = [jnp.asarray(g) for g in iteration_terms["flat_arrays"]]
+    term_dispatch = iteration_terms["dispatch"]
+
+    const_inputs = [jnp.asarray(usel_inv), jnp.asarray(inv3),
+                    jnp.asarray(WT_all), jnp.asarray(G_allT),
+                    jnp.asarray(U_liftT), jnp.asarray(ut_acT),
+                    jnp.asarray(M_utac), jnp.asarray(U_selT),
+                    jnp.asarray(mass_inv)]
+    n_const = len(const_inputs) + len(flat_arrays)
+
+    def _body(P0, V0, fext, rb_extra, steps_arr, consts, arrays,
+              num_iterations):
+        def kernel(*refs):
+            (steps_ref, p_ref, v_ref, f_ref, rbex_ref, uselinv_ref, inv_ref,
+             wt_ref, gall_ref, ulift_ref, utac_ref, mutac_ref, uselt_ref,
+             minv_ref) = refs[:14]
+            garrs = [ref[:] for ref in refs[14:14 + len(flat_arrays)]]
+            (out_p_ref, out_v_ref, out_k_ref, b0_ref, b1_ref, bu0_ref,
+             bu1_ref, ap_ref, av_ref, wp_ref, wv_ref, stale_ref,
+             done_ref) = refs[14 + len(flat_arrays):]
+
+            usel_inv = uselinv_ref[:]
+            inv = inv_ref[:]
+            WT = wt_ref[:]
+            G_allT = gall_ref[:]
+            mutac = mutac_ref[:]
+            uselT = uselt_ref[:]
+            m_inv = minv_ref[:]
+            t_len = rbex_ref.shape[0] // (3 * nb)
+            fa = dt2 * f_ref[:] * m_inv
+            mm_dtype = ulift_ref.dtype
+            iterate = _make_iteration_loop(layout, gather_slices,
+                                           term_dispatch, garrs, WT,
+                                           G_allT, usel_inv, r, acc, nb)
+            _col = jax.lax.broadcasted_iota(jnp.int32, (3 * nb, 3), 1)
+            e0 = (_col == 0).astype(fa.dtype)
+            e1 = (_col == 1).astype(fa.dtype)
+            e2 = (_col == 2).astype(fa.dtype)
+            zw = jnp.zeros((3 * nb, r), dtype=fa.dtype)
+            fa_sel = fa[:, :n_sel]
+            fa_y = fa[nb:2 * nb]
+            bu_fa = jnp.concatenate(
+                [_dot(fa[d * nb:(d + 1) * nb].astype(mm_dtype),
+                      utac_ref[d], acc)
+                 for d in range(3)], axis=0)
+
+            def project_base(X):
+                return jnp.concatenate(
+                    [_dot(X[d * nb:(d + 1) * nb].astype(mm_dtype),
+                          utac_ref[d], acc)
+                     for d in range(3)], axis=0)
+
+            def materialize(a, w):
+                out = (a[:, 0:1] * b0_ref[:] + a[:, 1:2] * b1_ref[:]
+                       + a[:, 2:3] * fa)
+                return out + jnp.concatenate(
+                    [_dot(w[d * nb:(d + 1) * nb].astype(mm_dtype),
+                          ulift_ref[d], acc)
+                     for d in range(3)], axis=0)
+
+            b0_ref[:] = p_ref[:]
+            b1_ref[:] = v_ref[:]
+            ap_ref[:] = e0
+            av_ref[:] = e1
+            wp_ref[:] = zw
+            wv_ref[:] = zw
+            stale_ref[0, 0] = 1
+            done_ref[0, 0] = 0
+            out_k_ref[0, 0] = 0
+
+            def step(i, carry):
+                # once a contact is detected the remaining trip counts
+                # are near-free no-ops (fori_loop cannot break; the
+                # guarded body costs one SMEM read + branch)
+                @pl.when(done_ref[0, 0] == 0)
+                def _active():
+                    do = jnp.logical_and(
+                        i > 0,
+                        jax.lax.rem(i, jnp.asarray(rebase_every,
+                                                   dtype=i.dtype)) == 0)
+
+                    @pl.when(do)
+                    def _rebase():
+                        Pf = materialize(ap_ref[:], wp_ref[:])
+                        Vf = materialize(av_ref[:], wv_ref[:])
+                        b0_ref[:] = Pf
+                        b1_ref[:] = Vf
+                        ap_ref[:] = e0
+                        av_ref[:] = e1
+                        wp_ref[:] = zw
+                        wv_ref[:] = zw
+                        stale_ref[0, 0] = 1
+
+                    ap = ap_ref[:]
+                    av = av_ref[:]
+                    wp = wp_ref[:]
+                    wv = wv_ref[:]
+                    asn = ap + dt * av + e2
+                    wsn = wp + dt * wv
+                    rb_ex = rbex_ref[
+                        pl.ds(3 * nb * jnp.minimum(i, t_len - 1), 3 * nb)]
+
+                    # exact contact check on the y-row predictor
+                    sn_y = (asn[nb:2 * nb, 0:1] * b0_ref[nb:2 * nb]
+                            + asn[nb:2 * nb, 1:2] * b1_ref[nb:2 * nb]
+                            + asn[nb:2 * nb, 2:3] * fa_y
+                            + _dot(wsn[nb:2 * nb].astype(mm_dtype),
+                                   ulift_ref[1], acc))
+                    clamped = jnp.any(sn_y < floor_h)
+
+                    @pl.when(clamped)
+                    def _exit():
+                        # stop BEFORE applying the contacting step; the
+                        # state stays at exactly out_k completed steps
+                        done_ref[0, 0] = 1
+
+                    @pl.when(jnp.logical_not(clamped))
+                    def _free():
+                        @pl.when(stale_ref[0, 0] == 1)
+                        def _refresh():
+                            bu0_ref[:] = project_base(b0_ref[:])
+                            bu1_ref[:] = project_base(b1_ref[:])
+                            stale_ref[0, 0] = 0
+
+                        rb_lin = (asn[:, 0:1] * bu0_ref[:]
+                                  + asn[:, 1:2] * bu1_ref[:]
+                                  + asn[:, 2:3] * bu_fa
+                                  + jnp.concatenate(
+                                      [_dot(wsn[d * nb:(d + 1) * nb],
+                                            mutac[d], acc)
+                                       for d in range(3)], axis=0))
+                        rb_const = rb_ex - rb_lin
+                        snT_sel = (asn[:, 0:1] * b0_ref[:, :n_sel]
+                                   + asn[:, 1:2] * b1_ref[:, :n_sel]
+                                   + asn[:, 2:3] * fa_sel
+                                   + jnp.concatenate(
+                                       [_dot(wsn[d * nb:(d + 1) * nb],
+                                             uselT[d], acc)
+                                        for d in range(3)], axis=0))
+                        rb = iterate(snT_sel, rb_const, num_iterations)
+                        u = jnp.concatenate(
+                            [_dot(rb[d * nb:(d + 1) * nb], inv[d], acc)
+                             for d in range(3)], axis=0)
+                        wq = wsn + u
+                        ap_ref[:] = asn
+                        av_ref[:] = av + e2 / dt
+                        wp_ref[:] = wq
+                        wv_ref[:] = (wq - wp) / dt
+                        out_k_ref[0, 0] = out_k_ref[0, 0] + 1
+                return carry
+
+            jax.lax.fori_loop(0, steps_ref[0, 0], step, 0)
+            out_p_ref[:] = materialize(ap_ref[:], wp_ref[:])
+            out_v_ref[:] = materialize(av_ref[:], wv_ref[:])
+
+        out_shape = (jax.ShapeDtypeStruct((3 * nb, n), P0.dtype),
+                     jax.ShapeDtypeStruct((3 * nb, n), P0.dtype),
+                     jax.ShapeDtypeStruct((1, 1), jnp.int32))
+        in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                    * (4 + n_const))
+        compiler_params = None
+        if not interpret:
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * (1 << 20))
+        sdt = jnp.dtype(state_dtype)
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            scratch_shapes=[pltpu.VMEM((3 * nb, n), sdt),      # b0
+                            pltpu.VMEM((3 * nb, n), sdt),      # b1
+                            pltpu.VMEM((3 * nb, r), sdt),      # bu0
+                            pltpu.VMEM((3 * nb, r), sdt),      # bu1
+                            pltpu.VMEM((3 * nb, 3), sdt),      # ap
+                            pltpu.VMEM((3 * nb, 3), sdt),      # av
+                            pltpu.VMEM((3 * nb, r), sdt),      # wp
+                            pltpu.VMEM((3 * nb, r), sdt),      # wv
+                            pltpu.SMEM((1, 1), jnp.int32),    # bu stale
+                            pltpu.SMEM((1, 1), jnp.int32)],   # done
             compiler_params=compiler_params,
             interpret=interpret,
         )(steps_arr, P0, V0, fext,

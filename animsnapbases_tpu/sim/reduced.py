@@ -251,6 +251,7 @@ class AnimSnapBasesSolver:
         self._resident_state = None
         self._resident_batched = {}
         self._batched_call_cache = {}
+        self._resident_fast = None
 
     # ------------------------------------------------------------------
     def _cast(self, x):
@@ -448,6 +449,7 @@ class AnimSnapBasesSolver:
         self._resident_state = None
         self._resident_batched = {}
         self._batched_call_cache = {}   # closures capture the old build
+        self._resident_fast = None
         if getattr(self, "_fused_pack", None) is None:
             return None
         if self._collision_mode == "device":
@@ -557,6 +559,27 @@ class AnimSnapBasesSolver:
                 n_sel,
                 rebase_every=getattr(self, "resident_rebase_every", 256),
                 interpret=interpret, contact_mode=contact_mode)
+            if self.model.floor_collision and not contact_mode:
+                # TIER 1 for run_steps on LARGE models (the lean builds):
+                # the contact-less early-exit kernel recovers the full
+                # affine rate that any in-kernel contact branch taxes
+                # away at this scale (bridge: ~300k vs 108k steps/s); a
+                # would-be clamped step exits to the lean kernel above.
+                # Small models skip it — their contact-mode kernel is
+                # untaxed, so a tier split only adds dispatch overhead.
+                from animsnapbases_tpu.ops.pallas_resident import (
+                    build_resident_affine_exit,
+                )
+
+                self._resident_fast = build_resident_affine_exit(
+                    ops, ops["gather_slices"], ops["layout"],
+                    ops["G_allT"], ops["WT_all"], ops["usel_inv"],
+                    ops["inv3"], U_liftT, ut_acT, M_utac,
+                    U_selT.astype(np_dtype), mass_inv, self.dt,
+                    self.model.floor_height, n_sel,
+                    rebase_every=getattr(self, "resident_rebase_every",
+                                         256),
+                    interpret=interpret)
             self._resident_kind = "affine"
             # if Mosaic rejects the affine kernel at first compile, the
             # standard resident kernel (35-75k steps/s) is still far
@@ -1354,8 +1377,8 @@ class AnimSnapBasesSolver:
                     # so compilations are reused across run lengths.
                     sched, frame = self._rb_sched, self.frame
 
-                    def call(P, V, Fx):
-                        return run_fn.windowed(P, V, Fx, sched, frame,
+                    def call(P, V, Fx, runner):
+                        return runner.windowed(P, V, Fx, sched, frame,
                                                t_pad, num_steps,
                                                num_iterations)
                 else:
@@ -1363,8 +1386,8 @@ class AnimSnapBasesSolver:
                     rb_dev = self._cast(
                         self._rb_window_host(self.frame, t_pad))
 
-                    def call(P, V, Fx):
-                        return run_fn(P, V, Fx, rb_dev, num_steps,
+                    def call(P, V, Fx, runner):
+                        return runner(P, V, Fx, rb_dev, num_steps,
                                       num_iterations)
             else:
                 if self._resident_utst is not None:
@@ -1378,8 +1401,8 @@ class AnimSnapBasesSolver:
                 rb_bytes = rb_seq.nbytes
                 rb_dev = self._cast(rb_seq)
 
-                def call(P, V, Fx):
-                    return run_fn(P, V, Fx, rb_dev, num_steps,
+                def call(P, V, Fx, runner):
+                    return runner(P, V, Fx, rb_dev, num_steps,
                                   num_iterations)
             if rb_bytes <= getattr(self, "_rb_seq_limit",
                                    self.RESIDENT_RB_SEQ_LIMIT):
@@ -1389,8 +1412,47 @@ class AnimSnapBasesSolver:
                     model.velocities[perm].T))
                 Fx = self._cast(np.ascontiguousarray(
                     np.asarray(fext)[perm].T))
+                # TIER 1: the contact-LESS early-exit kernel — full
+                # affine speed (no contact branches for Mosaic to tax);
+                # stops exactly before a would-be clamped step and
+                # reports the completed count.  An early exit is never
+                # wasted (k completed steps commit), so the only skip
+                # criterion is "step 0 would clamp" — a cheap host-side
+                # predictor check on the current state.
+                fast = getattr(self, "_resident_fast", None)
+                if fast is not None:
+                    sn_y0 = (model.positions[:, 1]
+                             + self.dt * model.velocities[:, 1]
+                             + self.dt * self.dt
+                             * np.asarray(fext)[:, 1] / model.mass)
+                    if float(sn_y0.min()) < model.floor_height:
+                        fast = None        # would exit at step 0
+                if fast is not None:
+                    k = None
+                    try:
+                        Pf, Vf, k_arr = call(P, V, Fx, fast)
+                        k = int(np.asarray(k_arr)[0, 0])
+                    except Exception as e:
+                        import warnings
+
+                        warnings.warn("early-exit kernel failed; "
+                                      f"disabling tier 1: {e}")
+                        self._resident_fast = None
+                    if k is not None:
+                        model.positions = np.asarray(
+                            Pf, dtype=float).T[iperm]
+                        model.velocities = np.asarray(
+                            Vf, dtype=float).T[iperm]
+                        self.frame += k
+                        if k == num_steps:
+                            return
+                        # contact at step k: the recursion's predictor
+                        # check routes the remainder to the
+                        # contact-capable kernel
+                        return self.run_steps(fext, num_steps - k,
+                                              num_iterations)
                 try:
-                    Pf, Vf = call(P, V, Fx)
+                    Pf, Vf = call(P, V, Fx, run_fn)
                 except Exception as e:
                     import warnings
                     fallback = getattr(self, "_resident_fallback", None)

@@ -336,6 +336,9 @@ def aot_compile_probe(solver, model, num_iterations):
     t0 = time.perf_counter()
     try:
         run_fn.aot_compile(P, Z, Z, rb, 1, num_iterations)
+        fast = getattr(solver, "_resident_fast", None)
+        if fast is not None:       # tier-1 early-exit kernel (lean builds)
+            fast.aot_compile(P, Z, Z, rb, 1, num_iterations)
     except Exception as e:
         log(f"[bench] AOT compile probe failed ({e}); cold start will "
             f"mix compile + dispatch")

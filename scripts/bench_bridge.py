@@ -19,6 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench
 
 bench.BUNNY_PATH = "/root/reference/data/PittsburghBridgeIsotropic.obj"
+# hang far above the floor: over the bench's 45k-step timing horizon the
+# chaotic free-swinging verts wander several units (physically
+# meaningless, see PERFORMANCE.md long-horizon note) — a 5.0 hang let
+# them graze the floor mid-chunk, mixing contact handling into what is
+# meant to be the contact-free throughput measurement
+bench.HANG_SHIFT = 50.0
 bench.BENCH_DIR = os.path.join(
     os.path.dirname(os.path.abspath(bench.__file__)), "bench_cache_bridge")
 bench.METRIC = "reduced_pd_steps_per_sec_bridge"

@@ -315,6 +315,9 @@ def test_affine_compile_failure_retries_standard_kernel(pipeline):
 
     boom.windowed = boom
     s_res._resident = (boom, perm, iperm)
+    # force tier 2: the contact-less early-exit tier would otherwise
+    # serve the whole contact-free run without touching the broken kernel
+    s_res._resident_fast = None
 
     s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=True)
     f = gravity_forces(m_ref)
@@ -404,3 +407,70 @@ def test_lean_contact_variant_matches_step_loop(pipeline):
     np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-6)
     np.testing.assert_allclose(m_res.velocities, m_ref.velocities,
                                atol=1e-4)
+
+
+def test_contact_mode_vertex_gate(pipeline):
+    """The contact-mode machinery is gated on vertex count: models past
+    CONTACT_MODE_MAX_VERTS build the lean variant automatically."""
+    from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+
+    basis_dir, pos_path, _ = pipeline
+    s, _ = _solver(basis_dir, pos_path, "interpret")
+    assert s._resident_state["contact_mode"] is True    # tiny cloth
+
+    old = AnimSnapBasesSolver.CONTACT_MODE_MAX_VERTS
+    try:
+        AnimSnapBasesSolver.CONTACT_MODE_MAX_VERTS = 4  # force "too big"
+        s2, _ = _solver(basis_dir, pos_path, "interpret")
+        assert s2._resident_state["contact_mode"] is False
+        # explicit override beats the gate
+        s3, m3 = _solver(basis_dir, pos_path, "interpret")
+        s3.resident_contact_mode = True
+        s3.set_dirty()
+        s3.prepare(s3.args)
+        assert s3._resident_state["contact_mode"] is True
+    finally:
+        AnimSnapBasesSolver.CONTACT_MODE_MAX_VERTS = old
+
+
+def test_early_exit_tier_mechanics(pipeline):
+    """The tier-1 contact-less kernel serves contact-free runs whole and
+    exits exactly at the first would-be clamped step on contacting ones
+    (remainder finished by the contact-capable kernel via the host-side
+    predictor check)."""
+    basis_dir, pos_path, _ = pipeline
+    s, m = _solver(basis_dir, pos_path, "interpret", floor=True)
+    s.resident_contact_mode = False      # the lean+tier configuration
+    s.set_dirty()
+    s.prepare(s.args)
+    assert s._resident_fast is not None
+
+    calls = []
+    real_fast = s._resident_fast
+
+    def spy(*a, **k):
+        out = real_fast(*a, **k)
+        calls.append(int(np.asarray(out[2])[0, 0]))
+        return out
+
+    spy.windowed = real_fast.windowed
+    s._resident_fast = spy
+
+    # contact-free run: tier 1 serves everything
+    f = gravity_forces(m)
+    s.run_steps(f, 6, num_iterations=6)
+    assert s.frame == 6 and calls == [6]
+
+    # slam into the floor: tier 1 exits early, tier 2 finishes
+    s.run_steps(f * 50.0, 20, num_iterations=6)
+    assert s.frame == 26
+    assert calls[-1] < 20               # contact genuinely fired
+
+    # exactness across the whole tiered sequence
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=True)
+    for _ in range(6):
+        s_ref.step(f, num_iterations=6)
+    for _ in range(20):
+        s_ref.step(f * 50.0, num_iterations=6)
+    np.testing.assert_allclose(m.positions, m_ref.positions, atol=1e-6)
+    np.testing.assert_allclose(m.velocities, m_ref.velocities, atol=1e-4)
