@@ -22,6 +22,12 @@ _DEFAULTS = dict(
     window_open=True, is_simulating=False,
     # solver
     solver="Solver", dt=0.016, solver_iterations=10,
+    # velocity damping per step (eta = 1 - damping in the predictor
+    # s_n = q + dt*eta*v + dt^2 M^-1 f).  0 = exact reference semantics
+    # (the reference has none); long-horizon serving should set a small
+    # value (e.g. 1e-3) — hyper-reduction noise pumps chaotic modes
+    # unboundedly in undamped runs past ~10^4 steps.
+    damping=0.0,
     # physics
     mass_per_particle=10.0,
     vert_bending_constraint_wi=0.1,

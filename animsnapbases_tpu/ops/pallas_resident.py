@@ -161,9 +161,15 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
                              mass_inv: np.ndarray, dt: float,
                              floor: bool, floor_h: float,
                              n_sel: int,
-                             interpret: bool = False, nb: int = 1):
+                             interpret: bool = False, nb: int = 1,
+                             eta: float = 1.0):
     """Build run(P (3nb,N), V (3nb,N), fext (3nb,N), rb_seq (T,3nb,r),
     num_steps, num_iterations) -> (P', V').
+
+    ``eta`` = 1 - damping: the predictor uses the damped velocity
+    ``s_n = q + dt*eta*v + dt^2 M^-1 f`` while the stored velocity stays
+    the raw ``(q_new - q)/dt`` — identical semantics across every step
+    path (default 1.0 reproduces the reference exactly).
 
     iteration_terms: operand dict from ``prepare_fused_operands``;
     U_liftT (3, r, N) and ut_acT (3, N, r) may be low-precision; rb_seq
@@ -180,6 +186,7 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
     r = inv3.shape[1]
     n = U_liftT.shape[2]
     dt2 = dt * dt
+    dtv = dt * eta          # velocity-damped predictor coefficient
 
     flat_arrays = []
     for g in iteration_terms["flat_arrays"]:
@@ -230,7 +237,7 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
                 # ref loads with pl.ds on the leading axis lower fine.
                 rb_extra = rbex_ref[
                     pl.ds(3 * nb * jnp.minimum(i, t_len - 1), 3 * nb)]
-                sn = P + dt * V + fa
+                sn = P + dtv * V + fa
                 if floor:
                     sn = jnp.where(row_is_y & (sn < floor_h), floor_h, sn)
                 # rb_const = -U^T A_c sn (+ positional extra)
@@ -290,7 +297,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                           floor: bool, floor_h: float,
                           n_sel: int, rebase_every: int = 256,
                           interpret: bool = False, nb: int = 1,
-                          contact_mode: bool = True):
+                          contact_mode: bool = True, eta: float = 1.0):
     """Affine-coordinate resident kernel: contact-free steps never touch
     the full vertex space.
 
@@ -359,12 +366,20 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
 
     M_utac (3, r, r) = per-dim ``(U^T A_c) U`` (f32, host-precomputed);
     U_selT (3, r, n_sel) = plain selected-vertex basis rows (f32).
+
+    ``eta`` = 1 - damping (see :func:`build_resident_multistep`): in
+    affine coordinates ``asn = ap + dt*(eta*av) + e2`` so the velocity
+    coefficient update becomes ``eta*av + e2/dt`` — the recursion stays
+    exact for any eta.
     """
     acc = jnp.float32 if U_liftT.dtype != np.float64 else jnp.float64
     r = inv3.shape[1]
     n = U_liftT.shape[2]
     dt2 = dt * dt
     state_dtype = mass_inv.dtype
+
+    def _damp(v):
+        return v if eta == 1.0 else eta * v
 
     flat_arrays = [jnp.asarray(g) for g in iteration_terms["flat_arrays"]]
     term_dispatch = iteration_terms["dispatch"]
@@ -508,8 +523,9 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                 av = av_ref[:]
                 wp = wp_ref[:]
                 wv = wv_ref[:]
-                asn = ap + dt * av + e2
-                wsn = wp + dt * wv
+                avd = _damp(av)
+                asn = ap + dt * avd + e2
+                wsn = wp + dt * _damp(wv)
                 rb_ex = rbex_ref[
                     pl.ds(3 * nb * jnp.minimum(i, t_len - 1), 3 * nb)]
 
@@ -535,11 +551,11 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                         [_dot(rb[d * nb:(d + 1) * nb], inv[d], acc)
                          for d in range(3)], axis=0)
                     wq = wsn + u
-                    # aq == asn and (aq - ap)/dt == av + e2/dt exactly:
+                    # aq == asn and (aq - ap)/dt == eta*av + e2/dt exactly:
                     # update coefficients without the cancellation-prone
                     # subtract
                     ap_ref[:] = asn
-                    av_ref[:] = av + e2 / dt
+                    av_ref[:] = avd + e2 / dt
                     wp_ref[:] = wq
                     wv_ref[:] = (wq - wp) / dt
 
@@ -550,14 +566,18 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                         y is materialized with incrementally-maintained
                         projections.  TWO big dots: pc and the y lift."""
                         _refresh_bu()
-                        asn_ = ap_ref[:] + dt * av_ref[:] + e2
-                        wsn_ = wp_ref[:] + dt * wv_ref[:]
-                        sn_y = py_ref[:] + dt * vy_ref[:] + fa_y
+                        avd_ = _damp(av_ref[:])
+                        asn_ = ap_ref[:] + dt * avd_ + e2
+                        wsn_ = wp_ref[:] + dt * _damp(wv_ref[:])
+                        sn_y = py_ref[:] + dt * _damp(vy_ref[:]) + fa_y
                         sn_y_cl = jnp.maximum(sn_y, floor_h)
                         corr_y = sn_y_cl - sn_y
                         pc = _dot(corr_y.astype(mm_dtype), utac_ref[1],
                                   acc)                        # (nb, r)
-                        bupsn = bupy_ref[:] + dt * buvy_ref[:] + bu_fa_y
+                        # projection of the damped y predictor (buVy is
+                        # the projection of Vy, so eta rides through)
+                        bupsn = (bupy_ref[:] + dt * _damp(buvy_ref[:])
+                                 + bu_fa_y)
                         rb_lin_a = (asn_[:, 0:1] * bu0_ref[:]
                                     + asn_[:, 1:2] * bu1_ref[:]
                                     + asn_[:, 2:3] * bu_fa
@@ -583,7 +603,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                         wq = wsn_ + u
                         wp_old = wp_ref[:]
                         ap_ref[:] = asn_
-                        av_ref[:] = av_ref[:] + e2 / dt
+                        av_ref[:] = avd_ + e2 / dt
                         wp_ref[:] = wq
                         wv_ref[:] = (wq - wp_old) / dt
                         # y: materialized update + projection recursions
@@ -769,7 +789,8 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
                                mass_inv: np.ndarray, dt: float,
                                floor_h: float, n_sel: int,
                                rebase_every: int = 256,
-                               interpret: bool = False, nb: int = 1):
+                               interpret: bool = False, nb: int = 1,
+                               eta: float = 1.0):
     """TIER-1 affine kernel: pure contact-free stepping with EARLY EXIT.
 
     Carries no contact-handling code at all — each step checks the floor
@@ -795,6 +816,9 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
     n = U_liftT.shape[2]
     dt2 = dt * dt
     state_dtype = mass_inv.dtype
+
+    def _damp(v):
+        return v if eta == 1.0 else eta * v
 
     flat_arrays = [jnp.asarray(g) for g in iteration_terms["flat_arrays"]]
     term_dispatch = iteration_terms["dispatch"]
@@ -893,8 +917,9 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
                     av = av_ref[:]
                     wp = wp_ref[:]
                     wv = wv_ref[:]
-                    asn = ap + dt * av + e2
-                    wsn = wp + dt * wv
+                    avd = _damp(av)
+                    asn = ap + dt * avd + e2
+                    wsn = wp + dt * _damp(wv)
                     rb_ex = rbex_ref[
                         pl.ds(3 * nb * jnp.minimum(i, t_len - 1), 3 * nb)]
 
@@ -941,7 +966,7 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
                              for d in range(3)], axis=0)
                         wq = wsn + u
                         ap_ref[:] = asn
-                        av_ref[:] = av + e2 / dt
+                        av_ref[:] = avd + e2 / dt
                         wp_ref[:] = wq
                         wv_ref[:] = (wq - wp) / dt
                         out_k_ref[0, 0] = out_k_ref[0, 0] + 1

@@ -299,6 +299,14 @@ class AnimSnapBasesSolver:
 
     def prepare_global_matrix(self, args):
         self.dt = args.dt
+        # velocity damping (default 0 = exact reference semantics): the
+        # predictor uses s_n = q + dt*eta*v + dt^2 M^-1 f with
+        # eta = 1 - damping; stored velocities stay (q_new - q)/dt.
+        # Long-horizon serving NEEDS damping > 0: the hyper-reduction
+        # approximation error acts as per-step noise forcing and pumps
+        # the chaotic modes unboundedly over tens of thousands of steps
+        # (observed: bunny/bridge scenes NaN past ~100k undamped steps).
+        self.eta = 1.0 - float(getattr(args, "damping", 0.0) or 0.0)
         A = build_global_matrix(self.model, self.dt)
         if self.reduced_position:
             self._load_position_basis()
@@ -558,7 +566,8 @@ class AnimSnapBasesSolver:
                 self.model.floor_collision, self.model.floor_height,
                 n_sel,
                 rebase_every=getattr(self, "resident_rebase_every", 256),
-                interpret=interpret, contact_mode=contact_mode)
+                interpret=interpret, contact_mode=contact_mode,
+                eta=getattr(self, "eta", 1.0))
             if self.model.floor_collision and not contact_mode:
                 # TIER 1 for run_steps on LARGE models (the lean builds):
                 # the contact-less early-exit kernel recovers the full
@@ -579,7 +588,7 @@ class AnimSnapBasesSolver:
                     self.model.floor_height, n_sel,
                     rebase_every=getattr(self, "resident_rebase_every",
                                          256),
-                    interpret=interpret)
+                    interpret=interpret, eta=getattr(self, "eta", 1.0))
             self._resident_kind = "affine"
             # if Mosaic rejects the affine kernel at first compile, the
             # standard resident kernel (35-75k steps/s) is still far
@@ -589,7 +598,8 @@ class AnimSnapBasesSolver:
                 ops["G_allT"], ops["WT_all"], ops["usel_inv"],
                 ops["inv3"], U_liftT, ut_acT, mass_inv, self.dt,
                 self.model.floor_collision, self.model.floor_height,
-                n_sel, interpret=interpret)
+                n_sel, interpret=interpret,
+                eta=getattr(self, "eta", 1.0))
             return run, perm, iperm
 
         self._resident_fallback = None
@@ -598,7 +608,7 @@ class AnimSnapBasesSolver:
             ops["G_allT"], ops["WT_all"], ops["usel_inv"], ops["inv3"],
             U_liftT, ut_acT, mass_inv, self.dt,
             self.model.floor_collision, self.model.floor_height,
-            n_sel, interpret=interpret)
+            n_sel, interpret=interpret, eta=getattr(self, "eta", 1.0))
         self._resident_kind = "standard"
         return run, perm, iperm
 
@@ -644,12 +654,14 @@ class AnimSnapBasesSolver:
                 self.model.floor_height, st["n_sel"],
                 rebase_every=getattr(self, "resident_rebase_every", 256),
                 interpret=st["interpret"], nb=nb,
-                contact_mode=st["contact_mode"])
+                contact_mode=st["contact_mode"],
+                eta=getattr(self, "eta", 1.0))
         else:
             run = build_resident_multistep(
                 *common, st["mass_inv"], self.dt,
                 self.model.floor_collision, self.model.floor_height,
-                st["n_sel"], interpret=st["interpret"], nb=nb)
+                st["n_sel"], interpret=st["interpret"], nb=nb,
+                eta=getattr(self, "eta", 1.0))
         self._resident_batched[nb] = run
         return run
 
@@ -660,6 +672,7 @@ class AnimSnapBasesSolver:
         mass = cast(model.mass)
         dt = self.dt
         dt2 = dt * dt
+        dtv = dt * getattr(self, "eta", 1.0)   # damped predictor coeff
         floor = model.floor_collision
         floor_h = model.floor_height
 
@@ -768,7 +781,7 @@ class AnimSnapBasesSolver:
             def step_core(positions, velocities, fext, targets,
                           num_iterations):
                 a = fext / mass[:, None]
-                sn = positions + dt * velocities + dt2 * a
+                sn = positions + dtv * velocities + dt2 * a
                 if floor:
                     sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
                 # displacement form: rb_const = -U^T A_c sn (+ positional)
@@ -811,7 +824,7 @@ class AnimSnapBasesSolver:
             def step_core(positions, velocities, fext, targets,
                           num_iterations):
                 a = fext / mass[:, None]
-                sn = positions + dt * velocities + dt2 * a
+                sn = positions + dtv * velocities + dt2 * a
                 if floor:
                     sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
                 rb_base = -jnp.einsum("drn,nd->rd", ut_ac,
@@ -836,7 +849,7 @@ class AnimSnapBasesSolver:
             def step_core(positions, velocities, fext, targets,
                           num_iterations):
                 a = fext / mass[:, None]
-                sn = positions + dt * velocities + dt2 * a
+                sn = positions + dtv * velocities + dt2 * a
                 if floor:
                     sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
                 masses_term = (mass / dt2)[:, None] * sn
@@ -932,7 +945,8 @@ class AnimSnapBasesSolver:
                 "are present; disable recording or reduce every group")
         dt2 = dt * dt
         a = np.asarray(fext) / model.mass[:, None]
-        explicit = model.positions + dt * model.velocities + dt2 * a
+        explicit = (model.positions
+                    + dt * getattr(self, "eta", 1.0) * model.velocities + dt2 * a)
         if model.floor_collision:
             explicit, corr = collisions.resolve_floor_collision(
                 explicit, model.floor_height)
@@ -1242,6 +1256,7 @@ class AnimSnapBasesSolver:
             core = self._step_jit
             dt = self.dt
             dt2 = dt * dt
+            dtv = dt * getattr(self, "eta", 1.0)
             mass = self._cast(model.mass)
             floor = model.floor_collision
             floor_h = model.floor_height
@@ -1260,7 +1275,7 @@ class AnimSnapBasesSolver:
                     # predictor), same convention as step() /
                     # resolve_floor_collision
                     if floor:
-                        sn_y = (p[:, 1] + dt * v[:, 1]
+                        sn_y = (p[:, 1] + dtv * v[:, 1]
                                 + dt2 * f[:, 1] / mass)
                         corr = corr0.at[:, 1].set(
                             jnp.minimum(sn_y - floor_h, 0.0))
@@ -1422,7 +1437,8 @@ class AnimSnapBasesSolver:
                 fast = getattr(self, "_resident_fast", None)
                 if fast is not None:
                     sn_y0 = (model.positions[:, 1]
-                             + self.dt * model.velocities[:, 1]
+                             + self.dt * getattr(self, "eta", 1.0)
+                             * model.velocities[:, 1]
                              + self.dt * self.dt
                              * np.asarray(fext)[:, 1] / model.mass)
                     if float(sn_y0.min()) < model.floor_height:

@@ -197,6 +197,12 @@ class Solver:
             self.record_path = record_path
 
         self.dt = args.dt
+        # velocity damping (default 0 = exact reference semantics):
+        # s_n = q + dt*eta*v + dt^2 M^-1 f, stored v = (q_new - q)/dt —
+        # the same convention as the reduced solver and every resident
+        # kernel, so damped FOM recordings and damped reduced replays
+        # stay parity-comparable.
+        self.eta = 1.0 - float(getattr(args, "damping", 0.0) or 0.0)
         self.max_p_snapshots_num = getattr(args, "max_p_snapshots_num",
                                            self.max_p_snapshots_num)
         A = build_global_matrix(self.model, self.dt)
@@ -329,7 +335,9 @@ class Solver:
         dt2 = dt * dt
 
         a = fext / model.mass[:, None]
-        explicit = model.positions + dt * model.velocities + dt2 * a
+        explicit = (model.positions
+                    + dt * getattr(self, "eta", 1.0) * model.velocities
+                    + dt2 * a)
         if model.floor_collision:
             explicit, corrections = collisions.resolve_floor_collision(
                 explicit, model.floor_height)
@@ -401,12 +409,14 @@ class Solver:
 
         recording = record or self.store_stacked_projections
         collide = self.enable_self_collision == "device"
-        key = (collide, recording, self._sweep_key)
+        eta = getattr(self, "eta", 1.0)
+        key = (collide, recording, self._sweep_key, eta)
         if self._run_scan is None or getattr(self, "_run_scan_key",
                                              None) != key:
             self._run_scan_key = key
             sweep = self._sweep_core
             dt = self.dt
+            dtv = dt * eta
             dt2 = dt * dt
             floor = model.floor_collision
             floor_h = model.floor_height
@@ -418,7 +428,7 @@ class Solver:
                 faces = jnp.asarray(model.faces)
 
             def one_step(pos, vel, a, targets, num_iterations, mats):
-                sn_raw = pos + dt * vel + dt2 * a
+                sn_raw = pos + dtv * vel + dt2 * a
                 if floor:
                     sn = sn_raw.at[:, 1].set(
                         jnp.maximum(sn_raw[:, 1], floor_h))

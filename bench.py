@@ -32,7 +32,30 @@ POS_MODES = 64
 CONSTR_MODES = 40
 WI = 1e4
 DT = 0.016
-HANG_SHIFT = 5.0   # contact-free hang height (overridable per scene)
+HANG_SHIFT = 20.0  # contact-free hang height (overridable per scene)
+# --- long-horizon scene design (round-3 rework) -----------------------
+# The round-1/2 scene (sparse q0.99 pins, sustained gravity) is NOT
+# viable over the 45k-step timing chunks: under-iterated PD is orders of
+# magnitude too soft for sustained load (measured static droop >1000
+# units at wi=1e4), so the body always ends on the floor, and the
+# undamped hyper-reduced dynamics then pumps energy until NaN (round 2's
+# headline unknowingly timed partially-NaN state, whose y-NaNs disabled
+# the contact branch).  Per-step op count is value-independent (dense
+# matmuls, fixed iteration count), so an honest contact-free throughput
+# number needs exactly two certifiable properties over the timed window:
+# finite state and a never-firing contact branch.  The scene that
+# guarantees both: a BROAD pinned cap (PIN_QUANTILE), the FOM recording
+# under full gravity as before (bases capture the fall/swing motion),
+# and a TIMED phase that is a zero-external-force damped ring-down
+# excited with a scaled FOM tail velocity — total drift is bounded by
+# |v0|*dt/damping (~4 units against the 20-unit floor clearance), every
+# trial resets to the same post-warmup state, and finiteness +
+# floor-clearance of the exact timed window are asserted afterwards.
+GRAVITY_SCALE = 1.0    # recording-phase gravity
+DAMPING = 2e-3         # velocity damping (eta = 1 - DAMPING)
+PIN_QUANTILE = 0.80    # pinned top cap (sparse pins leave the reduced
+                       # system near-unstable; a broad cap is stiff)
+EXCITE_SCALE = 0.1     # timed-phase v0 = scale * FOM tail velocity
 
 
 def log(*a):
@@ -59,21 +82,20 @@ def load_mesh():
 def build_model(V, F):
     from animsnapbases_tpu.sim.model import DeformableModel
 
-    # the bunny hangs from its pinned top high enough that the floor is
-    # never reached (asserted against the recorded FOM below): the affine
-    # resident kernel's per-step contact check then never fires and the
-    # whole run stays in affine coordinates.  Floor collision stays ON
-    # (reference behavior); the shift is applied to the geometry directly
-    # so the scene is identical with or without it.
+    # the body hangs from its pinned top cap high above the floor, which
+    # stays ON (reference behavior): the resident kernel's per-step
+    # contact check runs every step and must never fire in the timed
+    # window (asserted in main()).  The shift is applied to the geometry
+    # directly so the scene is identical with or without it.
     V = V.copy()
     V[:, 1] += HANG_SHIFT
     model = DeformableModel(V, F, masses=np.full(len(V), 10.0),
                             floor_collision=True, init_height_shift=0.0)
     model.add_tri_constrain_strain(0.95, 1.05, wi=WI)
     model.add_edge_spring_constraint(wi=WI)
-    # pin the topmost vertices so the body hangs
+    # pin the top cap so the body hangs (see PIN_QUANTILE note above)
     top = np.where(model.positions[:, 1]
-                   > np.quantile(model.positions[:, 1], 0.99))[0]
+                   > np.quantile(model.positions[:, 1], PIN_QUANTILE))[0]
     for vi in top:
         model.fix(vi)
     return model
@@ -81,7 +103,7 @@ def build_model(V, F):
 
 def gravity(model):
     f = np.zeros_like(model.positions)
-    f[:, 1] = -9.81 * 10.0
+    f[:, 1] = -9.81 * 10.0 * GRAVITY_SCALE
     return f
 
 
@@ -189,7 +211,9 @@ def _scene_key():
     mismatched configurations."""
     return {"hang": HANG_SHIFT, "floor": True, "wi": WI,
             "frames": FOM_FRAMES, "pos_modes": POS_MODES,
-            "constr_modes": CONSTR_MODES, "dt": DT, "v": 3}
+            "constr_modes": CONSTR_MODES, "dt": DT,
+            "pin_q": PIN_QUANTILE, "damping": DAMPING,
+            "g_scale": GRAVITY_SCALE, "v": 4}
 
 
 def _run_fom_and_bases_impl(expect_contact=False):
@@ -221,6 +245,7 @@ def _run_fom_and_bases_impl(expect_contact=False):
     from animsnapbases_tpu.config.sim_config import default_sim_args
     args = default_sim_args()
     args.dt = DT
+    args.damping = DAMPING       # recording and replay damp identically
     solver.prepare(args)
     log(f"[bench] FOM prepare ({solver._mode} global solve) "
         f"{time.perf_counter() - t0:.1f}s")
@@ -289,6 +314,7 @@ def build_reduced_solver(meta, dtype):
 
     args = default_sim_args()
     args.dt = DT
+    args.damping = DAMPING
     args.constraint_projection_basis_type = "deim_pod_vectorized"
     n_modes = 30
     args.tri_strain_reduced = True
@@ -378,6 +404,7 @@ def main():
         log(f"[bench] client compile (AOT, incl. Mosaic) {compile_s:.1f}s")
 
     # correctness sanity: short reduced run stays finite and near the FOM
+    P_entry = model.positions.copy()          # initial hang state
     t0 = time.perf_counter()
     solver.run_steps(f, FOM_FRAMES, num_iterations=FOM_ITERS)
     first_dispatch_s = time.perf_counter() - t0
@@ -391,23 +418,47 @@ def main():
         f"max {d.max():.4f} (max is a few chaotic free-swinging verts)")
     assert np.isfinite(model.positions).all()
 
-    # timing: device-resident multi-step, best of 6 (tunnel load makes
-    # single chunks noisy; each chunk is well under a second).  The affine
-    # kernel is fast enough that the per-dispatch tunnel latency dominates
-    # a 15k chunk — use a longer one there (dynamic trip count: no
-    # recompile).
+    # timed phase: zero-force damped ring-down (see the scene-design note
+    # at the top).  Every trial resets to the same post-warmup state so
+    # best-of-6 times the IDENTICAL verified window; afterwards the end
+    # state of that window is asserted finite and floor-clear — the two
+    # properties that make a contact-free throughput number honest.
     chunk = (45000 if getattr(solver, "_resident_kind", "") == "affine"
              else 15000)
-    solver.run_steps(f, 50, num_iterations=10)      # warmup/compile
+    traj = np.load(os.path.join(BENCH_DIR, "traj.npy"))
+    v_tail = (traj[-1] - traj[-2]) / DT       # FOM tail velocity field
+    model.positions = P_entry.copy()
+    model.velocities = EXCITE_SCALE * v_tail
+    model.velocities[model.fixed_flags] = 0.0
+    solver.frame = 0
+    f0 = np.zeros_like(f)
+    solver.run_steps(f0, 50, num_iterations=10)      # warmup
+    P0 = model.positions.copy()
+    V0 = model.velocities.copy()
+    fr0 = solver.frame
     best = float("inf")
     for _ in range(6):
+        model.positions = P0.copy()
+        model.velocities = V0.copy()
+        solver.frame = fr0
         t0 = time.perf_counter()
-        solver.run_steps(f, chunk, num_iterations=10)
+        solver.run_steps(f0, chunk, num_iterations=10)
         dt_wall = time.perf_counter() - t0
         best = min(best, dt_wall)
     steps_per_sec = chunk / best
     log(f"[bench] {chunk} steps in {best:.3f}s -> "
         f"{steps_per_sec:,.0f} steps/s")
+
+    # certify the timed window: finite, and the contact branch can never
+    # have fired (state stayed far above the floor)
+    end_min_y = float(np.min(model.positions[:, 1]))
+    assert np.isfinite(model.positions).all(), \
+        "timed window left non-finite state"
+    assert np.isfinite(model.velocities).all()
+    assert end_min_y > 0.25 * HANG_SHIFT, \
+        f"timed window approached the floor (min y={end_min_y:.2f})"
+    log(f"[bench] timed-window certificate: finite, min y "
+        f"{end_min_y:.2f} (floor at 0, hang {HANG_SHIFT})")
 
     print(json.dumps({
         "metric": METRIC,
@@ -419,6 +470,8 @@ def main():
                                  if compile_s is not None else None),
             "first_dispatch_s": round(first_dispatch_s, 1),
             "resident_kind": getattr(solver, "_resident_kind", None),
+            "end_min_y": round(end_min_y, 2),
+            "damping": DAMPING,
         },
     }))
 

@@ -31,14 +31,15 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _synthetic_reduced(model):
+def _synthetic_reduced(model, **extra):
     import jax
     import jax.numpy as jnp
 
     from animsnapbases_tpu.utils.synthetic import synthetic_reduced_solver
 
     dt = jnp.float32 if jax.default_backend() == "tpu" else None
-    return synthetic_reduced_solver(model, dtype=dt)
+    return synthetic_reduced_solver(model, dtype=dt,
+                                    extra_args=extra or None)
 
 
 def _cloth(rows=8, cols=8, bending=False):
@@ -204,9 +205,51 @@ def check_batched_poke():
         assert err < 2e-3, f"sim {b} poked batched-vs-solo err {err:.2e}"
 
 
+def check_damped():
+    """Damped predictor (eta != 1, args.damping) under real Mosaic: the
+    affine contact-mode kernel AND the lean tier-1 early-exit variant
+    must compile with the damped coefficient updates and dissipate
+    kinetic energy under zero external force (the bench ring-down
+    relies on exactly this)."""
+    rng = np.random.default_rng(7)
+
+    def excite(model):
+        v0 = rng.normal(scale=0.5, size=model.positions.shape)
+        v0[model.fixed_flags] = 0.0
+        return v0
+
+    model = _cloth()
+    solver = _synthetic_reduced(model, damping=0.05)
+    assert solver.eta == 0.95
+    assert solver._resident_kind == "affine"
+    v0 = excite(model)
+    model.velocities = v0.copy()
+    f0 = np.zeros_like(model.positions)
+    speed0 = float(np.linalg.norm(v0))
+    solver.run_steps(f0, 128, num_iterations=10)
+    assert solver._resident_kind == "affine", \
+        "Mosaic rejected the damped affine kernel"
+    assert np.isfinite(model.positions).all()
+    speed1 = float(np.linalg.norm(model.velocities))
+    assert speed1 < 0.5 * speed0, \
+        f"damped ring-down did not decay ({speed0:.3f} -> {speed1:.3f})"
+
+    # lean build: damped tier-1 early-exit kernel
+    solver.resident_contact_mode = False
+    solver.set_dirty()
+    solver.prepare(solver.args)
+    assert solver._resident_fast is not None, "tier-1 kernel not built"
+    model.velocities = v0.copy()
+    solver.run_steps(f0, 128, num_iterations=10)
+    assert solver._resident_kind == "affine", \
+        "Mosaic rejected the damped tier-1 kernel"
+    assert np.isfinite(model.positions).all()
+    assert float(np.linalg.norm(model.velocities)) < 0.5 * speed0
+
+
 CHECKS = {"contact": check_contact, "tets": check_tets,
           "bend": check_bend, "batched": check_batched,
-          "batched_poke": check_batched_poke}
+          "batched_poke": check_batched_poke, "damped": check_damped}
 
 
 def main():
