@@ -62,10 +62,11 @@ def build_device_mesh(shape: tuple[int, ...], axis_names: tuple[str, ...],
     return Mesh(dev, axis_names)
 
 
-def _single_sim_step_core(model, dt, dtype=None):
+def _single_sim_step_core(model, dt, dtype=None, eta=1.0):
     """Pure single-sim full-order step suitable for vmap/shard_map
     composition.  Dense Cholesky below the size limit, device CG above it
-    (no densification — works at bunny/bridge scale)."""
+    (no densification — works at bunny/bridge scale).  ``eta`` = 1 −
+    damping in the predictor (`sim/solver.py` convention)."""
     from animsnapbases_tpu.sim.solver import (
         make_device_global_solve,
         make_local_stage,
@@ -73,6 +74,7 @@ def _single_sim_step_core(model, dt, dtype=None):
 
     cast = (lambda x: jnp.asarray(x, dtype=dtype)) if dtype else jnp.asarray
     mass = cast(model.mass)
+    dtv = dt * eta
     dt2 = dt * dt
     floor = model.floor_collision
     floor_h = model.floor_height
@@ -82,7 +84,7 @@ def _single_sim_step_core(model, dt, dtype=None):
 
     def step_core(positions, velocities, fext, num_iterations=4):
         a = fext / mass[:, None]
-        sn = positions + dt * velocities + dt2 * a
+        sn = positions + dtv * velocities + dt2 * a
         if floor:
             sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
         ctx = prep(sn)
@@ -100,13 +102,13 @@ def _single_sim_step_core(model, dt, dtype=None):
 
 
 def make_ensemble_step(model, dt, mesh: Mesh, batch_axis: str = "data",
-                       dtype=None):
+                       dtype=None, eta=1.0):
     """Batched step over B independent sims, sharded on ``batch_axis``.
 
     Returns (step(positions (B,N,3), velocities, fext) -> (pos', vel'),
     shard(x) placing a batch array with the right sharding).
     """
-    core = _single_sim_step_core(model, dt, dtype)
+    core = _single_sim_step_core(model, dt, dtype, eta=eta)
     spec = NamedSharding(mesh, P(batch_axis))
 
     @jax.jit
@@ -133,7 +135,7 @@ def _pad_to(x: np.ndarray, size: int, fill=0):
 
 def make_element_sharded_step(model, dt, mesh: Mesh,
                               elem_axis: str = "model", dtype=None,
-                              num_iterations: int = 4):
+                              num_iterations: int = 4, eta=1.0):
     """One simulation with every constraint group's elements sharded over
     ``elem_axis``.  q is replicated; each shard computes its elements'
     projections and partial S^T p; the rhs is psum'ed; the dense solve runs
@@ -149,6 +151,7 @@ def make_element_sharded_step(model, dt, mesh: Mesh,
     cast = (lambda x: jnp.asarray(x, dtype=dtype)) if dtype else jnp.asarray
     n = model.n_verts
     mass = cast(model.mass)
+    dtv = dt * eta
     dt2 = dt * dt
     floor = model.floor_collision
     floor_h = model.floor_height
@@ -252,7 +255,7 @@ def make_element_sharded_step(model, dt, mesh: Mesh,
     @jax.jit
     def _step(positions, velocities, fext, targets):
         a = fext / mass[:, None]
-        sn = positions + dt * velocities + dt2 * a
+        sn = positions + dtv * velocities + dt2 * a
         if floor:
             sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
         ctx = prep(sn)

@@ -71,6 +71,9 @@ def make_tp_reduced_step(solver, mesh: Mesh, elem_axis: str = "model"):
     r = solver.U.shape[1]
     nsh = mesh.shape[elem_axis]
     dt = solver.dt
+    # damped predictor coefficient (sim/solver.py convention; 1.0 when
+    # the solver was prepared with damping=0)
+    dtv = dt * getattr(solver, "eta", 1.0)
     dt2 = dt * dt
     floor = model.floor_collision
     floor_h = model.floor_height
@@ -188,7 +191,7 @@ def make_tp_reduced_step(solver, mesh: Mesh, elem_axis: str = "model"):
     @jax.jit
     def run(positions, velocities, fext, targets, num_iterations):
         a = fext / mass[:, None]
-        sn = positions + dt * velocities + dt2 * a
+        sn = positions + dtv * velocities + dt2 * a
         if floor:
             sn = sn.at[:, 1].set(jnp.maximum(sn[:, 1], floor_h))
         sn_sel = sn[union_j]

@@ -168,6 +168,34 @@ def test_resident_standard_damped_match(pipeline):
     np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-6)
 
 
+def test_tp_reduced_step_damped(pipeline):
+    """The tensor-parallel reduced step reads solver.eta: the sharded
+    damped step matches the single-device damped per-step loop."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from animsnapbases_tpu.parallel import (
+        build_device_mesh,
+        make_tp_reduced_step,
+    )
+
+    basis_dir, pos_path, _ = pipeline
+    s1, m1 = _reduced(basis_dir, pos_path, "off", damping=DAMPING)
+    mesh = build_device_mesh((4,), ("model",))
+    tp_step = make_tp_reduced_step(s1, mesh)
+
+    s2, m2 = _reduced(basis_dir, pos_path, "off", damping=DAMPING)
+    f = gravity_forces(m1)
+    pos = m1.positions.copy()
+    vel = np.zeros_like(pos)
+    for _ in range(3):
+        pos, vel = tp_step(pos, vel, f, num_iterations=6)
+        s2.step(f, num_iterations=6)
+    np.testing.assert_allclose(np.asarray(pos), m2.positions, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(vel), m2.velocities, atol=1e-7)
+
+
 def test_batched_serving_damped(pipeline):
     """make_batched_run under damping: every sim matches its own damped
     single-sim run."""
