@@ -53,9 +53,17 @@ def main():
     solver, model = bench.build_reduced_solver(meta, dtype)
     run = solver.make_batched_run()
 
+    # timed phase: zero-force damped ring-down per sim (same certified
+    # design as bench.py — sustained gravity droops the soft body onto
+    # the floor mid-run), each sim excited with a differently-scaled FOM
+    # tail velocity so the batch genuinely diverges
+    traj = np.load(os.path.join(bench.BENCH_DIR, "traj.npy"))
+    v_tail = (traj[-1] - traj[-2]) / bench.DT
+    v_tail[model.fixed_flags] = 0.0
     pos = np.tile(model.positions, (BATCH, 1, 1))
-    vel = np.zeros_like(pos)
-    f = np.tile(bench.gravity(model), (BATCH, 1, 1))
+    vel = np.stack([bench.EXCITE_SCALE * (1.0 + 0.1 * i) * v_tail
+                    for i in range(BATCH)])
+    f = np.zeros_like(pos)
 
     t0 = time.perf_counter()
     p, v = run(pos, vel, f, CHUNK, num_iterations=10)
@@ -78,7 +86,15 @@ def main():
     bench.log(f"[bench_ensemble] {BATCH} sims x {CHUNK} steps in {best:.3f}s"
               f" -> {agg:,.0f} aggregate steps/s "
               f"({agg / BATCH:,.0f} per sim)")
-    assert np.isfinite(np.asarray(p2)).all()
+    # certify the timed window across the WHOLE batch: finite and
+    # floor-clear (no sim's contact branch fired inside the measurement)
+    p2 = np.asarray(p2)
+    end_min_y = float(np.min(p2[:, :, 1]))
+    assert np.isfinite(p2).all()
+    assert end_min_y > 0.25 * bench.HANG_SHIFT, \
+        f"a sim approached the floor (min y={end_min_y:.2f})"
+    bench.log(f"[bench_ensemble] certificate: finite, min y "
+              f"{end_min_y:.2f} across {BATCH} sims")
 
     print(json.dumps({
         "metric": "ensemble_reduced_pd_aggregate_steps_per_sec",
@@ -86,7 +102,8 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(agg / bench.BASELINE_STEPS_PER_SEC, 3),
         "detail": {"batch": BATCH, "chunk": CHUNK, "path": path,
-                   "per_sim_steps_per_sec": round(agg / BATCH, 1)},
+                   "per_sim_steps_per_sec": round(agg / BATCH, 1),
+                   "end_min_y": round(end_min_y, 2)},
     }))
 
 
