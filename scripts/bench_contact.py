@@ -25,7 +25,10 @@ sys.path.insert(0, os.path.dirname(_HERE))
 
 import bench  # noqa: E402
 
-CHUNK = 15000
+# long chunks amortize the ~50-80 ms tunnel dispatch (same reasoning as
+# bench.py's 180k-step chunks; the resting scene is stationary, so chunk
+# length does not change what is measured)
+CHUNK = 60000
 N_CHUNKS = 6
 
 

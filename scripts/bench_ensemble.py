@@ -27,9 +27,10 @@ sys.path.insert(0, os.path.dirname(_HERE))
 import bench  # noqa: E402
 
 BATCH = int(os.environ.get("ENSEMBLE_BATCH", "8"))
-# long chunks amortize the ~50-100 ms tunnel dispatch, exactly as the
-# solo bench's 45k-step chunks do (dynamic trip count: no recompile)
-CHUNK = 16384
+# long chunks amortize the ~50-80 ms tunnel dispatch, exactly as the
+# solo bench's 180k-step chunks do (dynamic trip count: no recompile);
+# at 16384 the dispatch was still ~25 % of the chunk wall-clock
+CHUNK = int(os.environ.get("ENSEMBLE_CHUNK", "65536"))
 N_CHUNKS = 6
 
 

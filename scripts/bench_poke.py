@@ -27,10 +27,12 @@ sys.path.insert(0, os.path.dirname(_HERE))
 import bench  # noqa: E402  (repo-root bench.py: cache + solver builders)
 
 # chunk of steps per device dispatch.  Power of two so the padded target
-# timeline hits one compilation; the per-call rb timeline
-# (16384 * 3 * 64 modes * 4 B = 12.6 MB) stays under the dynamic VMEM
+# timeline hits one compilation; the per-call rb window
+# (32768 * 3 * 64 modes * 4 B = 25 MB) stays under the dynamic VMEM
 # allowance the solver computes at prepare time (~32 MB at bunny scale).
-CHUNK = 16384
+# Longer chunks amortize the ~50-80 ms tunnel dispatch (at 16384 it was
+# still ~25 % of the chunk wall-clock).
+CHUNK = 32768
 N_CHUNKS = 6
 
 
