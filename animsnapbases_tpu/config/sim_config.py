@@ -121,6 +121,7 @@ class SimConfig:
         args.dt = solver.get("dt", args.dt)
         args.solver_iterations = solver.get("solver_iterations",
                                             args.solver_iterations)
+        args.damping = solver.get("damping", args.damping)
 
         physics = sp.get("physics_params", {})
         for key in ("mass_per_particle", "vert_bending_constraint_wi",

@@ -1434,6 +1434,14 @@ class AnimSnapBasesSolver:
                 # wasted (k completed steps commit), so the only skip
                 # criterion is "step 0 would clamp" — a cheap host-side
                 # predictor check on the current state.
+                # whole-window contact proof: after a lean-build run_steps,
+                # _last_fast_steps == num_steps proves the tier-1 kernel
+                # (which checks the floor EVERY step and exits at the first
+                # contact) completed the entire window contact-free —
+                # benches use it to certify "contact-free throughput"
+                # beyond an endpoint check.  None = tier-1 didn't cover
+                # the whole call (contact-mode build, exit, or fallback).
+                self._last_fast_steps = None
                 fast = getattr(self, "_resident_fast", None)
                 if fast is not None:
                     sn_y0 = (model.positions[:, 1]
@@ -1461,6 +1469,7 @@ class AnimSnapBasesSolver:
                             Vf, dtype=float).T[iperm]
                         self.frame += k
                         if k == num_steps:
+                            self._last_fast_steps = k
                             return
                         # contact at step k: the recursion's predictor
                         # check routes the remainder to the

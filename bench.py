@@ -56,6 +56,14 @@ DAMPING = 2e-3         # velocity damping (eta = 1 - DAMPING)
 PIN_QUANTILE = 0.80    # pinned top cap (sparse pins leave the reduced
                        # system near-unstable; a broad cap is stiff)
 EXCITE_SCALE = 0.1     # timed-phase v0 = scale * FOM tail velocity
+# LEAN affine build (tier-1 early-exit kernel) for contact-free scenes:
+# run_steps then reports _last_fast_steps == chunk, which PROVES the
+# whole timed window was contact-free (the tier-1 kernel checks the
+# floor every step and exits at the first contact) — a per-step
+# certificate, not an endpoint check.  Measured within noise of the
+# contact-mode build contact-free (145.0k vs 146.1k steps/s).
+# bench_contact.py overrides to True (its scene needs contact mode).
+RESIDENT_CONTACT_MODE = False
 
 
 def log(*a):
@@ -305,6 +313,35 @@ def _run_fom_and_bases_impl(expect_contact=False):
     return meta
 
 
+def ring_down_excitation(model, scale=None):
+    """v0 for the certified zero-force ring-down timed phase: the FOM
+    tail velocity field scaled by EXCITE_SCALE (see the scene-design note
+    at the top), with pinned rows zeroed.  Shared by bench.py and the
+    satellite benches so the certificate logic stays in one place."""
+    traj = np.load(os.path.join(BENCH_DIR, "traj.npy"))
+    v = (EXCITE_SCALE if scale is None else scale) * (
+        (traj[-1] - traj[-2]) / DT)
+    v[model.fixed_flags] = 0.0
+    return v
+
+
+def certify_floor_clear(positions, velocities=None):
+    """Post-timing certificate: the timed window's end state is finite
+    and floor-clear.  Accepts (N, 3) or batched (B, N, 3) positions;
+    returns end_min_y.  Benches running the LEAN affine build can add the
+    WHOLE-window proof via ``solver._last_fast_steps == chunk`` (the
+    tier-1 kernel checks the floor every step and exits at the first
+    contact)."""
+    pos = np.asarray(positions)
+    assert np.isfinite(pos).all(), "timed window left non-finite state"
+    if velocities is not None:
+        assert np.isfinite(np.asarray(velocities)).all()
+    end_min_y = float(np.min(pos[..., 1]))
+    assert end_min_y > 0.25 * HANG_SHIFT, \
+        f"timed window approached the floor (min y={end_min_y:.2f})"
+    return end_min_y
+
+
 def build_reduced_solver(meta, dtype):
     from animsnapbases_tpu.config.sim_config import default_sim_args
     from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
@@ -334,6 +371,8 @@ def build_reduced_solver(meta, dtype):
     solver = AnimSnapBasesSolver(
         args, dtype=dtype,
         matmul_dtype=_jnp.bfloat16 if dtype == _jnp.float32 else None)
+    if RESIDENT_CONTACT_MODE is not None:
+        solver.resident_contact_mode = RESIDENT_CONTACT_MODE
     solver.set_model(model)
     t0 = time.perf_counter()
     solver.prepare(args)
@@ -433,11 +472,8 @@ def main():
         180000 if getattr(solver, "_resident_kind", "") == "affine"
         else 15000)
     n_trials = int(os.environ.get("BENCH_TRIALS", "6"))
-    traj = np.load(os.path.join(BENCH_DIR, "traj.npy"))
-    v_tail = (traj[-1] - traj[-2]) / DT       # FOM tail velocity field
     model.positions = P_entry.copy()
-    model.velocities = EXCITE_SCALE * v_tail
-    model.velocities[model.fixed_flags] = 0.0
+    model.velocities = ring_down_excitation(model)
     solver.frame = 0
     f0 = np.zeros_like(f)
     solver.run_steps(f0, 50, num_iterations=10)      # warmup
@@ -445,6 +481,7 @@ def main():
     V0 = model.velocities.copy()
     fr0 = solver.frame
     best = float("inf")
+    window_proof = None      # per-step proof, only on tier-1 lean builds
     for _ in range(n_trials):
         model.positions = P0.copy()
         model.velocities = V0.copy()
@@ -453,18 +490,24 @@ def main():
         solver.run_steps(f0, chunk, num_iterations=10)
         dt_wall = time.perf_counter() - t0
         best = min(best, dt_wall)
+        if getattr(solver, "_resident_fast", None) is not None:
+            ok = getattr(solver, "_last_fast_steps", None) == chunk
+            window_proof = ok if window_proof is None else (window_proof
+                                                            and ok)
     steps_per_sec = chunk / best
     log(f"[bench] {chunk} steps in {best:.3f}s -> "
         f"{steps_per_sec:,.0f} steps/s")
+    # on the lean build the tier-1 kernel must have covered EVERY timed
+    # step — otherwise some portion of the window ran contact handling
+    # and the number is not a contact-free measurement
+    assert window_proof is not False, \
+        "tier-1 kernel exited early: the timed window touched the floor"
+    if window_proof:
+        log("[bench] whole-window contact-free PROOF: tier-1 kernel "
+            "completed every timed step (floor checked per step)")
 
-    # certify the timed window: finite, and the contact branch can never
-    # have fired (state stayed far above the floor)
-    end_min_y = float(np.min(model.positions[:, 1]))
-    assert np.isfinite(model.positions).all(), \
-        "timed window left non-finite state"
-    assert np.isfinite(model.velocities).all()
-    assert end_min_y > 0.25 * HANG_SHIFT, \
-        f"timed window approached the floor (min y={end_min_y:.2f})"
+    # certify the timed window: finite and floor-clear at the end
+    end_min_y = certify_floor_clear(model.positions, model.velocities)
     log(f"[bench] timed-window certificate: finite, min y "
         f"{end_min_y:.2f} (floor at 0, hang {HANG_SHIFT})")
 
@@ -479,7 +522,12 @@ def main():
             "first_dispatch_s": round(first_dispatch_s, 1),
             "resident_kind": getattr(solver, "_resident_kind", None),
             "end_min_y": round(end_min_y, 2),
+            "window_contact_free_proof": window_proof,
             "damping": DAMPING,
+            # chunk/trials appear here so a leaked BENCH_CHUNK/BENCH_TRIALS
+            # override is visible in the artifact, not silent
+            "chunk": chunk,
+            "trials": n_trials,
         },
     }))
 

@@ -47,6 +47,9 @@ def main():
                                    "bench_cache_contact")
     bench.HANG_SHIFT = 0.75
     bench.GRAVITY_SCALE = 4.0
+    # this scene LIVES on the floor: the in-kernel contact mode is the
+    # fast path here (the lean tier-1 build is for contact-free scenes)
+    bench.RESIDENT_CONTACT_MODE = True
 
     cache_dir = os.path.join(bench.BENCH_DIR, "xla_cache")
     os.makedirs(cache_dir, exist_ok=True)

@@ -58,12 +58,9 @@ def main():
     # design as bench.py — sustained gravity droops the soft body onto
     # the floor mid-run), each sim excited with a differently-scaled FOM
     # tail velocity so the batch genuinely diverges
-    traj = np.load(os.path.join(bench.BENCH_DIR, "traj.npy"))
-    v_tail = (traj[-1] - traj[-2]) / bench.DT
-    v_tail[model.fixed_flags] = 0.0
+    v0 = bench.ring_down_excitation(model)
     pos = np.tile(model.positions, (BATCH, 1, 1))
-    vel = np.stack([bench.EXCITE_SCALE * (1.0 + 0.1 * i) * v_tail
-                    for i in range(BATCH)])
+    vel = np.stack([(1.0 + 0.1 * i) * v0 for i in range(BATCH)])
     f = np.zeros_like(pos)
 
     t0 = time.perf_counter()
@@ -88,12 +85,8 @@ def main():
               f" -> {agg:,.0f} aggregate steps/s "
               f"({agg / BATCH:,.0f} per sim)")
     # certify the timed window across the WHOLE batch: finite and
-    # floor-clear (no sim's contact branch fired inside the measurement)
-    p2 = np.asarray(p2)
-    end_min_y = float(np.min(p2[:, :, 1]))
-    assert np.isfinite(p2).all()
-    assert end_min_y > 0.25 * bench.HANG_SHIFT, \
-        f"a sim approached the floor (min y={end_min_y:.2f})"
+    # floor-clear at the end
+    end_min_y = bench.certify_floor_clear(p2)
     bench.log(f"[bench_ensemble] certificate: finite, min y "
               f"{end_min_y:.2f} across {BATCH} sims")
 

@@ -82,10 +82,7 @@ def main():
     # to measure the animated-target schedule.  The poke constraint
     # (wi=1e7 z-shift on one vertex) keeps every step consuming a
     # different target.
-    traj = np.load(os.path.join(bench.BENCH_DIR, "traj.npy"))
-    v_tail = (traj[-1] - traj[-2]) / bench.DT
-    model.velocities = bench.EXCITE_SCALE * v_tail
-    model.velocities[model.fixed_flags] = 0.0
+    model.velocities = bench.ring_down_excitation(model)
     f = np.zeros_like(model.positions)
     p0, v0 = model.positions.copy(), model.velocities.copy()
 
@@ -104,21 +101,27 @@ def main():
     assert np.isfinite(model.positions).all()
 
     best = float("inf")
+    window_proof = None
     for _ in range(N_CHUNKS):
         reset()
         t0 = time.perf_counter()
         solver.run_steps(f, CHUNK, num_iterations=10)
         best = min(best, time.perf_counter() - t0)
+        if getattr(solver, "_resident_fast", None) is not None:
+            ok = getattr(solver, "_last_fast_steps", None) == CHUNK
+            window_proof = ok if window_proof is None else (window_proof
+                                                            and ok)
     steps_per_sec = CHUNK / best
     bench.log(f"[bench_poke] {CHUNK} animated-target steps in {best:.3f}s "
               f"-> {steps_per_sec:,.0f} steps/s")
-    # certify the timed window: finite and floor-clear (the contact
-    # branch never fired inside the measurement)
-    end_min_y = float(np.min(model.positions[:, 1]))
-    assert np.isfinite(model.positions).all()
-    assert end_min_y > 0.25 * bench.HANG_SHIFT, \
-        f"timed window approached the floor (min y={end_min_y:.2f})"
-    bench.log(f"[bench_poke] certificate: finite, min y {end_min_y:.2f}")
+    # certify the timed window: finite + floor-clear endpoint, and on the
+    # lean build the per-step tier-1 proof that no timed step touched the
+    # floor (bench.py's RESIDENT_CONTACT_MODE note)
+    assert window_proof is not False, \
+        "tier-1 kernel exited early: the timed window touched the floor"
+    end_min_y = bench.certify_floor_clear(model.positions)
+    bench.log(f"[bench_poke] certificate: finite, min y {end_min_y:.2f}, "
+              f"per-step proof {window_proof}")
 
     print(json.dumps({
         "metric": "reduced_pd_steps_per_sec_bunny_poke",
@@ -126,7 +129,8 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / bench.BASELINE_STEPS_PER_SEC,
                              3),
-        "detail": {"end_min_y": round(end_min_y, 2)},
+        "detail": {"end_min_y": round(end_min_y, 2),
+                   "window_contact_free_proof": window_proof},
     }))
 
 

@@ -50,8 +50,10 @@ def test_bench_main_end_to_end(bench, capsys, monkeypatch):
     assert payload["metric"] == "reduced_pd_steps_per_sec_bunny"
     assert payload["unit"] == "steps/s"
     assert payload["value"] > 0
+    # both fields are independently rounded (value to 0.1, vs_baseline to
+    # 1e-3 = 10 steps/s), so compare with the rounding quantum, not rel
     assert payload["vs_baseline"] == pytest.approx(
-        payload["value"] / 10_000.0, rel=1e-3)
+        payload["value"] / 10_000.0, abs=5.1e-4)
     det = payload["detail"]
     assert det["damping"] == bench.DAMPING
     # the certificate value must be serialized and floor-clear

@@ -139,6 +139,24 @@ def test_resident_kernels_damped_match_step_loop(pipeline, contact_mode):
                                atol=1e-4)
 
 
+def test_damping_no_floor(pipeline):
+    """Floor-collision OFF: the damped resident kernel (built without the
+    contact branch) matches the damped per-step loop."""
+    basis_dir, pos_path, _ = pipeline
+    s_res, m_res = _reduced(basis_dir, pos_path, "interpret",
+                            damping=DAMPING, floor=False)
+    assert s_res._resident is not None
+    s_ref, m_ref = _reduced(basis_dir, pos_path, "off", damping=DAMPING,
+                            floor=False)
+    f = gravity_forces(m_ref)
+    s_res.run_steps(f, 8, num_iterations=6)
+    for _ in range(8):
+        s_ref.step(f, num_iterations=6)
+    np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-6)
+    np.testing.assert_allclose(m_res.velocities, m_ref.velocities,
+                               atol=1e-4)
+
+
 def test_resident_standard_damped_match(pipeline):
     """The standard (non-affine) resident kernel damps identically."""
     from animsnapbases_tpu.ops.pallas_resident import (

@@ -456,15 +456,19 @@ def test_early_exit_tier_mechanics(pipeline):
     spy.windowed = real_fast.windowed
     s._resident_fast = spy
 
-    # contact-free run: tier 1 serves everything
+    # contact-free run: tier 1 serves everything, and the whole-window
+    # proof (benches assert _last_fast_steps == chunk) is recorded
     f = gravity_forces(m)
     s.run_steps(f, 6, num_iterations=6)
     assert s.frame == 6 and calls == [6]
+    assert s._last_fast_steps == 6
 
-    # slam into the floor: tier 1 exits early, tier 2 finishes
+    # slam into the floor: tier 1 exits early, tier 2 finishes — the
+    # proof must NOT certify this window
     s.run_steps(f * 50.0, 20, num_iterations=6)
     assert s.frame == 26
     assert calls[-1] < 20               # contact genuinely fired
+    assert s._last_fast_steps != 20
 
     # exactness across the whole tiered sequence
     s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=True)
