@@ -1113,6 +1113,7 @@ class AnimSnapBasesSolver:
                     positions, velocities, fext, tl, per_sim, num_steps,
                     num_iterations)
             if out is None:
+                self._last_batched_path = "vmapped-xla"
                 runner = _run_per_sim if per_sim else _run
                 out = runner(self._cast(positions),
                              self._cast(velocities),
@@ -1137,7 +1138,12 @@ class AnimSnapBasesSolver:
         B = int(positions.shape[0])
         run_b = self._build_resident_batched(B)
         if run_b is None:
-            return None
+            # the whole batch exceeds the VMEM gate — serve it in
+            # resident-kernel-sized slices instead of dropping the entire
+            # ensemble to the ~25x slower vmapped XLA path
+            return self._run_batched_resident_sliced(
+                positions, velocities, fext, tl, per_sim, num_steps,
+                num_iterations)
         r = st["r"]
         utst = self._resident_utst
         if utst is not None and tl.size:
@@ -1191,6 +1197,7 @@ class AnimSnapBasesSolver:
         steps_arr = jnp.asarray([[num_steps]], dtype=jnp.int32)
         consts, arrays = run_b.operands
         try:
+            self._last_batched_path = "batched-resident"
             return call(self._cast(positions), self._cast(velocities),
                         self._cast(fext), self._cast(rb), steps_arr,
                         consts, arrays, num_iterations=num_iterations)
@@ -1202,6 +1209,52 @@ class AnimSnapBasesSolver:
             self._resident_batched[B] = None
             cache.pop(key, None)
             return None
+
+    def _run_batched_resident_sliced(self, positions, velocities, fext,
+                                     tl, per_sim, num_steps,
+                                     num_iterations):
+        """Serve an over-VMEM-gate batch in resident-kernel-sized slices:
+        the largest power-of-two sub-batch whose batched kernel fits runs
+        each group (ONE compiled kernel reused across slices; each
+        dispatch amortized over the chunk length), so aggregate
+        throughput stays at the flagship rate instead of dropping to the
+        vmapped XLA path.  A final partial group is padded by repeating
+        the last sim (padding trimmed from the output).  Returns None
+        when no sub-batch fits (caller falls back)."""
+        B = int(positions.shape[0])
+        bs = 1 << (max(B - 1, 1).bit_length() - 1)   # largest pow2 < B
+        while bs >= 1 and self._build_resident_batched(bs) is None:
+            bs //= 2
+        if bs < 1 or bs >= B:
+            return None
+
+        def _pad_dev(x, pad):
+            return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+
+        parts = []
+        for i in range(0, B, bs):
+            sl = slice(i, i + bs)
+            pos_s, vel_s, f_s = positions[sl], velocities[sl], fext[sl]
+            tl_s = tl[sl] if per_sim else tl
+            pad = bs - int(pos_s.shape[0])
+            if pad:
+                pos_s = _pad_dev(jnp.asarray(pos_s), pad)
+                vel_s = _pad_dev(jnp.asarray(vel_s), pad)
+                f_s = _pad_dev(jnp.asarray(f_s), pad)
+                if per_sim:
+                    tl_s = np.concatenate(
+                        [tl_s, np.repeat(tl_s[-1:], pad, axis=0)])
+            out = self._run_batched_resident(pos_s, vel_s, f_s, tl_s,
+                                             per_sim, num_steps,
+                                             num_iterations)
+            if out is None:
+                return None
+            parts.append(out)
+        P = jnp.concatenate([o[0] for o in parts])[:B]
+        V = jnp.concatenate([o[1] for o in parts])[:B]
+        self._last_batched_path = (
+            f"batched-resident-sliced[{bs}x{len(parts)}]")
+        return P, V
 
     def _targets_timeline_from(self, start_frame, num_steps):
         from animsnapbases_tpu.sim.solver import positional_targets_timeline

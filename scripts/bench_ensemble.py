@@ -68,9 +68,10 @@ def main():
     p.block_until_ready()
     bench.log(f"[bench_ensemble] first chunk (compile) "
               f"{time.perf_counter() - t0:.1f}s")
-    path = ("batched-resident"
-            if solver._resident_batched.get(BATCH) is not None
-            else "vmapped-xla")
+    path = getattr(solver, "_last_batched_path", None) or (
+        "batched-resident"
+        if solver._resident_batched.get(BATCH) is not None
+        else "vmapped-xla")
     bench.log(f"[bench_ensemble] serving path: {path}")
     assert np.isfinite(np.asarray(p)).all()
 

@@ -267,3 +267,62 @@ def test_batched_serving_fuzz_random_chunks(pipeline, seed):
         for n in chunks:
             s_ref.run_steps(fs[b], n, num_iterations=5)
         np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-5)
+
+def test_batched_resident_sliced_over_vmem_gate(pipeline):
+    """A batch too big for the VMEM gate is served in resident-kernel
+    slices (one compiled sub-batch kernel reused per group, final group
+    padded), NOT dropped to the vmapped XLA path — each sim must still
+    match its own run_steps, including per-sim animated schedules."""
+    basis_dir, pos_path, _ = pipeline
+    B = 5                                  # non-divisible: pads 5 -> 2+2+2
+    solver, model = _solver(basis_dir, pos_path, "interpret")
+    assert solver._resident is not None
+
+    # per-sim animated schedules exercise the tl slicing/padding too
+    from animsnapbases_tpu.sim.solver import positional_targets_timeline
+
+    shifts = [_poke_shift(amp=0.1 * (b + 1), per=3 + b) for b in range(B)]
+    model.add_positional_constraint(12, wi=1e7,
+                                    motion_type="user_defined",
+                                    frame_shift=shifts[0])
+    solver.set_dirty()
+    solver.prepare(solver.args)
+
+    orig_build = solver._build_resident_batched
+
+    def gated(nb):
+        if nb > 2:                          # simulate the VMEM gate
+            solver._resident_batched[nb] = None
+            return None
+        return orig_build(nb)
+
+    solver._build_resident_batched = gated
+    run = solver.make_batched_run()
+
+    tls = []
+    for b in range(B):
+        model._positional[-1]["frame_shift"] = shifts[b]
+        tl, animated = positional_targets_timeline(model, 0, 8)
+        assert animated
+        tls.append(tl)
+    model._positional[-1]["frame_shift"] = shifts[0]
+    T = max(t.shape[0] for t in tls)
+    tls = [np.concatenate([t, np.repeat(t[-1:], T - len(t), axis=0)])
+           if len(t) < T else t for t in tls]
+    targets_seq = np.stack(tls)
+
+    fs = _per_sim_forces(model, B)
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    p, v = run(pos, vel, fs, 8, num_iterations=5,
+               targets_seq=targets_seq)
+    assert solver._last_batched_path == "batched-resident-sliced[2x3]"
+    assert solver._resident_batched.get(B, "absent") is None
+    p = np.asarray(p)
+    v = np.asarray(v)
+
+    for b in range(B):
+        m_ref = _poked_reference(basis_dir, pos_path, shifts[b], fs[b],
+                                 8, 5)
+        np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-5)
+        np.testing.assert_allclose(v[b], m_ref.velocities, atol=1e-3)
