@@ -269,6 +269,7 @@ class ConstraintComponents:
         C = C.reshape(C.shape[0], e * p, d).copy()
         k = self.param.deim_desired_num_components
         self.comps = C[:k] if k < C.shape[0] else C
+        self._comps_device = None      # device copy (if any) is stale
         self.numComp = self.comps.shape[0]
 
     @log_time
@@ -283,6 +284,7 @@ class ConstraintComponents:
         C, W, sig, rows, idxs, res, _ = run(jnp.asarray(snaps.snapTensor))
         # C: (K, p, ep, 3) -> (Kp, ep, 3); W: (K, p, F) -> (F, Kp)
         self.comps = np.asarray(C).reshape(K * p, -1, 3)
+        self._comps_device = None      # device copy (if any) is stale
         self.weigs = np.asarray(W).reshape(K * p, -1).T
         self.largeDeforPoints = np.asarray(idxs)
         self.largeDeforBlocks = np.asarray(rows).reshape(-1)
@@ -358,6 +360,7 @@ class ConstraintComponents:
                 f"tol={tol:.3e}")
 
         self.comps = np.array(C)
+        self._comps_device = None      # device copy (if any) is stale
         self.weigs = np.array(W).T
         self.numComp = self.comps.shape[0] // p
         self.largeDeforPoints = np.array(S_v_idx)
@@ -450,7 +453,9 @@ class ConstraintComponents:
         bunny budget costs seconds per H2D over a tunneled link; the
         device-POD path populates the cache for free, the host-BLAS POD
         path pays the upload on the first device selection only).
-        Invalidated wherever ``comps`` changes (post_process)."""
+        Invalidated at EVERY ``comps`` reassignment (compute_* methods,
+        zero-residual truncations, post_process) — a same-shape recompute
+        would otherwise slip past the shape-only staleness check here."""
         comps_dev = getattr(self, "_comps_device", None)
         if comps_dev is None or comps_dev.shape != self.comps.shape:
             self._comps_device = jnp.asarray(self.comps)
@@ -529,6 +534,7 @@ class ConstraintComponents:
                     warnings.warn(f"DEIM: zero residual at mode {k}; "
                                   f"truncating to {k} points")
                     self.comps = self.comps[:k]
+                    self._comps_device = None
                     self.numComp = k
                     break
             idx = int(np.argmax((r ** 2).sum(axis=1)))
@@ -607,6 +613,7 @@ class ConstraintComponents:
                     warnings.warn(f"block-DEIM: zero residual at mode {k}; "
                                   f"truncating to {k} blocks")
                     self.comps = self.comps[:kp]
+                    self._comps_device = None
                     self.numComp = k
                     break
             idx = int(np.argmax((r ** 2).sum(axis=(1, 2))))
@@ -673,6 +680,7 @@ class ConstraintComponents:
                         f"truncating basis from {K} to {k} components")
                     self.numComp = k
                     self.comps = self.comps[:k * p]
+                    self._comps_device = None
                     break
 
             if error_in_pos_space:

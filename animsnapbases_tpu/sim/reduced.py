@@ -1097,6 +1097,16 @@ class AnimSnapBasesSolver:
 
         def run(positions, velocities, fext, num_steps, num_iterations=10,
                 targets_seq=None):
+            # caller errors must raise HERE, before the resident path —
+            # a shape mismatch surfacing inside the kernel call would be
+            # mistaken for a kernel failure and permanently poison the
+            # batched kernel for this batch size
+            B = int(np.shape(positions)[0])
+            if (int(np.shape(velocities)[0]) != B
+                    or int(np.shape(fext)[0]) != B):
+                raise ValueError(
+                    f"batch mismatch: positions {B}, velocities "
+                    f"{np.shape(velocities)[0]}, fext {np.shape(fext)[0]}")
             if targets_seq is None:
                 tl, _ = self._targets_timeline_from(serving_frame[0],
                                                     num_steps)
@@ -1106,6 +1116,10 @@ class AnimSnapBasesSolver:
 
                 tl = np.asarray(targets_seq)
                 per_sim = tl.ndim == 4
+                if per_sim and tl.shape[0] != B:
+                    raise ValueError(
+                        f"per-sim targets_seq has batch {tl.shape[0]}, "
+                        f"expected {B}")
                 tl = pow2_pad(tl, axis=1 if per_sim else 0)
             out = None
             if mesh is None:
@@ -1146,24 +1160,28 @@ class AnimSnapBasesSolver:
                 num_iterations)
         r = st["r"]
         utst = self._resident_utst
+        shared_rb = not per_sim
         if utst is not None and tl.size:
             if per_sim:
                 rb = np.einsum("dre,bted->btdr",
                                utst, np.asarray(tl, dtype=np.float64))
                 rb = np.ascontiguousarray(
                     rb.transpose(1, 2, 0, 3))        # (T, 3, B, r)
+                rb = rb.reshape(rb.shape[0], 3 * B, r)
             else:
-                rb1 = np.einsum("dre,ted->tdr",
-                                utst, np.asarray(tl, dtype=np.float64))
-                rb = np.repeat(rb1[:, :, None, :], B, axis=2)
-            rb = rb.reshape(rb.shape[0], 3 * B, r)
+                # shared timeline: upload ONE (T, 3, r) schedule; the
+                # jitted call broadcasts it to the dim-major (T, 3B, r)
+                # layout on device (no B-fold host repeat, no B-fold H2D)
+                rb = np.einsum("dre,ted->tdr",
+                               utst, np.asarray(tl, dtype=np.float64))
         else:
-            rb = np.zeros((1, 3 * B, r))
-        if rb.nbytes > getattr(self, "_rb_seq_limit",
-                               self.RESIDENT_RB_SEQ_LIMIT):
+            rb = np.zeros((1, 3, r) if shared_rb else (1, 3 * B, r))
+        # gate on the EXPANDED size the kernel actually consumes
+        if rb.nbytes * (B if shared_rb else 1) > getattr(
+                self, "_rb_seq_limit", self.RESIDENT_RB_SEQ_LIMIT):
             return None
 
-        key = ("batched_call", B)
+        key = ("batched_call", B, shared_rb)
         cache = getattr(self, "_batched_call_cache", None)
         if cache is None:
             cache = self._batched_call_cache = {}
@@ -1180,6 +1198,13 @@ class AnimSnapBasesSolver:
                 # unpack — all in ONE jit (one dispatch per chunk); the
                 # kernel operands ride as traced args, NOT closure
                 # constants (keeps the HLO small, see run.operands)
+                if shared_rb:
+                    # (T, 3, r) -> dim-major (T, 3B, r) on device
+                    T, _, rr = rb_dev.shape
+                    rb_dev = jnp.broadcast_to(
+                        rb_dev[:, :, None, :],
+                        (T, 3, B, rr)).reshape(T, 3 * B, rr)
+
                 def pack(x):
                     return x[:, perm_j, :].transpose(2, 0, 1).reshape(
                         3 * B, n)
@@ -1220,7 +1245,9 @@ class AnimSnapBasesSolver:
         throughput stays at the flagship rate instead of dropping to the
         vmapped XLA path.  A final partial group is padded by repeating
         the last sim (padding trimmed from the output).  Returns None
-        when no sub-batch fits (caller falls back)."""
+        when no sub-batch fits (caller falls back).  Shared timelines
+        repeat the small (T, 3, r) host contraction once per slice —
+        O(T·r·e) flops, negligible next to a chunk's device work."""
         B = int(positions.shape[0])
         bs = 1 << (max(B - 1, 1).bit_length() - 1)   # largest pow2 < B
         while bs >= 1 and self._build_resident_batched(bs) is None:
@@ -1381,6 +1408,10 @@ class AnimSnapBasesSolver:
         compilations are reused across chunk lengths) and returned —
         replays that export every frame (workflow steps 3-4) pay one
         dispatch + one pull instead of a host round trip per frame."""
+        # whole-window contact proof (see the tier-1 block below): reset
+        # at METHOD entry so a non-tier-1 path can never leave a stale
+        # certificate from an earlier call
+        self._last_fast_steps = None
         if self._run_jit is None or self.enable_self_collision is True or (
                 self.enable_self_collision == "device"
                 and self._collision_mode != "device"):
@@ -1493,8 +1524,8 @@ class AnimSnapBasesSolver:
                 # contact) completed the entire window contact-free —
                 # benches use it to certify "contact-free throughput"
                 # beyond an endpoint check.  None = tier-1 didn't cover
-                # the whole call (contact-mode build, exit, or fallback).
-                self._last_fast_steps = None
+                # the whole call (contact-mode build, exit, or fallback);
+                # reset at method entry above.
                 fast = getattr(self, "_resident_fast", None)
                 if fast is not None:
                     sn_y0 = (model.positions[:, 1]
@@ -1524,11 +1555,20 @@ class AnimSnapBasesSolver:
                         if k == num_steps:
                             self._last_fast_steps = k
                             return
-                        # contact at step k: the recursion's predictor
-                        # check routes the remainder to the
-                        # contact-capable kernel
-                        return self.run_steps(fext, num_steps - k,
-                                              num_iterations)
+                        if k > 0:
+                            # contact at step k: the recursion's
+                            # predictor check routes the remainder to
+                            # the contact-capable kernel
+                            return self.run_steps(fext, num_steps - k,
+                                                  num_iterations)
+                        # k == 0: the kernel's f32 step-0 predictor
+                        # clamped while the f64 host check said clear
+                        # (floor-grazing state within f32 rounding) —
+                        # recursing would re-run the identical check +
+                        # dispatch forever; fall THROUGH to the
+                        # contact-capable resident kernel below for
+                        # this window (P/V/Fx still hold the committed
+                        # state: zero steps ran).
                 try:
                     Pf, Vf = call(P, V, Fx, run_fn)
                 except Exception as e:

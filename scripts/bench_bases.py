@@ -322,10 +322,11 @@ def main():
     if not device_wins:
         log("[bench-bases] WARNING: device DEIM did not beat the host "
             "loop at every budget")
-    stages["deim_host"] = deim_detail[f"deim_host_K{K_NL}_s"]
-    stages["deim_device"] = deim_detail[f"deim_device_K{K_NL}_s"]
-    # headline = the product default (host loop)
-    stages["deim"] = stages.pop("deim_host")
+    # headline "deim" stage = the product default (host loop) at K_NL;
+    # stages holds ONLY pipeline stages (their sum matches the pipeline
+    # wall-clock) — per-budget host/device/cold timings ship in the
+    # artifact under detail["deim_paths"]
+    stages["deim"] = deim_detail[f"deim_host_K{K_NL}_s"]
 
     import jax.numpy as jnp
 
@@ -430,6 +431,11 @@ def main():
         "fom_recording_device_cg_s": round(fom_cg, 2),
         "reference_committed_time_logs_s": 0.0955,
         "device_deim_picks_match_host": picks_match,
+        # per-budget host-vs-device DEIM timings (+ device cold compile),
+        # substantiating "device beats host at K=100 AND K=200" in the
+        # artifact itself, not just stderr logs
+        "deim_paths": deim_detail,
+        "device_deim_wins_all_budgets": device_wins,
         "nl_tensor_shape": list(nl.snapTensor.shape),
         "traj_shape": list(traj.shape),
         "k_nl": int(cc.numComp), "k_pos": int(K_POS),

@@ -219,3 +219,20 @@ def test_postprocess_orthogonalizes(tmp_path):
     for d in range(3):
         M = cc.comps[:, :, d]
         np.testing.assert_allclose(M @ M.T, np.eye(M.shape[0]), atol=1e-8)
+
+
+def test_device_comps_cache_invalidated_on_recompute(tmp_path):
+    """Recomputing a SAME-SHAPE basis must invalidate the device-resident
+    comps copy (the shape-only staleness check in _device_comps cannot
+    catch it) — the device DEIM has to select from the new basis."""
+    X = synthetic_p_tensor(F=16, e=12, p=2, seed=3)
+    cc = make_cc(tmp_path, X, K=8)
+    cc.compute_pod_vectorized()
+    cc.deim(device=True)              # populates + uses the device cache
+    cc.compute_pod()                  # different basis, same (8, 24, 3)
+    assert cc.comps.shape == (8, 24, 3)
+    assert getattr(cc, "_comps_device", None) is None
+    cc.deim()
+    host = cc.geom_Pt.copy()
+    cc.deim(device=True)              # must select from the NEW basis
+    np.testing.assert_array_equal(cc.geom_Pt, host)

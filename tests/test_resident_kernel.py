@@ -478,3 +478,38 @@ def test_early_exit_tier_mechanics(pipeline):
         s_ref.step(f * 50.0, num_iterations=6)
     np.testing.assert_allclose(m.positions, m_ref.positions, atol=1e-6)
     np.testing.assert_allclose(m.velocities, m_ref.velocities, atol=1e-4)
+
+
+def test_early_exit_zero_progress_falls_through(pipeline):
+    """Tier 1 reporting ZERO completed steps (an f32 step-0 clamp the f64
+    host predictor missed on a floor-grazing state) must fall through to
+    the contact-capable kernel for the window — recursing would re-run
+    the identical check + dispatch forever."""
+    basis_dir, pos_path, _ = pipeline
+    s, m = _solver(basis_dir, pos_path, "interpret", floor=True)
+    s.resident_contact_mode = False      # lean + tier-1 configuration
+    s.set_dirty()
+    s.prepare(s.args)
+    real_fast = s._resident_fast
+    assert real_fast is not None
+
+    calls = []
+
+    def fake_zero(P, V, Fx, *a, **kw):
+        calls.append(1)
+        return P, V, np.asarray([[0]], dtype=np.int32)
+
+    fake_zero.windowed = real_fast.windowed
+    s._resident_fast = fake_zero
+
+    f = gravity_forces(m)
+    s.run_steps(f, 6, num_iterations=6)   # must terminate, no recursion
+    assert calls == [1]                   # tier 1 tried exactly once
+    assert s.frame == 6
+    assert s._last_fast_steps is None     # window NOT certified
+
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=True)
+    for _ in range(6):
+        s_ref.step(f, num_iterations=6)
+    np.testing.assert_allclose(m.positions, m_ref.positions, atol=1e-6)
+    np.testing.assert_allclose(m.velocities, m_ref.velocities, atol=1e-4)
