@@ -1126,6 +1126,10 @@ class AnimSnapBasesSolver:
                 out = self._run_batched_resident(
                     positions, velocities, fext, tl, per_sim, num_steps,
                     num_iterations)
+            else:
+                out = self._run_batched_resident_sharded(
+                    mesh, batch_axis, positions, velocities, fext, tl,
+                    per_sim, num_steps, num_iterations)
             if out is None:
                 self._last_batched_path = "vmapped-xla"
                 runner = _run_per_sim if per_sim else _run
@@ -1233,6 +1237,131 @@ class AnimSnapBasesSolver:
                           f"to the vmapped path: {e}")
             self._resident_batched[B] = None
             cache.pop(key, None)
+            return None
+
+    def _run_batched_resident_sharded(self, mesh, batch_axis, positions,
+                                      velocities, fext, tl, per_sim,
+                                      num_steps, num_iterations):
+        """Multi-chip ensemble serving on the flagship path: shard the
+        batch axis over ``mesh`` and run the BATCHED resident kernel on
+        each device's LOCAL shard via ``shard_map`` — pure data-parallel
+        serving (no cross-chip collectives in the hot loop; the shared
+        bf16 matrices replicate once).  Shared timelines ride replicated
+        as ONE (T, 3, r) schedule and broadcast to the local dim-major
+        layout in-body; per-sim (B, T, 3, r) schedules shard with the
+        batch.  Returns None when unavailable (no resident state, batch
+        not divisible by the mesh axis, local batch over the VMEM gate,
+        or a kernel failure) — the caller falls back to the vmapped XLA
+        path."""
+        st = getattr(self, "_resident_state", None)
+        if st is None or getattr(self, "_resident", None) is None:
+            return None
+        n_dev = int(mesh.shape[batch_axis])
+        B = int(positions.shape[0])
+        if n_dev <= 0 or B % n_dev != 0:
+            return None
+        Bl = B // n_dev
+        run_b = self._build_resident_batched(Bl)
+        if run_b is None:
+            return None
+        r = st["r"]
+        utst = self._resident_utst
+        shared_rb = not (per_sim and utst is not None)
+        if utst is not None and tl.size:
+            if per_sim:
+                rb = np.einsum("dre,bted->btdr", utst,
+                               np.asarray(tl, dtype=np.float64))
+            else:
+                rb = np.einsum("dre,ted->tdr", utst,
+                               np.asarray(tl, dtype=np.float64))
+        else:
+            rb = np.zeros((1, 3, r))
+        # gate on the per-DEVICE size the kernel actually consumes
+        rb_dev_bytes = (rb.nbytes * Bl if shared_rb
+                        else rb.nbytes // n_dev)
+        if rb_dev_bytes > getattr(self, "_rb_seq_limit",
+                                  self.RESIDENT_RB_SEQ_LIMIT):
+            return None
+
+        key = ("batched_call_sharded", B, n_dev, shared_rb, batch_axis,
+               mesh)
+        cache = getattr(self, "_batched_call_cache", None)
+        if cache is None:
+            cache = self._batched_call_cache = {}
+        call = cache.get(key, "miss")
+        if call is None:                 # poisoned by an earlier failure
+            return None
+        if call == "miss":
+            try:
+                from jax import shard_map
+            except ImportError:
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            perm_j = jnp.asarray(st["perm"])
+            iperm_j = jnp.asarray(st["iperm"])
+            n = st["n"]
+            ax = batch_axis
+            rb_spec = P() if shared_rb else P(ax)
+
+            @partial(jax.jit, static_argnames=("num_iterations",))
+            def call(pos, vel, fx, rb_dev, steps_arr, consts, arrays,
+                     num_iterations):
+                def body(pos, vel, fx, rb_dev, steps_arr, consts,
+                         arrays):
+                    # local shard: pos/vel/fx (Bl, N, 3)
+                    if shared_rb:
+                        T, _, rr = rb_dev.shape
+                        rb_l = jnp.broadcast_to(
+                            rb_dev[:, :, None, :],
+                            (T, 3, Bl, rr)).reshape(T, 3 * Bl, rr)
+                    else:                # (Bl, T, 3, r) -> (T, 3Bl, r)
+                        rb_l = rb_dev.transpose(1, 2, 0, 3).reshape(
+                            rb_dev.shape[1], 3 * Bl, rb_dev.shape[-1])
+
+                    def pack(x):
+                        return x[:, perm_j, :].transpose(
+                            2, 0, 1).reshape(3 * Bl, n)
+
+                    def unpack(y):
+                        return y.reshape(3, Bl, n).transpose(1, 2, 0)[
+                            :, iperm_j, :]
+
+                    Pf, Vf = run_b.body(pack(pos), pack(vel), pack(fx),
+                                        rb_l, steps_arr, consts, arrays,
+                                        num_iterations)
+                    return unpack(Pf), unpack(Vf)
+
+                # check_vma=False: the pallas_call inside the body can't
+                # declare its varying-mesh-axes type, and the body is
+                # purely local (no collectives) so the check adds nothing
+                kw = dict(mesh=mesh,
+                          in_specs=(P(ax), P(ax), P(ax), rb_spec, P(),
+                                    P(), P()),
+                          out_specs=(P(ax), P(ax)))
+                try:
+                    smap = shard_map(body, check_vma=False, **kw)
+                except TypeError:   # older jax spells it check_rep
+                    smap = shard_map(body, check_rep=False, **kw)
+                return smap(pos, vel, fx, rb_dev, steps_arr, consts,
+                            arrays)
+
+            cache[key] = call
+        steps_arr = jnp.asarray([[num_steps]], dtype=jnp.int32)
+        consts, arrays = run_b.operands
+        try:
+            out = call(self._cast(positions), self._cast(velocities),
+                       self._cast(fext), self._cast(rb), steps_arr,
+                       consts, arrays, num_iterations=num_iterations)
+            self._last_batched_path = (
+                f"batched-resident-sharded[{n_dev}x{Bl}]")
+            return out
+        except Exception as e:
+            import warnings
+
+            warnings.warn("sharded batched resident kernel failed; "
+                          f"falling back to the vmapped path: {e}")
+            cache[key] = None
             return None
 
     def _run_batched_resident_sliced(self, positions, velocities, fext,

@@ -326,3 +326,104 @@ def test_batched_resident_sliced_over_vmem_gate(pipeline):
                                  8, 5)
         np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-5)
         np.testing.assert_allclose(v[b], m_ref.velocities, atol=1e-3)
+
+
+def test_batched_resident_sharded_over_mesh(pipeline):
+    """Multi-chip ensemble serving: make_batched_run(mesh) shards the
+    batch axis over the device mesh and runs the BATCHED resident kernel
+    on each local shard (DP serving, no collectives in the hot loop) —
+    every sim must match its own run_steps, including per-sim animated
+    schedules riding sharded with the batch."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from animsnapbases_tpu.parallel import build_device_mesh
+
+    basis_dir, pos_path, _ = pipeline
+    B = 8
+    solver, model = _solver(basis_dir, pos_path, "interpret")
+    assert solver._resident is not None
+
+    from animsnapbases_tpu.sim.solver import positional_targets_timeline
+
+    shifts = [_poke_shift(amp=0.05 * (b + 1), per=3 + b % 4)
+              for b in range(B)]
+    model.add_positional_constraint(12, wi=1e7,
+                                    motion_type="user_defined",
+                                    frame_shift=shifts[0])
+    solver.set_dirty()
+    solver.prepare(solver.args)
+
+    mesh = build_device_mesh((4,), ("data",))
+    run = solver.make_batched_run(mesh)
+
+    tls = []
+    for b in range(B):
+        model._positional[-1]["frame_shift"] = shifts[b]
+        tl, animated = positional_targets_timeline(model, 0, 8)
+        assert animated
+        tls.append(tl)
+    model._positional[-1]["frame_shift"] = shifts[0]
+    T = max(t.shape[0] for t in tls)
+    tls = [np.concatenate([t, np.repeat(t[-1:], T - len(t), axis=0)])
+           if len(t) < T else t for t in tls]
+    targets_seq = np.stack(tls)
+
+    fs = _per_sim_forces(model, B)
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    p, v = run(pos, vel, fs, 8, num_iterations=5,
+               targets_seq=targets_seq)
+    assert solver._last_batched_path == "batched-resident-sharded[4x2]"
+    p = np.asarray(p)
+
+    for b in range(B):
+        m_ref = _poked_reference(basis_dir, pos_path, shifts[b], fs[b],
+                                 8, 5)
+        np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-5)
+
+
+def test_batched_resident_sharded_shared_timeline(pipeline):
+    """Sharded serving with a SHARED schedule (targets_seq omitted): the
+    replicated (T, 3, r) timeline broadcasts to each shard's dim-major
+    layout in-body, and consecutive chunks continue the animation."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from animsnapbases_tpu.parallel import build_device_mesh
+
+    basis_dir, pos_path, _ = pipeline
+    B = 4
+    solver, model = _solver(basis_dir, pos_path, "interpret")
+    model.add_positional_constraint(12, wi=1e7,
+                                    motion_type="user_defined",
+                                    frame_shift=_poke_shift())
+    solver.set_dirty()
+    solver.prepare(solver.args)
+    assert solver._resident is not None
+
+    mesh = build_device_mesh((4,), ("data",))
+    run = solver.make_batched_run(mesh)
+
+    f = gravity_forces(model)
+    fs = np.tile(f, (B, 1, 1))
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    p, v = run(pos, vel, fs, 6, num_iterations=5)
+    p, v = run(p, v, fs, 6, num_iterations=5)       # chunk 2 continues
+    assert solver._last_batched_path == "batched-resident-sharded[4x1]"
+
+    s_ref, m_ref = _solver(basis_dir, pos_path, "interpret")
+    m_ref.add_positional_constraint(12, wi=1e7,
+                                    motion_type="user_defined",
+                                    frame_shift=_poke_shift())
+    s_ref.set_dirty()
+    s_ref.prepare(s_ref.args)
+    s_ref.run_steps(f, 12, num_iterations=5)
+    for b in range(B):
+        np.testing.assert_allclose(np.asarray(p)[b], m_ref.positions,
+                                   atol=1e-6)
