@@ -193,6 +193,14 @@ class AnimSnapBasesSolver:
     # restores full speed) while the 14k-vertex bunny is unaffected even
     # batched x8 — the cost scales with N, not with operand bytes
     CONTACT_MODE_MAX_VERTS = 32768
+    # BATCHED resident kernels may fill more of the 100 MB scoped-VMEM
+    # limit than the single-sim 48 MB gate allows: per-sim state is pure
+    # (3nb, N) rows with no extra staging pressure, and a Mosaic failure
+    # at the raised gate falls back to power-of-two slices automatically
+    # (see _run_batched_resident), so the only cost of an optimistic gate
+    # is one slow first chunk.  84 MB leaves ~16 MB for matmul staging
+    # and the rb window.  Instance override: resident_batched_vmem_limit.
+    BATCHED_VMEM_LIMIT = 84 * (1 << 20)
 
     def __init__(self, args, dtype=None, pallas_mode: str = "auto",
                  matmul_dtype=None):
@@ -640,7 +648,9 @@ class AnimSnapBasesSolver:
                 # contact-mode y scratch: Py/Vy (nb, N) + buPy/buVy
                 budget += (2 * nb * (st["n"] + st["r"])
                            * st["np_dtype"].itemsize)
-        if budget > 48 * (1 << 20):
+        limit = getattr(self, "resident_batched_vmem_limit",
+                        self.BATCHED_VMEM_LIMIT)
+        if budget > limit:
             self._resident_batched[nb] = None
             return None
         ops = st["ops"]
@@ -1233,11 +1243,16 @@ class AnimSnapBasesSolver:
         except Exception as e:
             import warnings
 
-            warnings.warn("batched resident kernel failed; falling back "
-                          f"to the vmapped path: {e}")
+            warnings.warn("batched resident kernel failed; retrying in "
+                          f"slices: {e}")
             self._resident_batched[B] = None
             cache.pop(key, None)
-            return None
+            # a Mosaic failure at the optimistic BATCHED_VMEM_LIMIT gate
+            # lands here — serve THIS call in power-of-two slices too
+            # (not just subsequent ones) before the vmapped last resort
+            return self._run_batched_resident_sliced(
+                positions, velocities, fext, tl, per_sim, num_steps,
+                num_iterations)
 
     def _run_batched_resident_sharded(self, mesh, batch_axis, positions,
                                       velocities, fext, tl, per_sim,

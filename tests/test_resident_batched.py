@@ -427,3 +427,39 @@ def test_batched_resident_sharded_shared_timeline(pipeline):
     for b in range(B):
         np.testing.assert_allclose(np.asarray(p)[b], m_ref.positions,
                                    atol=1e-6)
+
+
+def test_batched_resident_dispatch_failure_retries_sliced(pipeline):
+    """A kernel failure at dispatch (e.g. a Mosaic VMEM overflow at the
+    optimistic BATCHED_VMEM_LIMIT gate) must serve THAT call in
+    power-of-two slices, not drop the whole chunk to the vmapped XLA
+    path (and must poison the failing batch size for later calls)."""
+    import warnings
+
+    basis_dir, pos_path, _ = pipeline
+    B = 4
+    solver, model = _solver(basis_dir, pos_path, "interpret")
+    assert solver._resident is not None
+    run = solver.make_batched_run()
+
+    fs = _per_sim_forces(model, B)
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic Mosaic failure")
+
+    # pre-poison the compiled-call cache so the full-batch dispatch
+    # raises exactly where a real Mosaic compile failure would surface
+    solver._batched_call_cache = {("batched_call", B, True): boom}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        p, v = run(pos, vel, fs, 5, num_iterations=4)
+    assert solver._last_batched_path.startswith("batched-resident-sliced")
+    assert solver._resident_batched.get(B) is None       # poisoned
+    p = np.asarray(p)
+
+    for b in range(B):
+        s_ref, m_ref = _solver(basis_dir, pos_path, "interpret")
+        s_ref.run_steps(fs[b], 5, num_iterations=4)
+        np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-6)
