@@ -398,10 +398,16 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
              wt_ref, gall_ref, ulift_ref, utac_ref, mutac_ref, uselt_ref,
              minv_ref) = refs[:14]
             garrs = [ref[:] for ref in refs[14:14 + len(flat_arrays)]]
-            (out_p_ref, out_v_ref, b0_ref, b1_ref, bu0_ref, bu1_ref,
+            # the OUTPUT buffers double as the affine base anchors b0/b1:
+            # the base is only read during the loop and the outputs are
+            # only produced at the very end (as a materialization of the
+            # final coefficients, staged through value temporaries), so
+            # merging them saves two (3nb, N) VMEM buffers per kernel
+            (out_p_ref, out_v_ref, bu0_ref, bu1_ref,
              ap_ref, av_ref, wp_ref, wv_ref, py_ref, vy_ref, bupy_ref,
              buvy_ref, stale_ref, mode_ref) = \
                 refs[14 + len(flat_arrays):]
+            b0_ref, b1_ref = out_p_ref, out_v_ref
 
             usel_inv = uselinv_ref[:]
             inv = inv_ref[:]
@@ -726,16 +732,22 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
 
             @pl.when(mode_ref[0, 0] == 0)
             def _out_affine():
-                out_p_ref[:] = materialize(ap_ref[:], wp_ref[:])
-                out_v_ref[:] = materialize(av_ref[:], wv_ref[:])
+                # both materializations read b0/b1 (= the out buffers):
+                # compute BOTH values before either store
+                Pf = materialize(ap_ref[:], wp_ref[:])
+                Vf = materialize(av_ref[:], wv_ref[:])
+                out_p_ref[:] = Pf
+                out_v_ref[:] = Vf
 
             if floor and contact_mode:
                 @pl.when(mode_ref[0, 0] == 1)
                 def _out_contact():
-                    out_p_ref[:] = _y_rows(
+                    Pf = _y_rows(
                         materialize(ap_ref[:], wp_ref[:]), py_ref[:])
-                    out_v_ref[:] = _y_rows(
+                    Vf = _y_rows(
                         materialize(av_ref[:], wv_ref[:]), vy_ref[:])
+                    out_p_ref[:] = Pf
+                    out_v_ref[:] = Vf
 
         out_shape = (jax.ShapeDtypeStruct((3 * nb, n), P0.dtype),
                      jax.ShapeDtypeStruct((3 * nb, n), P0.dtype))
@@ -753,9 +765,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
             in_specs=in_specs,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.VMEM)),
-            scratch_shapes=[pltpu.VMEM((3 * nb, n), sdt),      # b0
-                            pltpu.VMEM((3 * nb, n), sdt),      # b1
-                            pltpu.VMEM((3 * nb, r), sdt),      # bu0
+            scratch_shapes=[pltpu.VMEM((3 * nb, r), sdt),      # bu0
                             pltpu.VMEM((3 * nb, r), sdt),      # bu1
                             pltpu.VMEM((3 * nb, 3), sdt),      # ap
                             pltpu.VMEM((3 * nb, 3), sdt),      # av
@@ -837,9 +847,13 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
              wt_ref, gall_ref, ulift_ref, utac_ref, mutac_ref, uselt_ref,
              minv_ref) = refs[:14]
             garrs = [ref[:] for ref in refs[14:14 + len(flat_arrays)]]
-            (out_p_ref, out_v_ref, out_k_ref, b0_ref, b1_ref, bu0_ref,
+            (out_p_ref, out_v_ref, out_k_ref, bu0_ref,
              bu1_ref, ap_ref, av_ref, wp_ref, wv_ref, stale_ref,
              done_ref) = refs[14 + len(flat_arrays):]
+            # as in the contact-capable kernel: the output buffers double
+            # as the affine base anchors (base read during the loop,
+            # outputs written only at the very end through temporaries)
+            b0_ref, b1_ref = out_p_ref, out_v_ref
 
             usel_inv = uselinv_ref[:]
             inv = inv_ref[:]
@@ -973,8 +987,12 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
                 return carry
 
             jax.lax.fori_loop(0, steps_ref[0, 0], step, 0)
-            out_p_ref[:] = materialize(ap_ref[:], wp_ref[:])
-            out_v_ref[:] = materialize(av_ref[:], wv_ref[:])
+            # both materializations read b0/b1 (= the out buffers):
+            # compute BOTH values before either store
+            Pf = materialize(ap_ref[:], wp_ref[:])
+            Vf = materialize(av_ref[:], wv_ref[:])
+            out_p_ref[:] = Pf
+            out_v_ref[:] = Vf
 
         out_shape = (jax.ShapeDtypeStruct((3 * nb, n), P0.dtype),
                      jax.ShapeDtypeStruct((3 * nb, n), P0.dtype),
@@ -994,9 +1012,7 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.SMEM)),
-            scratch_shapes=[pltpu.VMEM((3 * nb, n), sdt),      # b0
-                            pltpu.VMEM((3 * nb, n), sdt),      # b1
-                            pltpu.VMEM((3 * nb, r), sdt),      # bu0
+            scratch_shapes=[pltpu.VMEM((3 * nb, r), sdt),      # bu0
                             pltpu.VMEM((3 * nb, r), sdt),      # bu1
                             pltpu.VMEM((3 * nb, 3), sdt),      # ap
                             pltpu.VMEM((3 * nb, 3), sdt),      # av

@@ -490,10 +490,11 @@ class AnimSnapBasesSolver:
         g_total = ops["G_allT"].shape[1]
         budget = estimate_vmem_bytes(n, r, n_sel, g_total, m_total,
                                      mm_dtype.itemsize, np_dtype.itemsize)
-        # the affine kernel (the default) adds two (3, N) base scratch
-        # buffers and ~2x (3, N) materialization temporaries at rebases,
-        # plus M_utac (3, r, r) and the plain U_selT (3, r, n_sel)
-        affine_extra = (4 * 3 * n * np_dtype.itemsize
+        # the affine kernel (the default) anchors its base IN the output
+        # buffers (no b0/b1 scratch) but still pays ~2x (3, N)
+        # materialization temporaries at rebases, plus M_utac (3, r, r)
+        # and the plain U_selT (3, r, n_sel)
+        affine_extra = (2 * 3 * n * np_dtype.itemsize
                         + 3 * r * (r + n_sel) * np_dtype.itemsize)
         use_affine = budget + affine_extra <= 48 * (1 << 20)
         if use_affine:
@@ -640,8 +641,9 @@ class AnimSnapBasesSolver:
             st["n"], st["r"], st["n_sel"], st["g_total"], st["m_total"],
             st["mm_dtype"].itemsize, st["np_dtype"].itemsize, nb=nb)
         if st["use_affine"]:
-            # b0/b1 scratch + materialization temporaries, all (3*nb, N)
-            budget += (4 * 3 * nb * st["n"] * st["np_dtype"].itemsize
+            # materialization temporaries, (3*nb, N) (the base anchors
+            # live in the output buffers — no b0/b1 scratch)
+            budget += (2 * 3 * nb * st["n"] * st["np_dtype"].itemsize
                        + 3 * nb * (st["r"] + st["n_sel"])
                        * st["np_dtype"].itemsize)
             if st["contact_mode"] and self.model.floor_collision:
