@@ -621,6 +621,32 @@ class AnimSnapBasesSolver:
         self._resident_kind = "standard"
         return run, perm, iperm
 
+    @staticmethod
+    def batched_resident_budget(st, nb: int, floor_collision: bool) -> int:
+        """VMEM-byte estimate for an ``nb``-sim batched resident kernel
+        built from resident state ``st`` — the number the batched gate
+        compares against BATCHED_VMEM_LIMIT.  Kept as a pure function so
+        the gate's capacity (e.g. 64 bunny-scale sims in one kernel) is
+        pinned by unit tests."""
+        from animsnapbases_tpu.ops.pallas_resident import (
+            estimate_vmem_bytes,
+        )
+
+        budget = estimate_vmem_bytes(
+            st["n"], st["r"], st["n_sel"], st["g_total"], st["m_total"],
+            st["mm_dtype"].itemsize, st["np_dtype"].itemsize, nb=nb)
+        if st["use_affine"]:
+            # materialization temporaries, (3*nb, N) (the base anchors
+            # live in the output buffers — no b0/b1 scratch)
+            budget += (2 * 3 * nb * st["n"] * st["np_dtype"].itemsize
+                       + 3 * nb * (st["r"] + st["n_sel"])
+                       * st["np_dtype"].itemsize)
+            if st["contact_mode"] and floor_collision:
+                # contact-mode y scratch: Py/Vy (nb, N) + buPy/buVy
+                budget += (2 * nb * (st["n"] + st["r"])
+                           * st["np_dtype"].itemsize)
+        return budget
+
     def _build_resident_batched(self, nb: int):
         """Resident runner serving ``nb`` independent sims of this prepared
         model in ONE kernel (dim-major (3*nb, N) state rows; the big bf16
@@ -634,22 +660,10 @@ class AnimSnapBasesSolver:
         from animsnapbases_tpu.ops.pallas_resident import (
             build_resident_affine,
             build_resident_multistep,
-            estimate_vmem_bytes,
         )
 
-        budget = estimate_vmem_bytes(
-            st["n"], st["r"], st["n_sel"], st["g_total"], st["m_total"],
-            st["mm_dtype"].itemsize, st["np_dtype"].itemsize, nb=nb)
-        if st["use_affine"]:
-            # materialization temporaries, (3*nb, N) (the base anchors
-            # live in the output buffers — no b0/b1 scratch)
-            budget += (2 * 3 * nb * st["n"] * st["np_dtype"].itemsize
-                       + 3 * nb * (st["r"] + st["n_sel"])
-                       * st["np_dtype"].itemsize)
-            if st["contact_mode"] and self.model.floor_collision:
-                # contact-mode y scratch: Py/Vy (nb, N) + buPy/buVy
-                budget += (2 * nb * (st["n"] + st["r"])
-                           * st["np_dtype"].itemsize)
+        budget = self.batched_resident_budget(
+            st, nb, self.model.floor_collision)
         limit = getattr(self, "resident_batched_vmem_limit",
                         self.BATCHED_VMEM_LIMIT)
         if budget > limit:

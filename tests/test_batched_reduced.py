@@ -141,3 +141,29 @@ def test_batched_run_refuses_self_collision(pipeline):
     solver.enable_self_collision = True
     with pytest.raises(RuntimeError, match="self-collision"):
         solver.make_batched_run()
+
+
+def test_batched_budget_fits_64_bunny_scale_sims():
+    """The batched VMEM gate admits 64 bunny-scale sims in ONE kernel.
+
+    Pins the gate math to what the chip actually compiles: with the
+    affine base anchors living in the kernel output buffers (no b0/b1
+    scratch) the bench bunny's resident state (n=14290, r=48, n_sel=153,
+    g_total=167, m_total=66, bf16 matmuls, f32 state) budgets ~72 MB at
+    nb=64 — under the 84 MB gate — measured live at 4.4M aggregate
+    steps/s (BENCH_ensemble64_r03.json).  96 sims must still be rejected
+    (over the 100 MB scoped-VMEM limit)."""
+    from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+
+    st = {"n": 14290, "r": 48, "n_sel": 153, "g_total": 167,
+          "m_total": 66, "mm_dtype": np.dtype(np.float16),
+          "np_dtype": np.dtype(np.float32), "use_affine": True,
+          "contact_mode": False}
+    gate = AnimSnapBasesSolver.BATCHED_VMEM_LIMIT
+    b64 = AnimSnapBasesSolver.batched_resident_budget(st, 64, True)
+    b96 = AnimSnapBasesSolver.batched_resident_budget(st, 96, True)
+    assert b64 <= gate, f"64-sim budget {b64 / 2**20:.1f} MB over gate"
+    assert b96 > gate, f"96-sim budget {b96 / 2**20:.1f} MB under gate"
+    # the solo kernel's budget is far below the single-sim 48 MB gate
+    b1 = AnimSnapBasesSolver.batched_resident_budget(st, 1, True)
+    assert b1 <= 48 * (1 << 20)
