@@ -657,6 +657,14 @@ class AnimSnapBasesSolver:
             return None
         if nb in self._resident_batched:
             return self._resident_batched[nb]
+        if nb == 1 and getattr(self, "_resident", None) is not None:
+            # the solo resident runner IS the nb=1 batched kernel (same
+            # builder arguments, same dim-major (3, N) layout) — reuse it
+            # instead of compiling a second, mathematically identical
+            # Mosaic kernel (tens of seconds compile + tunnel-load first
+            # dispatch)
+            self._resident_batched[1] = self._resident[0]
+            return self._resident[0]
         from animsnapbases_tpu.ops.pallas_resident import (
             build_resident_affine,
             build_resident_multistep,
@@ -1133,6 +1141,16 @@ class AnimSnapBasesSolver:
                 raise ValueError(
                     f"batch mismatch: positions {B}, velocities "
                     f"{np.shape(velocities)[0]}, fext {np.shape(fext)[0]}")
+            # vertex-axis mismatches must ALSO raise here: inside the
+            # jitted pack the gather indices would silently CLAMP
+            # (jax-under-jit semantics), stepping garbage state
+            nv = self.model.n_verts
+            for nm, arr in (("positions", positions),
+                            ("velocities", velocities), ("fext", fext)):
+                if tuple(np.shape(arr)[1:]) != (nv, 3):
+                    raise ValueError(
+                        f"{nm} must be (B, {nv}, 3) for this model; "
+                        f"got {np.shape(arr)}")
             if targets_seq is None:
                 tl, _ = self._targets_timeline_from(serving_frame[0],
                                                     num_steps)
@@ -1206,8 +1224,13 @@ class AnimSnapBasesSolver:
                                utst, np.asarray(tl, dtype=np.float64))
         else:
             rb = np.zeros((1, 3, r) if shared_rb else (1, 3 * B, r))
-        # gate on the EXPANDED size the kernel actually consumes
-        if rb.nbytes * (B if shared_rb else 1) > getattr(
+        # gate on the EXPANDED size the kernel actually consumes —
+        # counted at the DEVICE itemsize (rb is built f64 on host but
+        # uploads through self._cast; gating on host bytes would halve
+        # the admissible timeline for no reason)
+        rb_dev_bytes = (rb.size * (B if shared_rb else 1)
+                        * st["np_dtype"].itemsize)
+        if rb_dev_bytes > getattr(
                 self, "_rb_seq_limit", self.RESIDENT_RB_SEQ_LIMIT):
             return None
 
@@ -1294,7 +1317,37 @@ class AnimSnapBasesSolver:
         Bl = B // n_dev
         run_b = self._build_resident_batched(Bl)
         if run_b is None:
-            return None
+            # per-device batch over the VMEM gate: serve the ensemble in
+            # smaller mesh-sharded GROUPS (bl = largest power-of-two
+            # per-device sub-batch that fits AND divides Bl; each group
+            # is bl*n_dev sims through the recursion below) — flagship
+            # rate in a few sequential sharded dispatches instead of the
+            # ~25x slower vmapped path, mirroring the single-chip
+            # _run_batched_resident_sliced fallback
+            bl = 1 << (max(Bl - 1, 1).bit_length() - 1)  # largest pow2 < Bl
+            while bl >= 1 and (Bl % bl != 0
+                               or self._build_resident_batched(bl)
+                               is None):
+                bl //= 2
+            if bl < 1:
+                return None
+            Bg = bl * n_dev
+            p_parts, v_parts = [], []
+            for s in range(0, B, Bg):
+                tl_g = tl[s:s + Bg] if per_sim else tl
+                out = self._run_batched_resident_sharded(
+                    mesh, batch_axis, positions[s:s + Bg],
+                    velocities[s:s + Bg], fext[s:s + Bg], tl_g, per_sim,
+                    num_steps, num_iterations)
+                if out is None:
+                    return None
+                p_parts.append(out[0])
+                v_parts.append(out[1])
+            self._last_batched_path = (
+                f"batched-resident-sharded-sliced[{n_dev}x{bl}"
+                f"x{len(p_parts)}g]")
+            return (jnp.concatenate(p_parts, axis=0),
+                    jnp.concatenate(v_parts, axis=0))
         r = st["r"]
         utst = self._resident_utst
         shared_rb = not (per_sim and utst is not None)
@@ -1307,9 +1360,10 @@ class AnimSnapBasesSolver:
                                np.asarray(tl, dtype=np.float64))
         else:
             rb = np.zeros((1, 3, r))
-        # gate on the per-DEVICE size the kernel actually consumes
-        rb_dev_bytes = (rb.nbytes * Bl if shared_rb
-                        else rb.nbytes // n_dev)
+        # gate on the per-DEVICE size the kernel actually consumes, at
+        # the DEVICE itemsize (rb is f64 on host, f32 on device)
+        rb_dev_bytes = (rb.size * Bl if shared_rb
+                        else rb.size // n_dev) * st["np_dtype"].itemsize
         if rb_dev_bytes > getattr(self, "_rb_seq_limit",
                                   self.RESIDENT_RB_SEQ_LIMIT):
             return None
@@ -1752,6 +1806,10 @@ class AnimSnapBasesSolver:
                             self._resident_state["use_affine"] = False
                         self._resident_batched = {}
                         self._batched_call_cache = {}
+                        # the tier-1 early-exit kernel shares the affine
+                        # staging profile that just failed — drop it too
+                        # rather than paying one more doomed compile
+                        self._resident_fast = None
                         return self.run_steps(fext, num_steps,
                                               num_iterations)
                     # standard kernel failed too (e.g. operands + staging

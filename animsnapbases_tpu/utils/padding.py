@@ -23,6 +23,8 @@ def pow2_pad(a, axis: int = 0):
     repeating the last slice (no-op when already a power of two).
     Works on numpy and jax arrays."""
     t = a.shape[axis]
+    if t == 0:
+        return a          # nothing to repeat; empty timelines pass through
     t_pad = 1 << max(t - 1, 0).bit_length()
     if t_pad <= t:
         return a

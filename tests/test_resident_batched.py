@@ -463,3 +463,96 @@ def test_batched_resident_dispatch_failure_retries_sliced(pipeline):
         s_ref, m_ref = _solver(basis_dir, pos_path, "interpret")
         s_ref.run_steps(fs[b], 5, num_iterations=4)
         np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-6)
+
+
+def test_batched_run_rejects_vertex_mismatch(pipeline):
+    """A vertex-count mismatch must raise in run() (host-side): inside
+    the jitted pack the gather indices would silently CLAMP under jax
+    semantics and step garbage state."""
+    import pytest
+
+    basis_dir, pos_path, _ = pipeline
+    solver, model = _solver(basis_dir, pos_path, "interpret")
+    run = solver.make_batched_run()
+    B, n = 2, model.n_verts
+    good = np.tile(model.positions, (B, 1, 1))
+    bad = np.zeros((B, n + 3, 3))
+    f = np.zeros((B, n, 3))
+    with pytest.raises(ValueError, match="must be"):
+        run(bad, np.zeros_like(bad), np.zeros_like(bad), 2)
+    with pytest.raises(ValueError, match="must be"):
+        run(good, np.zeros_like(good), np.zeros((B, n, 4)), 2)
+    with pytest.raises(ValueError, match="batch mismatch"):
+        run(good, np.zeros((B + 1, n, 3)), f, 2)
+
+
+def test_pow2_pad_empty_passthrough():
+    """Length-0 timelines pass through pow2_pad unchanged (the inline
+    padding it replaced tolerated them; np.take would raise)."""
+    from animsnapbases_tpu.utils.padding import pow2_pad
+
+    a = np.zeros((0, 4, 3))
+    out = pow2_pad(a, axis=0)
+    assert out.shape == (0, 4, 3)
+
+
+def test_batched_nb1_reuses_solo_runner(pipeline):
+    """_build_resident_batched(1) must return the already-built solo
+    resident runner, not compile a second identical kernel."""
+    basis_dir, pos_path, _ = pipeline
+    solver, model = _solver(basis_dir, pos_path, "interpret")
+    assert solver._resident is not None
+    run_b = solver._build_resident_batched(1)
+    assert run_b is solver._resident[0]
+    # and a B=1 serving call matches run_steps through it
+    run = solver.make_batched_run()
+    f = gravity_forces(model)
+    p, v = run(model.positions[None], np.zeros((1,) + model.positions.shape),
+               f[None], 5, num_iterations=4)
+    assert solver._last_batched_path == "batched-resident"
+    s_ref, m_ref = _solver(basis_dir, pos_path, "interpret")
+    s_ref.run_steps(f, 5, num_iterations=4)
+    np.testing.assert_allclose(np.asarray(p)[0], m_ref.positions,
+                               atol=1e-6)
+
+
+def test_batched_resident_sharded_over_gate_slices(pipeline):
+    """Sharded serving whose PER-DEVICE batch exceeds the VMEM gate must
+    serve the ensemble in smaller mesh-sharded groups (mirroring the
+    single-chip sliced fallback), not drop to the vmapped XLA path."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from animsnapbases_tpu.parallel import build_device_mesh
+
+    basis_dir, pos_path, _ = pipeline
+    B = 8                                   # Bl = 2 per device
+    solver, model = _solver(basis_dir, pos_path, "interpret")
+    assert solver._resident is not None
+
+    orig_build = solver._build_resident_batched
+
+    def gated(nb):
+        if nb > 1:                          # simulate the VMEM gate
+            solver._resident_batched[nb] = None
+            return None
+        return orig_build(nb)
+
+    solver._build_resident_batched = gated
+    mesh = build_device_mesh((4,), ("data",))
+    run = solver.make_batched_run(mesh)
+
+    fs = _per_sim_forces(model, B)
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    p, v = run(pos, vel, fs, 6, num_iterations=5)
+    assert solver._last_batched_path == (
+        "batched-resident-sharded-sliced[4x1x2g]")
+    p = np.asarray(p)
+
+    for b in range(B):
+        s_ref, m_ref = _solver(basis_dir, pos_path, "interpret")
+        s_ref.run_steps(fs[b], 6, num_iterations=5)
+        np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-6)
