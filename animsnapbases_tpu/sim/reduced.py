@@ -201,6 +201,12 @@ class AnimSnapBasesSolver:
     # is one slow first chunk.  84 MB leaves ~16 MB for matmul staging
     # and the rb window.  Instance override: resident_batched_vmem_limit.
     BATCHED_VMEM_LIMIT = 84 * (1 << 20)
+    # headroom the FUSED sliced-serving search subtracts from the batched
+    # gate: multiple kernel calls in one jit overlap the next group's
+    # operand staging with the current group's execution (~14 MB measured
+    # at bunny scale), so near-gate sub-batches OOM scoped VMEM fused
+    # even though they compile standalone
+    FUSED_SLICE_VMEM_MARGIN = 20 * (1 << 20)
 
     def __init__(self, args, dtype=None, pallas_mode: str = "auto",
                  matmul_dtype=None):
@@ -1452,50 +1458,141 @@ class AnimSnapBasesSolver:
     def _run_batched_resident_sliced(self, positions, velocities, fext,
                                      tl, per_sim, num_steps,
                                      num_iterations):
-        """Serve an over-VMEM-gate batch in resident-kernel-sized slices:
-        the largest power-of-two sub-batch whose batched kernel fits runs
-        each group (ONE compiled kernel reused across slices; each
-        dispatch amortized over the chunk length), so aggregate
-        throughput stays at the flagship rate instead of dropping to the
-        vmapped XLA path.  A final partial group is padded by repeating
-        the last sim (padding trimmed from the output).  Returns None
-        when no sub-batch fits (caller falls back).  Shared timelines
-        repeat the small (T, 3, r) host contraction once per slice —
-        O(T·r·e) flops, negligible next to a chunk's device work."""
+        """Serve an over-VMEM-gate batch in resident-kernel-sized slices,
+        all fused into ONE jit per chunk: the largest power-of-two
+        sub-batch whose batched kernel fits runs each group as a separate
+        pallas_call INSIDE the same jit (XLA dedupes the identical kernel
+        bodies; slicing, final-group padding, and the output concatenate
+        are in-jit too), so a chunk costs one host dispatch regardless of
+        group count.  Slicing with per-group EAGER dispatches cost ~100 ms
+        of tunnel latency per device op — 128 sims served at 2.98M
+        aggregate steps/s where the fused form serves at the flagship
+        rate.  Returns None when no sub-batch fits (caller falls back);
+        a dispatch failure poisons the sub-batch size and retries with a
+        smaller one."""
+        st = getattr(self, "_resident_state", None)
+        if st is None:
+            return None
         B = int(positions.shape[0])
+        # the fused context needs VMEM headroom beyond the standalone
+        # batched gate: XLA overlaps the NEXT group's operand staging
+        # (async copies of the shared matrices) with the current group's
+        # kernel, so a sub-batch that compiles standalone can OOM scoped
+        # VMEM here (measured: the 72 MB-estimate 64-sim kernel needed
+        # 113.4 MB fused vs <100 MB standalone)
+        limit = (getattr(self, "resident_batched_vmem_limit",
+                         self.BATCHED_VMEM_LIMIT)
+                 - self.FUSED_SLICE_VMEM_MARGIN)
+        bad = getattr(self, "_sliced_bs_bad", None)
+        if bad is None:
+            bad = self._sliced_bs_bad = set()
         bs = 1 << (max(B - 1, 1).bit_length() - 1)   # largest pow2 < B
-        while bs >= 1 and self._build_resident_batched(bs) is None:
+        while bs >= 1 and (
+                bs in bad
+                or self.batched_resident_budget(
+                    st, bs, self.model.floor_collision) > limit
+                or self._build_resident_batched(bs) is None):
             bs //= 2
         if bs < 1 or bs >= B:
             return None
+        run_b = self._build_resident_batched(bs)
+        G = -(-B // bs)
+        Bp = G * bs
+        pad = Bp - B
+        r = st["r"]
+        utst = self._resident_utst
+        shared_rb = not (per_sim and utst is not None)
+        if utst is not None and tl.size:
+            if per_sim:
+                tlp = (np.concatenate([tl, np.repeat(tl[-1:], pad,
+                                                     axis=0)])
+                       if pad else tl)
+                rb = np.einsum("dre,bted->btdr", utst,
+                               np.asarray(tlp, dtype=np.float64))
+            else:
+                rb = np.einsum("dre,ted->tdr", utst,
+                               np.asarray(tl, dtype=np.float64))
+        else:
+            rb = np.zeros((1, 3, r))
+        # gate on the per-GROUP expanded size, at the device itemsize
+        rb_group_bytes = (rb.size * bs if shared_rb
+                          else rb.size // G) * st["np_dtype"].itemsize
+        if rb_group_bytes > getattr(self, "_rb_seq_limit",
+                                    self.RESIDENT_RB_SEQ_LIMIT):
+            return None
 
-        def _pad_dev(x, pad):
-            return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+        key = ("batched_call_sliced", B, bs, shared_rb)
+        cache = getattr(self, "_batched_call_cache", None)
+        if cache is None:
+            cache = self._batched_call_cache = {}
+        call = cache.get(key)
+        if call is None:
+            perm_j = jnp.asarray(st["perm"])
+            iperm_j = jnp.asarray(st["iperm"])
+            n = st["n"]
 
-        parts = []
-        for i in range(0, B, bs):
-            sl = slice(i, i + bs)
-            pos_s, vel_s, f_s = positions[sl], velocities[sl], fext[sl]
-            tl_s = tl[sl] if per_sim else tl
-            pad = bs - int(pos_s.shape[0])
-            if pad:
-                pos_s = _pad_dev(jnp.asarray(pos_s), pad)
-                vel_s = _pad_dev(jnp.asarray(vel_s), pad)
-                f_s = _pad_dev(jnp.asarray(f_s), pad)
-                if per_sim:
-                    tl_s = np.concatenate(
-                        [tl_s, np.repeat(tl_s[-1:], pad, axis=0)])
-            out = self._run_batched_resident(pos_s, vel_s, f_s, tl_s,
-                                             per_sim, num_steps,
-                                             num_iterations)
-            if out is None:
-                return None
-            parts.append(out)
-        P = jnp.concatenate([o[0] for o in parts])[:B]
-        V = jnp.concatenate([o[1] for o in parts])[:B]
-        self._last_batched_path = (
-            f"batched-resident-sliced[{bs}x{len(parts)}]")
-        return P, V
+            @partial(jax.jit, static_argnames=("num_iterations",))
+            def call(pos, vel, fx, rb_dev, steps_arr, consts, arrays,
+                     num_iterations):
+                def padb(x):
+                    if not pad:
+                        return x
+                    return jnp.concatenate(
+                        [x, jnp.repeat(x[-1:], pad, axis=0)])
+
+                pos, vel, fx = padb(pos), padb(vel), padb(fx)
+                if shared_rb:
+                    T, _, rr = rb_dev.shape
+                    rb_g = jnp.broadcast_to(
+                        rb_dev[:, :, None, :],
+                        (T, 3, bs, rr)).reshape(T, 3 * bs, rr)
+                p_parts, v_parts = [], []
+                for g in range(G):
+                    sl = slice(g * bs, (g + 1) * bs)
+
+                    def pack(x):
+                        return x[sl][:, perm_j, :].transpose(
+                            2, 0, 1).reshape(3 * bs, n)
+
+                    if not shared_rb:    # (Bp, T, 3, r) -> (T, 3bs, r)
+                        rb_g = rb_dev[sl].transpose(1, 2, 0, 3).reshape(
+                            rb_dev.shape[1], 3 * bs, rb_dev.shape[-1])
+                    Pf, Vf = run_b.body(pack(pos), pack(vel), pack(fx),
+                                        rb_g, steps_arr, consts, arrays,
+                                        num_iterations)
+
+                    def unpack(y):
+                        return y.reshape(3, bs, n).transpose(1, 2, 0)[
+                            :, iperm_j, :]
+
+                    p_parts.append(unpack(Pf))
+                    v_parts.append(unpack(Vf))
+                return (jnp.concatenate(p_parts)[:B],
+                        jnp.concatenate(v_parts)[:B])
+
+            cache[key] = call
+        steps_arr = jnp.asarray([[num_steps]], dtype=jnp.int32)
+        consts, arrays = run_b.operands
+        try:
+            out = call(self._cast(positions), self._cast(velocities),
+                       self._cast(fext), self._cast(rb), steps_arr,
+                       consts, arrays, num_iterations=num_iterations)
+        except Exception as e:
+            import warnings
+
+            warnings.warn("fused sliced serving failed for sub-batch "
+                          f"{bs}; retrying smaller slices: {e}")
+            # mark bs bad for the SLICED context only — the standalone
+            # batched kernel at this size may still be fine (the fused
+            # module carries extra staging pressure), so don't poison
+            # _resident_batched[bs]
+            bad.add(bs)
+            cache.pop(key, None)
+            return self._run_batched_resident_sliced(
+                positions, velocities, fext, tl, per_sim, num_steps,
+                num_iterations)
+        self._last_batched_path = f"batched-resident-sliced[{bs}x{G}]"
+        return out
 
     def _targets_timeline_from(self, start_frame, num_steps):
         from animsnapbases_tpu.sim.solver import positional_targets_timeline
