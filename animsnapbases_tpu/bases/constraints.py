@@ -475,9 +475,12 @@ class ConstraintComponents:
         d = self.nonlinearSnapshots.dim
         K = self.numComp
         mesh = getattr(self, "pod_mesh", None)
-        if device is None and mesh is not None:
-            # a configured device mesh opts the pipeline into device
-            # compute (the sharded scan) unless the caller forces host
+        if device is None and (mesh is not None
+                               or getattr(self.param, "deim_device",
+                                          False)):
+            # a configured device mesh — or the deim_device config flag —
+            # opts the pipeline into the device scan unless the caller
+            # forces host
             device = True
         if device:
             from animsnapbases_tpu.ops.deim_scan import deim_rows_host_result
@@ -560,7 +563,9 @@ class ConstraintComponents:
         d = self.nonlinearSnapshots.dim
         K = self.numComp
         mesh = getattr(self, "pod_mesh", None)
-        if device is None and mesh is not None:
+        if device is None and (mesh is not None
+                               or getattr(self.param, "deim_device",
+                                          False)):
             device = True
         if device:
             from animsnapbases_tpu.ops.deim_scan import (

@@ -236,3 +236,31 @@ def test_device_comps_cache_invalidated_on_recompute(tmp_path):
     host = cc.geom_Pt.copy()
     cc.deim(device=True)              # must select from the NEW basis
     np.testing.assert_array_equal(cc.geom_Pt, host)
+
+
+def test_deim_device_config_flag_routes_to_device(tmp_path, monkeypatch):
+    """The `deim_device` config key (constraintProj_bases section) opts
+    the PRODUCT pipeline into the device scan without a mesh — same
+    picks, device path actually taken."""
+    import animsnapbases_tpu.bases.constraints as C
+
+    X = synthetic_p_tensor(F=16, e=12, p=2, seed=7)
+    cc = make_cc(tmp_path, X, K=8)
+    cc.compute_pod_vectorized()
+    cc.deim()                              # host default
+    host_pt = cc.geom_Pt.copy()
+
+    calls = []
+    from animsnapbases_tpu.ops import deim_scan as DS
+
+    real = DS.deim_rows_host_result
+
+    def spy(*a, **k):
+        calls.append(k.get("mesh"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(DS, "deim_rows_host_result", spy)
+    cc.param.deim_device = True
+    cc.deim()                              # flag routes to the device scan
+    assert calls == [None]                 # device path, no mesh
+    np.testing.assert_array_equal(cc.geom_Pt, host_pt)
