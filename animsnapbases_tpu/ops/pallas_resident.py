@@ -87,6 +87,148 @@ def _make_iteration_loop(layout, gather_slices, term_dispatch, garrs,
     return iterate
 
 
+def _make_affine_ctx(p_ref, v_ref, f_ref, minv_ref, ulift_ref, utac_ref,
+                     mutac, uselT, inv, iterate,
+                     b0_ref, b1_ref, bu0_ref, bu1_ref,
+                     ap_ref, av_ref, wp_ref, wv_ref, stale_ref,
+                     nb, r, n_sel, dt, dt2, eta, acc):
+    """Shared trace-time helpers of the AFFINE-coordinate kernels (the
+    contact-capable/lean build and the tier-1 early-exit build).
+
+    These are plain Python closures over the same expressions each
+    kernel previously inlined — tracing them produces identical jaxprs,
+    so sharing cannot re-introduce the Mosaic staging tax that motivated
+    keeping the kernels separate (only the traced branch structure
+    matters); it removes the triplicated source that every affine-math
+    change (damping, rebase, anchoring) had to be applied to in lockstep.
+    """
+    from types import SimpleNamespace
+
+    mm_dtype = ulift_ref.dtype
+    m_inv = minv_ref[:]
+    fa = dt2 * f_ref[:] * m_inv                 # constant per call
+    # base-coefficient selectors (identity rows over [b0, b1, fa]) built
+    # in-kernel: pallas cannot capture host constants
+    _col = jax.lax.broadcasted_iota(jnp.int32, (3 * nb, 3), 1)
+    e0 = (_col == 0).astype(fa.dtype)
+    e1 = (_col == 1).astype(fa.dtype)
+    e2 = (_col == 2).astype(fa.dtype)
+    zw = jnp.zeros((3 * nb, r), dtype=fa.dtype)
+    fa_sel = fa[:, :n_sel]
+    fa_y = fa[nb:2 * nb]
+    bu_fa = jnp.concatenate(
+        [_dot(fa[d * nb:(d + 1) * nb].astype(mm_dtype),
+              utac_ref[d], acc)
+         for d in range(3)], axis=0)            # (3nb, r)
+
+    def _damp(v):
+        return v if eta == 1.0 else eta * v
+
+    def project_base(X):
+        """(3nb, r) rows of X through U^T A_c (bf16-storage dots)."""
+        return jnp.concatenate(
+            [_dot(X[d * nb:(d + 1) * nb].astype(mm_dtype),
+                  utac_ref[d], acc)
+             for d in range(3)], axis=0)
+
+    def materialize(a, w):
+        """(3nb, N) state from base coefficients + reduced coords."""
+        out = (a[:, 0:1] * b0_ref[:] + a[:, 1:2] * b1_ref[:]
+               + a[:, 2:3] * fa)
+        return out + jnp.concatenate(
+            [_dot(w[d * nb:(d + 1) * nb].astype(mm_dtype),
+                  ulift_ref[d], acc)
+             for d in range(3)], axis=0)
+
+    def init_anchors():
+        """Anchor the bases at the entry state; base projections (bu)
+        are computed LAZILY (stale flag)."""
+        b0_ref[:] = p_ref[:]
+        b1_ref[:] = v_ref[:]
+        ap_ref[:] = e0
+        av_ref[:] = e1
+        wp_ref[:] = zw
+        wv_ref[:] = zw
+        stale_ref[0, 0] = 1
+
+    def refresh_bu():
+        @pl.when(stale_ref[0, 0] == 1)
+        def _():
+            bu0_ref[:] = project_base(b0_ref[:])
+            bu1_ref[:] = project_base(b1_ref[:])
+            stale_ref[0, 0] = 0
+
+    def predictor():
+        """Read the coefficient state and form the damped predictor."""
+        ap = ap_ref[:]
+        av = av_ref[:]
+        wp = wp_ref[:]
+        wv = wv_ref[:]
+        avd = _damp(av)
+        asn = ap + dt * avd + e2
+        wsn = wp + dt * _damp(wv)
+        return ap, av, wp, wv, avd, asn, wsn
+
+    def y_predictor(asn, wsn):
+        """Materialize ONLY the y rows of the predictor (one
+        (nb, r) x (r, N) dot) — the exact floor-contact check."""
+        return (asn[nb:2 * nb, 0:1] * b0_ref[nb:2 * nb]
+                + asn[nb:2 * nb, 1:2] * b1_ref[nb:2 * nb]
+                + asn[nb:2 * nb, 2:3] * fa_y
+                + _dot(wsn[nb:2 * nb].astype(mm_dtype),
+                       ulift_ref[1], acc))
+
+    def rebase():
+        """Re-anchor the base pair at the CURRENT materialized state and
+        reset the coefficients (affine mode)."""
+        Pf = materialize(ap_ref[:], wp_ref[:])
+        Vf = materialize(av_ref[:], wv_ref[:])
+        b0_ref[:] = Pf
+        b1_ref[:] = Vf
+        ap_ref[:] = e0
+        av_ref[:] = e1
+        wp_ref[:] = zw
+        wv_ref[:] = zw
+        stale_ref[0, 0] = 1
+
+    def free_step(asn, wsn, avd, wp, rb_ex, num_iterations):
+        """One contact-free step entirely in affine coordinates."""
+        refresh_bu()
+        rb_lin = (asn[:, 0:1] * bu0_ref[:]
+                  + asn[:, 1:2] * bu1_ref[:]
+                  + asn[:, 2:3] * bu_fa
+                  + jnp.concatenate(
+                      [_dot(wsn[d * nb:(d + 1) * nb],
+                            mutac[d], acc)
+                       for d in range(3)], axis=0))
+        rb_const = rb_ex - rb_lin
+        snT_sel = (asn[:, 0:1] * b0_ref[:, :n_sel]
+                   + asn[:, 1:2] * b1_ref[:, :n_sel]
+                   + asn[:, 2:3] * fa_sel
+                   + jnp.concatenate(
+                       [_dot(wsn[d * nb:(d + 1) * nb],
+                             uselT[d], acc)
+                        for d in range(3)], axis=0))
+        rb = iterate(snT_sel, rb_const, num_iterations)
+        u = jnp.concatenate(
+            [_dot(rb[d * nb:(d + 1) * nb], inv[d], acc)
+             for d in range(3)], axis=0)
+        wq = wsn + u
+        # aq == asn and (aq - ap)/dt == eta*av + e2/dt exactly: update
+        # coefficients without the cancellation-prone subtract
+        ap_ref[:] = asn
+        av_ref[:] = avd + e2 / dt
+        wp_ref[:] = wq
+        wv_ref[:] = (wq - wp) / dt
+
+    return SimpleNamespace(
+        fa=fa, e0=e0, e1=e1, e2=e2, zw=zw, fa_sel=fa_sel, fa_y=fa_y,
+        bu_fa=bu_fa, damp=_damp, project_base=project_base,
+        materialize=materialize, init_anchors=init_anchors,
+        refresh_bu=refresh_bu, predictor=predictor,
+        y_predictor=y_predictor, rebase=rebase, free_step=free_step)
+
+
 def _make_runners(_body, const_inputs, flat_arrays):
     """Wrap a resident-kernel body into ``run`` (rb timeline passed with
     the call) and ``run.windowed`` (window sliced from a device-resident
@@ -223,8 +365,11 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
             # fext is constant across the whole call: fold dt^2 * f / m once
             fa = dt2 * f_ref[:] * m_inv
             mm_dtype = ulift_ref.dtype
-            row_is_y = (jax.lax.broadcasted_iota(
-                jnp.int32, (3 * nb, n), 0) // nb) == 1
+            if floor:
+                # state-sized selector only traced when the clamp needs
+                # it — dead (3nb, N) values add Mosaic staging pressure
+                row_is_y = (jax.lax.broadcasted_iota(
+                    jnp.int32, (3 * nb, n), 0) // nb) == 1
             iterate = _make_iteration_loop(layout, gather_slices,
                                            term_dispatch, garrs, WT,
                                            G_allT, usel_inv, r, acc, nb)
@@ -415,58 +560,30 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
             G_allT = gall_ref[:]
             mutac = mutac_ref[:]
             uselT = uselt_ref[:]
-            m_inv = minv_ref[:]
             t_len = rbex_ref.shape[0] // (3 * nb)   # (3*nb*T, r) layout
-            fa = dt2 * f_ref[:] * m_inv                 # constant per call
             mm_dtype = ulift_ref.dtype
             iterate = _make_iteration_loop(layout, gather_slices,
                                            term_dispatch, garrs, WT,
                                            G_allT, usel_inv, r, acc, nb)
-            # base-coefficient selectors (identity rows over
-            # [b0, b1, fa]) built in-kernel: pallas cannot capture host
-            # constants
-            _col = jax.lax.broadcasted_iota(jnp.int32, (3 * nb, 3), 1)
-            e0 = (_col == 0).astype(fa.dtype)
-            e1 = (_col == 1).astype(fa.dtype)
-            e2 = (_col == 2).astype(fa.dtype)
-            zw = jnp.zeros((3 * nb, r), dtype=fa.dtype)
-            fa_sel = fa[:, :n_sel]
-            bu_fa = jnp.concatenate(
-                [_dot(fa[d * nb:(d + 1) * nb].astype(mm_dtype),
-                      utac_ref[d], acc)
-                 for d in range(3)], axis=0)            # (3nb, r)
+            ctx = _make_affine_ctx(p_ref, v_ref, f_ref, minv_ref,
+                                   ulift_ref, utac_ref, mutac, uselT,
+                                   inv, iterate, b0_ref, b1_ref,
+                                   bu0_ref, bu1_ref, ap_ref, av_ref,
+                                   wp_ref, wv_ref, stale_ref,
+                                   nb, r, n_sel, dt, dt2, eta, acc)
+            fa = ctx.fa
+            e0, e1, e2, zw = ctx.e0, ctx.e1, ctx.e2, ctx.zw
+            fa_sel, fa_y, bu_fa = ctx.fa_sel, ctx.fa_y, ctx.bu_fa
+            _damp = ctx.damp
+            materialize = ctx.materialize
+            project_base = ctx.project_base
+            _refresh_bu = ctx.refresh_bu
             if floor:
                 row_is_y = (jax.lax.broadcasted_iota(
                     jnp.int32, (3 * nb, n), 0) // nb) == 1
 
-            def project_base(X):
-                """(3nb, r) rows of X through U^T A_c (bf16-storage dots)."""
-                return jnp.concatenate(
-                    [_dot(X[d * nb:(d + 1) * nb].astype(mm_dtype),
-                          utac_ref[d], acc)
-                     for d in range(3)], axis=0)
-
-            def materialize(a, w):
-                """(3nb, N) state from base coefficients + reduced coords."""
-                out = (a[:, 0:1] * b0_ref[:] + a[:, 1:2] * b1_ref[:]
-                       + a[:, 2:3] * fa)
-                return out + jnp.concatenate(
-                    [_dot(w[d * nb:(d + 1) * nb].astype(mm_dtype),
-                          ulift_ref[d], acc)
-                     for d in range(3)], axis=0)
-
-            # anchor the bases at the entry state; base projections (bu)
-            # are computed LAZILY (stale flag)
-            b0_ref[:] = p_ref[:]
-            b1_ref[:] = v_ref[:]
-            ap_ref[:] = e0
-            av_ref[:] = e1
-            wp_ref[:] = zw
-            wv_ref[:] = zw
-            stale_ref[0, 0] = 1
+            ctx.init_anchors()
             mode_ref[0, 0] = 0          # 0 = affine, 1 = contact-y
-            if floor:
-                fa_y = fa[nb:2 * nb]
             if floor and contact_mode:
                 bu_fa_y = bu_fa[nb:2 * nb]
                 py_ref[:] = jnp.zeros((nb, n), dtype=fa.dtype)
@@ -479,13 +596,6 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                 return jnp.concatenate(
                     [full[0:nb], y_block, full[2 * nb:]], axis=0)
 
-            def _refresh_bu():
-                @pl.when(stale_ref[0, 0] == 1)
-                def _():
-                    bu0_ref[:] = project_base(b0_ref[:])
-                    bu1_ref[:] = project_base(b1_ref[:])
-                    stale_ref[0, 0] = 0
-
             def step(i, carry):
                 do = jnp.logical_and(
                     i > 0,
@@ -494,15 +604,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
 
                 @pl.when(do & (mode_ref[0, 0] == 0))
                 def _rebase():
-                    Pf = materialize(ap_ref[:], wp_ref[:])
-                    Vf = materialize(av_ref[:], wv_ref[:])
-                    b0_ref[:] = Pf
-                    b1_ref[:] = Vf
-                    ap_ref[:] = e0
-                    av_ref[:] = e1
-                    wp_ref[:] = zw
-                    wv_ref[:] = zw
-                    stale_ref[0, 0] = 1
+                    ctx.rebase()
 
                 if floor and contact_mode:
                     # contact-mode rebase: mixed materialization (x/z
@@ -525,45 +627,13 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                         mode_ref[0, 0] = 0
 
                 mode = mode_ref[0, 0]
-                ap = ap_ref[:]
-                av = av_ref[:]
-                wp = wp_ref[:]
-                wv = wv_ref[:]
-                avd = _damp(av)
-                asn = ap + dt * avd + e2
-                wsn = wp + dt * _damp(wv)
+                ap, av, wp, wv, avd, asn, wsn = ctx.predictor()
                 rb_ex = rbex_ref[
                     pl.ds(3 * nb * jnp.minimum(i, t_len - 1), 3 * nb)]
 
                 def affine_step():
-                    _refresh_bu()
-                    rb_lin = (asn[:, 0:1] * bu0_ref[:]
-                              + asn[:, 1:2] * bu1_ref[:]
-                              + asn[:, 2:3] * bu_fa
-                              + jnp.concatenate(
-                                  [_dot(wsn[d * nb:(d + 1) * nb],
-                                        mutac[d], acc)
-                                   for d in range(3)], axis=0))
-                    rb_const = rb_ex - rb_lin
-                    snT_sel = (asn[:, 0:1] * b0_ref[:, :n_sel]
-                               + asn[:, 1:2] * b1_ref[:, :n_sel]
-                               + asn[:, 2:3] * fa_sel
-                               + jnp.concatenate(
-                                   [_dot(wsn[d * nb:(d + 1) * nb],
-                                         uselT[d], acc)
-                                    for d in range(3)], axis=0))
-                    rb = iterate(snT_sel, rb_const, num_iterations)
-                    u = jnp.concatenate(
-                        [_dot(rb[d * nb:(d + 1) * nb], inv[d], acc)
-                         for d in range(3)], axis=0)
-                    wq = wsn + u
-                    # aq == asn and (aq - ap)/dt == eta*av + e2/dt exactly:
-                    # update coefficients without the cancellation-prone
-                    # subtract
-                    ap_ref[:] = asn
-                    av_ref[:] = avd + e2 / dt
-                    wp_ref[:] = wq
-                    wv_ref[:] = (wq - wp) / dt
+                    ctx.free_step(asn, wsn, avd, wp, rb_ex,
+                                  num_iterations)
 
                 if floor and contact_mode:
                     def contact_mode_step():
@@ -572,9 +642,12 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                         y is materialized with incrementally-maintained
                         projections.  TWO big dots: pc and the y lift."""
                         _refresh_bu()
-                        avd_ = _damp(av_ref[:])
-                        asn_ = ap_ref[:] + dt * avd_ + e2
-                        wsn_ = wp_ref[:] + dt * _damp(wv_ref[:])
+                        # the outer asn/wsn/avd are still exact here:
+                        # neither the rebase blocks (they run before the
+                        # outer reads) nor _enter_contact (it only writes
+                        # py/vy/bupy/buvy + the mode flag) touch
+                        # ap/av/wp/wv between those reads and this step
+                        asn_, wsn_, avd_ = asn, wsn, avd
                         sn_y = py_ref[:] + dt * _damp(vy_ref[:]) + fa_y
                         sn_y_cl = jnp.maximum(sn_y, floor_h)
                         corr_y = sn_y_cl - sn_y
@@ -607,7 +680,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                         # x/z: standard affine coefficient updates (the y
                         # rows of these arrays are dead in contact mode)
                         wq = wsn_ + u
-                        wp_old = wp_ref[:]
+                        wp_old = wp
                         ap_ref[:] = asn_
                         av_ref[:] = avd_ + e2 / dt
                         wp_ref[:] = wq
@@ -624,14 +697,8 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
 
                     @pl.when(mode == 0)
                     def _affine_mode():
-                        # exact contact check: materialize ONLY the y
-                        # rows of the predictor (one (nb, r) x (r, N)
-                        # dot)
-                        sn_y = (asn[nb:2 * nb, 0:1] * b0_ref[nb:2 * nb]
-                                + asn[nb:2 * nb, 1:2] * b1_ref[nb:2 * nb]
-                                + asn[nb:2 * nb, 2:3] * fa_y
-                                + _dot(wsn[nb:2 * nb].astype(mm_dtype),
-                                       ulift_ref[1], acc))
+                        # exact contact check on the y-row predictor
+                        sn_y = ctx.y_predictor(asn, wsn)
                         clamped = jnp.any(sn_y < floor_h)
 
                         @pl.when(jnp.logical_not(clamped))
@@ -684,11 +751,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                     # models): exact standard step on the materialized
                     # state, then re-anchor the affine base — no extra
                     # per-step state for Mosaic to keep resident
-                    sn_y = (asn[nb:2 * nb, 0:1] * b0_ref[nb:2 * nb]
-                            + asn[nb:2 * nb, 1:2] * b1_ref[nb:2 * nb]
-                            + asn[nb:2 * nb, 2:3] * fa_y
-                            + _dot(wsn[nb:2 * nb].astype(mm_dtype),
-                                   ulift_ref[1], acc))
+                    sn_y = ctx.y_predictor(asn, wsn)
                     clamped = jnp.any(sn_y < floor_h)
 
                     @pl.when(jnp.logical_not(clamped))
@@ -861,46 +924,19 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
             G_allT = gall_ref[:]
             mutac = mutac_ref[:]
             uselT = uselt_ref[:]
-            m_inv = minv_ref[:]
             t_len = rbex_ref.shape[0] // (3 * nb)
-            fa = dt2 * f_ref[:] * m_inv
-            mm_dtype = ulift_ref.dtype
             iterate = _make_iteration_loop(layout, gather_slices,
                                            term_dispatch, garrs, WT,
                                            G_allT, usel_inv, r, acc, nb)
-            _col = jax.lax.broadcasted_iota(jnp.int32, (3 * nb, 3), 1)
-            e0 = (_col == 0).astype(fa.dtype)
-            e1 = (_col == 1).astype(fa.dtype)
-            e2 = (_col == 2).astype(fa.dtype)
-            zw = jnp.zeros((3 * nb, r), dtype=fa.dtype)
-            fa_sel = fa[:, :n_sel]
-            fa_y = fa[nb:2 * nb]
-            bu_fa = jnp.concatenate(
-                [_dot(fa[d * nb:(d + 1) * nb].astype(mm_dtype),
-                      utac_ref[d], acc)
-                 for d in range(3)], axis=0)
+            ctx = _make_affine_ctx(p_ref, v_ref, f_ref, minv_ref,
+                                   ulift_ref, utac_ref, mutac, uselT,
+                                   inv, iterate, b0_ref, b1_ref,
+                                   bu0_ref, bu1_ref, ap_ref, av_ref,
+                                   wp_ref, wv_ref, stale_ref,
+                                   nb, r, n_sel, dt, dt2, eta, acc)
+            materialize = ctx.materialize
 
-            def project_base(X):
-                return jnp.concatenate(
-                    [_dot(X[d * nb:(d + 1) * nb].astype(mm_dtype),
-                          utac_ref[d], acc)
-                     for d in range(3)], axis=0)
-
-            def materialize(a, w):
-                out = (a[:, 0:1] * b0_ref[:] + a[:, 1:2] * b1_ref[:]
-                       + a[:, 2:3] * fa)
-                return out + jnp.concatenate(
-                    [_dot(w[d * nb:(d + 1) * nb].astype(mm_dtype),
-                          ulift_ref[d], acc)
-                     for d in range(3)], axis=0)
-
-            b0_ref[:] = p_ref[:]
-            b1_ref[:] = v_ref[:]
-            ap_ref[:] = e0
-            av_ref[:] = e1
-            wp_ref[:] = zw
-            wv_ref[:] = zw
-            stale_ref[0, 0] = 1
+            ctx.init_anchors()
             done_ref[0, 0] = 0
             out_k_ref[0, 0] = 0
 
@@ -917,32 +953,14 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
 
                     @pl.when(do)
                     def _rebase():
-                        Pf = materialize(ap_ref[:], wp_ref[:])
-                        Vf = materialize(av_ref[:], wv_ref[:])
-                        b0_ref[:] = Pf
-                        b1_ref[:] = Vf
-                        ap_ref[:] = e0
-                        av_ref[:] = e1
-                        wp_ref[:] = zw
-                        wv_ref[:] = zw
-                        stale_ref[0, 0] = 1
+                        ctx.rebase()
 
-                    ap = ap_ref[:]
-                    av = av_ref[:]
-                    wp = wp_ref[:]
-                    wv = wv_ref[:]
-                    avd = _damp(av)
-                    asn = ap + dt * avd + e2
-                    wsn = wp + dt * _damp(wv)
+                    _, _, wp, _, avd, asn, wsn = ctx.predictor()
                     rb_ex = rbex_ref[
                         pl.ds(3 * nb * jnp.minimum(i, t_len - 1), 3 * nb)]
 
                     # exact contact check on the y-row predictor
-                    sn_y = (asn[nb:2 * nb, 0:1] * b0_ref[nb:2 * nb]
-                            + asn[nb:2 * nb, 1:2] * b1_ref[nb:2 * nb]
-                            + asn[nb:2 * nb, 2:3] * fa_y
-                            + _dot(wsn[nb:2 * nb].astype(mm_dtype),
-                                   ulift_ref[1], acc))
+                    sn_y = ctx.y_predictor(asn, wsn)
                     clamped = jnp.any(sn_y < floor_h)
 
                     @pl.when(clamped)
@@ -953,36 +971,8 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
 
                     @pl.when(jnp.logical_not(clamped))
                     def _free():
-                        @pl.when(stale_ref[0, 0] == 1)
-                        def _refresh():
-                            bu0_ref[:] = project_base(b0_ref[:])
-                            bu1_ref[:] = project_base(b1_ref[:])
-                            stale_ref[0, 0] = 0
-
-                        rb_lin = (asn[:, 0:1] * bu0_ref[:]
-                                  + asn[:, 1:2] * bu1_ref[:]
-                                  + asn[:, 2:3] * bu_fa
-                                  + jnp.concatenate(
-                                      [_dot(wsn[d * nb:(d + 1) * nb],
-                                            mutac[d], acc)
-                                       for d in range(3)], axis=0))
-                        rb_const = rb_ex - rb_lin
-                        snT_sel = (asn[:, 0:1] * b0_ref[:, :n_sel]
-                                   + asn[:, 1:2] * b1_ref[:, :n_sel]
-                                   + asn[:, 2:3] * fa_sel
-                                   + jnp.concatenate(
-                                       [_dot(wsn[d * nb:(d + 1) * nb],
-                                             uselT[d], acc)
-                                        for d in range(3)], axis=0))
-                        rb = iterate(snT_sel, rb_const, num_iterations)
-                        u = jnp.concatenate(
-                            [_dot(rb[d * nb:(d + 1) * nb], inv[d], acc)
-                             for d in range(3)], axis=0)
-                        wq = wsn + u
-                        ap_ref[:] = asn
-                        av_ref[:] = avd + e2 / dt
-                        wp_ref[:] = wq
-                        wv_ref[:] = (wq - wp) / dt
+                        ctx.free_step(asn, wsn, avd, wp, rb_ex,
+                                      num_iterations)
                         out_k_ref[0, 0] = out_k_ref[0, 0] + 1
                 return carry
 

@@ -643,9 +643,14 @@ class AnimSnapBasesSolver:
             st["mm_dtype"].itemsize, st["np_dtype"].itemsize, nb=nb)
         if st["use_affine"]:
             # materialization temporaries, (3*nb, N) (the base anchors
-            # live in the output buffers — no b0/b1 scratch)
+            # live in the output buffers — no b0/b1 scratch), plus the
+            # per-sim small temporaries (3nb, r)/(3nb, n_sel) and the
+            # SHARED M_utac (3, r, r) + U_selT (3, r, n_sel) operands
+            # (same term the solo gate charges)
             budget += (2 * 3 * nb * st["n"] * st["np_dtype"].itemsize
                        + 3 * nb * (st["r"] + st["n_sel"])
+                       * st["np_dtype"].itemsize
+                       + 3 * st["r"] * (st["r"] + st["n_sel"])
                        * st["np_dtype"].itemsize)
             if st["contact_mode"] and floor_collision:
                 # contact-mode y scratch: Py/Vy (nb, N) + buPy/buVy
