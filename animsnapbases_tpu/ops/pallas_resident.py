@@ -32,21 +32,60 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# scoped-VMEM ceiling for the resident kernels (v5e: 128 MB/core;
+# ~16 MB left for the runtime).  The former 100 MB ceiling left the
+# last ~12 MB of the core unused and rejected the 100k-vertex affine
+# kernel by 2.55 MB.
+SCOPED_VMEM_LIMIT = 112 * (1 << 20)
+
+
 def _dot(a, b, acc):
     return jnp.dot(a, b, preferred_element_type=acc)
+
+
+def _dot_nt(x, wT, acc):
+    """``x @ wT.T`` without materializing the transpose: contracts the
+    MINOR dims of both operands (the MXU-native NT form).  Lets
+    (r, N)-layout operands keep N on the lane axis — an (N, r) layout
+    pads r up to the 128-lane VMEM tile (16x waste at r=8, 2.7x at
+    r=48), which is what capped resident-kernel model sizes."""
+    return jax.lax.dot_general(
+        x, wT, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc)
 
 
 def estimate_vmem_bytes(n_verts: int, r: int, n_sel: int, g_total: int,
                         m_total: int, mm_bytes: int, state_bytes: int,
                         nb: int = 1) -> int:
-    """Rough VMEM footprint of the resident kernel's operands (``nb``
-    batched sims share the big matrices; only per-sim state scales)."""
-    big = 2 * 3 * n_verts * r * mm_bytes          # U lift + Ut A_c
-    state = 4 * 3 * nb * n_verts * state_bytes    # P, V, fext, sn
-    small = (3 * r * n_sel + 3 * r * r + 3 * m_total * r
-             + n_sel * g_total) * state_bytes
+    """TILING-AWARE VMEM footprint of the resident kernel's operands
+    (``nb`` batched sims share the big matrices; only per-sim state
+    scales).
+
+    VMEM arrays tile as (sublane, 128-lane) blocks — sublane count 8
+    for 4-byte and 16 for 2-byte elements — so the MINOR dim pads to a
+    multiple of 128 and the second-minor to the sublane count.  Layout
+    therefore dominates the real footprint: an (N, r) array pads r up
+    to 128 (16x waste at r=8), which is why the big matrices are stored
+    (3, r, N) with N on the lane axis (see ``_dot_nt``)."""
+    def pad(x, m):
+        return -(-x // m) * m
+
+    lane_n = pad(n_verts, 128)
+    mm_sub = 8 if mm_bytes >= 4 else 16
+    st_sub = 8 if state_bytes >= 4 else 16
+    # U lift + Ut A_c, both (3, r, N): N on lanes, r on sublanes
+    big = 2 * 3 * pad(r, mm_sub) * lane_n * mm_bytes
+    # P, V, fext, sn — dim-major (3nb, N) state rows
+    state = 4 * pad(3 * nb, st_sub) * lane_n * state_bytes
+    small = (3 * pad(r, st_sub) * pad(n_sel, 128)      # U_selT / usel_inv
+             + 3 * pad(r, st_sub) * pad(r, 128)        # inv3 / M_utac
+             + 3 * pad(m_total, st_sub) * pad(r, 128)  # WT_all
+             + pad(n_sel, st_sub) * pad(g_total, 128)  # G_allT
+             ) * state_bytes
     # per-sim iteration temporaries (Vall, pT, qT)
-    temps = 3 * nb * (g_total + m_total + n_sel) * state_bytes
+    temps = (pad(3 * nb, st_sub)
+             * (pad(g_total, 128) + pad(m_total, 128) + pad(n_sel, 128))
+             * state_bytes)
     return big + state + small + temps + (1 << 20)
 
 
@@ -117,18 +156,19 @@ def _make_affine_ctx(p_ref, v_ref, f_ref, minv_ref, ulift_ref, utac_ref,
     fa_sel = fa[:, :n_sel]
     fa_y = fa[nb:2 * nb]
     bu_fa = jnp.concatenate(
-        [_dot(fa[d * nb:(d + 1) * nb].astype(mm_dtype),
-              utac_ref[d], acc)
+        [_dot_nt(fa[d * nb:(d + 1) * nb].astype(mm_dtype),
+                 utac_ref[d], acc)
          for d in range(3)], axis=0)            # (3nb, r)
 
     def _damp(v):
         return v if eta == 1.0 else eta * v
 
     def project_base(X):
-        """(3nb, r) rows of X through U^T A_c (bf16-storage dots)."""
+        """(3nb, r) rows of X through U^T A_c (bf16-storage NT dots;
+        utac is stored (3, r, N) so N rides the lane axis)."""
         return jnp.concatenate(
-            [_dot(X[d * nb:(d + 1) * nb].astype(mm_dtype),
-                  utac_ref[d], acc)
+            [_dot_nt(X[d * nb:(d + 1) * nb].astype(mm_dtype),
+                     utac_ref[d], acc)
              for d in range(3)], axis=0)
 
     def materialize(a, w):
@@ -314,7 +354,9 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
     path (default 1.0 reproduces the reference exactly).
 
     iteration_terms: operand dict from ``prepare_fused_operands``;
-    U_liftT (3, r, N) and ut_acT (3, N, r) may be low-precision; rb_seq
+    U_liftT and ut_acT (both (3, r, N) — N on the lane axis; an
+    (N, r) minor-dim layout pads r to the 128-lane VMEM tile) may
+    be low-precision; rb_seq
     carries the per-STEP positional-target contribution (step i uses
     ``rb_seq[min(i, T-1)]`` — T == 1 for static targets, a pow2-padded
     timeline for animated ones, e.g. the poke scenarios).
@@ -350,7 +392,7 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
             garrs = [ref[:] for ref in refs[12:12 + len(flat_arrays)]]
             out_p_ref, out_v_ref = refs[12 + len(flat_arrays):]
 
-            # NOTE: the big (3, N, r)/(3, r, N) matrices stay as refs and
+            # NOTE: the big (3, r, N) matrices stay as refs and
             # are sliced per dim — loading them wholesale would materialize
             # them on the kernel stack and blow the VMEM budget
             usel_inv = uselinv_ref[:]
@@ -385,10 +427,11 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
                 sn = P + dtv * V + fa
                 if floor:
                     sn = jnp.where(row_is_y & (sn < floor_h), floor_h, sn)
-                # rb_const = -U^T A_c sn (+ positional extra)
+                # rb_const = -U^T A_c sn (+ positional extra); utac is
+                # (3, r, N) — NT dot keeps N on the lane axis
                 rb_const = rb_extra - jnp.concatenate(
-                    [_dot(sn[d * nb:(d + 1) * nb].astype(mm_dtype),
-                          utac_ref[d], acc)
+                    [_dot_nt(sn[d * nb:(d + 1) * nb].astype(mm_dtype),
+                             utac_ref[d], acc)
                      for d in range(3)], axis=0)             # (3nb, r)
                 snT_sel = sn[:, :n_sel]
                 rb = iterate(snT_sel, rb_const, num_iterations)
@@ -418,7 +461,7 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
             # plus matmul staging need a bit more headroom (v5e has 128 MB
             # per core; bridge-scale operands are ~41 MB)
             compiler_params = pltpu.CompilerParams(
-                vmem_limit_bytes=100 * (1 << 20))
+                vmem_limit_bytes=SCOPED_VMEM_LIMIT)
         return pl.pallas_call(
             kernel,
             out_shape=out_shape,
@@ -651,8 +694,8 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                         sn_y = py_ref[:] + dt * _damp(vy_ref[:]) + fa_y
                         sn_y_cl = jnp.maximum(sn_y, floor_h)
                         corr_y = sn_y_cl - sn_y
-                        pc = _dot(corr_y.astype(mm_dtype), utac_ref[1],
-                                  acc)                        # (nb, r)
+                        pc = _dot_nt(corr_y.astype(mm_dtype),
+                                     utac_ref[1], acc)        # (nb, r)
                         # projection of the damped y predictor (buVy is
                         # the projection of Vy, so eta rides through)
                         bupsn = (bupy_ref[:] + dt * _damp(buvy_ref[:])
@@ -820,7 +863,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
         compiler_params = None
         if not interpret:
             compiler_params = pltpu.CompilerParams(
-                vmem_limit_bytes=100 * (1 << 20))
+                vmem_limit_bytes=SCOPED_VMEM_LIMIT)
         sdt = jnp.dtype(state_dtype)
         return pl.pallas_call(
             kernel,
@@ -993,7 +1036,7 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
         compiler_params = None
         if not interpret:
             compiler_params = pltpu.CompilerParams(
-                vmem_limit_bytes=100 * (1 << 20))
+                vmem_limit_bytes=SCOPED_VMEM_LIMIT)
         sdt = jnp.dtype(state_dtype)
         return pl.pallas_call(
             kernel,

@@ -200,6 +200,15 @@ class AnimSnapBasesSolver:
     # (see _run_batched_resident), so the only cost of an optimistic gate
     # is one slow first chunk.  84 MB leaves ~16 MB for matmul staging
     # and the rb window.  Instance override: resident_batched_vmem_limit.
+    # single-sim resident-kernel operand gate (override per instance
+    # with resident_vmem_limit); raised from the original conservative
+    # 48 MB after the affine base anchors moved into the output buffers
+    # and ut_acT went to the (3, r, N) NT layout — a 317x317
+    # (100k-vertex) cloth at r=48 budgets 71.5 MB (tiling-aware) and
+    # runs at ~40k steps/s via the standard kernel (the affine builds
+    # hit the Mosaic register-spill regime at that scale and the tier-1
+    # VMEM failure auto-downgrades to standard, see run_steps)
+    RESIDENT_VMEM_LIMIT = 72 * (1 << 20)
     BATCHED_VMEM_LIMIT = 84 * (1 << 20)
     # headroom the FUSED sliced-serving search subtracts from the batched
     # gate: multiple kernel calls in one jit overlap the next group's
@@ -502,21 +511,24 @@ class AnimSnapBasesSolver:
         # and the plain U_selT (3, r, n_sel)
         affine_extra = (2 * 3 * n * np_dtype.itemsize
                         + 3 * r * (r + n_sel) * np_dtype.itemsize)
-        use_affine = budget + affine_extra <= 48 * (1 << 20)
+        limit = getattr(self, "resident_vmem_limit",
+                        self.RESIDENT_VMEM_LIMIT)
+        use_affine = budget + affine_extra <= limit
         if use_affine:
             budget += affine_extra
-        # 48 MB leaves headroom under the kernel's 100 MB scoped-vmem limit
-        # for matmul staging, double-buffered state, and a per-call rb
-        # window of up to 32 MB (v5e: 128 MB/core); if Mosaic still can't
-        # fit it, run_steps falls back at first call.
-        if budget > 48 * (1 << 20):
+        # the gate leaves headroom under the kernel's 100 MB scoped-vmem
+        # limit for matmul staging, double-buffered state, and a per-call
+        # rb window (v5e: 128 MB/core); if Mosaic still can't fit it,
+        # run_steps falls back at first call.
+        if budget > limit:
             return None
         if mm_dtype.itemsize == 8 and not interpret:
             return None          # no native f64 dots in Mosaic
-        # per-call rb-timeline allowance: 48 MB operands + 32 MB window +
-        # staging stays under the 100 MB scoped limit — lets animated
-        # schedules run 16k-step chunks in one dispatch
-        self._rb_seq_limit = 32 * (1 << 20)
+        # per-call rb-timeline allowance: gate + window + staging stays
+        # under the 100 MB scoped limit — lets animated schedules run
+        # 16k-step chunks in one dispatch; shrinks for near-gate models
+        self._rb_seq_limit = min(32 * (1 << 20),
+                                 max(96 * (1 << 20) - budget, 1 << 20))
 
         perm = np.concatenate([union,
                                np.setdiff1d(np.arange(n), union)])
@@ -524,9 +536,11 @@ class AnimSnapBasesSolver:
         U_perm = self.U[perm]                                # (N, r, 3)
         U_liftT = np.ascontiguousarray(
             U_perm.transpose(2, 1, 0)).astype(mm_dtype)      # (3, r, N)
+        # (3, r, N) — N on the LANE axis: an (N, r) layout pads r up to
+        # the 128-lane VMEM tile (2.7x waste at r=48, 16x at r=8); the
+        # kernels contract it with the NT-form dot_general instead
         ut_acT = np.ascontiguousarray(
-            self._ut_ac_np[:, :, perm].transpose(0, 2, 1)).astype(
-            mm_dtype)                                        # (3, N, r)
+            self._ut_ac_np[:, :, perm]).astype(mm_dtype)
         mass_inv = (1.0 / self.model.mass[perm])[None, :].astype(np_dtype)
 
         pos_group = self.model.groups.get("positional")
@@ -1862,6 +1876,32 @@ class AnimSnapBasesSolver:
                         warnings.warn("early-exit kernel failed; "
                                       f"disabling tier 1: {e}")
                         self._resident_fast = None
+                        fallback = getattr(self, "_resident_fallback",
+                                           None)
+                        if (fallback is not None
+                                and self._resident_kind == "affine"
+                                and "vmem" in str(e).lower()):
+                            # a tier-1 VMEM failure marks the Mosaic
+                            # register-SPILL regime (the contact-less
+                            # kernel spilled 69.6 MB at a 100k-vertex
+                            # cloth), where the lean affine kernel is
+                            # SLOWER than the standard build (15k vs
+                            # 39k steps/s measured) — swap to standard
+                            # outright instead of limping on affine
+                            warnings.warn(
+                                "tier-1 VMEM failure marks the spill "
+                                "regime; switching the resident kernel "
+                                "to the standard build")
+                            self._resident = (fallback(), perm, iperm)
+                            self._resident_kind = "standard"
+                            self._resident_fallback = None
+                            if self._resident_state is not None:
+                                self._resident_state["use_affine"] = \
+                                    False
+                            self._resident_batched = {}
+                            self._batched_call_cache = {}
+                            return self.run_steps(fext, num_steps,
+                                                  num_iterations)
                     if k is not None:
                         model.positions = np.asarray(
                             Pf, dtype=float).T[iperm]

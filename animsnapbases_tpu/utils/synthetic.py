@@ -19,7 +19,8 @@ import numpy as np
 
 def synthetic_reduced_solver(model, K: int = 6, r: int = 8,
                              extra_args: dict | None = None,
-                             dtype=None, pallas_mode: str = "auto"):
+                             dtype=None, pallas_mode: str = "auto",
+                             matmul_dtype=None):
     """Returns a prepared fully-reduced solver for ``model``.
 
     Every non-positional group gets a (K, e*p, 3) random basis with K
@@ -69,7 +70,8 @@ def synthetic_reduced_solver(model, K: int = 6, r: int = 8,
     for k, v in (extra_args or {}).items():
         setattr(args, k, v)
 
-    solver = AnimSnapBasesSolver(args, dtype=dtype, pallas_mode=pallas_mode)
+    solver = AnimSnapBasesSolver(args, dtype=dtype, pallas_mode=pallas_mode,
+                                 matmul_dtype=matmul_dtype)
     solver.set_model(model)
     solver.prepare(args)
     return solver

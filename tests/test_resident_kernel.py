@@ -513,3 +513,38 @@ def test_early_exit_zero_progress_falls_through(pipeline):
         s_ref.step(f, num_iterations=6)
     np.testing.assert_allclose(m.positions, m_ref.positions, atol=1e-6)
     np.testing.assert_allclose(m.velocities, m_ref.velocities, atol=1e-4)
+
+
+def test_tier1_vmem_failure_downgrades_to_standard(pipeline):
+    """A tier-1 VMEM compile failure marks the Mosaic register-spill
+    regime (measured at a 100k-vertex cloth: the lean affine kernel runs
+    15k steps/s vs the standard kernel's 39k there) — run_steps must
+    swap the resident kernel to the STANDARD build, not just disable
+    tier 1."""
+    import warnings
+
+    import numpy as np
+
+    from test_sim_solver import gravity_forces
+
+    basis_dir, pos_path, _ = pipeline
+    solver, model = _solver(basis_dir, pos_path, "interpret")
+    assert solver._resident_kind == "affine"
+    # force the lean build's tier-1 dispatch path and make it raise a
+    # VMEM-flavored error exactly where a real Mosaic OOM surfaces
+    def boom(P, V, Fx, rb, n, it):
+        raise RuntimeError("Ran out of memory in memory space vmem")
+
+    solver._resident_fast = boom
+    f = gravity_forces(model)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        solver.run_steps(f, 5, num_iterations=4)
+    assert solver._resident_kind == "standard"
+    assert solver._resident_fast is None
+    assert solver._resident_state["use_affine"] is False
+    # and the produced state matches an untouched solver's
+    s_ref, m_ref = _solver(basis_dir, pos_path, "interpret")
+    s_ref.run_steps(f, 5, num_iterations=4)
+    np.testing.assert_allclose(model.positions, m_ref.positions,
+                               atol=1e-5)
