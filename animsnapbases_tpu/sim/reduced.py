@@ -213,9 +213,12 @@ class AnimSnapBasesSolver:
     # headroom the FUSED sliced-serving search subtracts from the batched
     # gate: multiple kernel calls in one jit overlap the next group's
     # operand staging with the current group's execution (~14 MB measured
-    # at bunny scale), so near-gate sub-batches OOM scoped VMEM fused
-    # even though they compile standalone
-    FUSED_SLICE_VMEM_MARGIN = 20 * (1 << 20)
+    # at bunny scale), so near-gate sub-batches can OOM scoped VMEM fused
+    # even though they compile standalone.  8 MB (with the 112 MB scoped
+    # ceiling) admits the 64-sim sub-batch fused — measured compiling
+    # and serving 128 bunnies at 4.39M aggregate steps/s as [64x2]; a
+    # fused OOM is caught by the skip-set retry anyway.
+    FUSED_SLICE_VMEM_MARGIN = 8 * (1 << 20)
 
     def __init__(self, args, dtype=None, pallas_mode: str = "auto",
                  matmul_dtype=None):
