@@ -280,6 +280,38 @@ class AnimSnapBasesSolver:
         self._resident_fast = None
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _rb_allowance(kernel_budget: int) -> int:
+        """Per-call rb-timeline VMEM allowance left over by a resident
+        kernel whose operands budget ``kernel_budget`` bytes: whatever
+        the scoped ceiling leaves free minus 8 MB staging headroom,
+        capped at 32 MB.  Used with the SOLO budget for run_steps and
+        the BATCHED budget for ensemble serving (a near-gate batch must
+        not also admit a 32 MB window, round-3 review finding)."""
+        from animsnapbases_tpu.ops.pallas_resident import (
+            SCOPED_VMEM_LIMIT,
+        )
+
+        return min(32 * (1 << 20),
+                   max(SCOPED_VMEM_LIMIT - 8 * (1 << 20) - kernel_budget,
+                       1 << 20))
+
+    def _ut_st_np(self):
+        """U^T S^T per dim (3, r, e_pos) for the positional group, or
+        None without one — computed ONCE per prepare (cached; cleared by
+        set_dirty): both the resident prep and the jitted step need it,
+        and the dense ST materialization is the expensive part."""
+        cached = getattr(self, "_ut_st_cache", None)
+        if cached is not None:
+            return cached
+        pos_group = self.model.groups.get("positional")
+        if pos_group is None:
+            return None
+        ST = pos_group.assembly_scipy(self.model.n_verts)
+        self._ut_st_cache = np.stack(
+            [self.U[:, :, d].T @ ST.toarray() for d in range(3)])
+        return self._ut_st_cache
+
     def _cast(self, x):
         if self.dtype is None:
             return jnp.asarray(x)
@@ -290,13 +322,25 @@ class AnimSnapBasesSolver:
     def set_model(self, model):
         self.model = model
         self._collide_jit = None     # faces-keyed cache is now stale
+        # reduced groups were built from the OLD model's elements/rest
+        # data — force prepare() to rebuild them, and drop the resident
+        # kernels (their operands bake the old model's permutation)
+        self.constraint_projection_ready = False
+        self._reduced_groups = {}
+        self._resident = None
+        self._resident_state = None
+        self._resident_fast = None
+        self._resident_batched = {}
+        self._run_jit = None
         self.set_dirty()
 
     def set_dirty(self):
         self.dirty = True
+        self._ut_st_cache = None     # U/ST may change with the rebuild
         self._rb_sched = None        # positional schedule may have changed
         self._record_scan = None     # closes over the (re)built step core
         self._batched_call_cache = {}   # closes over perm of the old build
+        self._sliced_bs_bad = set()  # bad sub-batches belonged to the old build
 
     def set_clean(self):
         self.dirty = False
@@ -381,7 +425,7 @@ class AnimSnapBasesSolver:
             rg, _, _ = prepare_reduced_group(
                 g, rtype, self.num_components[name], npz_path,
                 self.model.n_verts, U=self.U,
-                oversample=getattr(self.args, "deim_oversample", 1.0))
+                oversample=getattr(args, "deim_oversample", 1.0))
             self._reduced_groups[name] = rg
 
     def prepare(self, args, store_fom_info=False, record_path=None):
@@ -528,10 +572,9 @@ class AnimSnapBasesSolver:
         if mm_dtype.itemsize == 8 and not interpret:
             return None          # no native f64 dots in Mosaic
         # per-call rb-timeline allowance: gate + window + staging stays
-        # under the 100 MB scoped limit — lets animated schedules run
+        # under the scoped-VMEM ceiling — lets animated schedules run
         # 16k-step chunks in one dispatch; shrinks for near-gate models
-        self._rb_seq_limit = min(32 * (1 << 20),
-                                 max(96 * (1 << 20) - budget, 1 << 20))
+        self._rb_seq_limit = self._rb_allowance(budget)
 
         perm = np.concatenate([union,
                                np.setdiff1d(np.arange(n), union)])
@@ -546,14 +589,10 @@ class AnimSnapBasesSolver:
             self._ut_ac_np[:, :, perm]).astype(mm_dtype)
         mass_inv = (1.0 / self.model.mass[perm])[None, :].astype(np_dtype)
 
-        pos_group = self.model.groups.get("positional")
-        self._resident_utst = None
+        uts = self._ut_st_np()
+        self._resident_utst = (None if uts is None
+                               else uts.astype(np_dtype))   # (3, r, e_pos)
         self._rb_sched = None
-        if pos_group is not None:
-            ST = pos_group.assembly_scipy(n)
-            self._resident_utst = np.stack(
-                [self.U[:, :, d].T @ ST.toarray() for d in range(3)]).astype(
-                np_dtype)                                    # (3, r, e_pos)
 
         M_utac = None
         if use_affine:
@@ -822,15 +861,8 @@ class AnimSnapBasesSolver:
                 reduced_sel.append((name, dev, W, rs))
             union_j = jnp.asarray(union)
 
-            pos_group = model.groups.get("positional")
-            if pos_group is not None:
-                # precompute U^T S^T per dim: (3, r, e_pos)
-                ST = pos_group.assembly_scipy(n)
-                UtSt = np.stack([self.U[:, :, d].T @ ST.toarray()
-                                 for d in range(3)])
-                UtSt_j = cast(UtSt)
-            else:
-                UtSt_j = None
+            UtSt = self._ut_st_np()       # (3, r, e_pos) or None
+            UtSt_j = cast(UtSt) if UtSt is not None else None
 
             fused_run = self._try_build_pallas(union, remapped)
             self._resident = None
@@ -919,6 +951,12 @@ class AnimSnapBasesSolver:
                 def body(_, q):
                     b, _ = local_terms(q, targets)
                     b = b + masses_term
+                    # deliberately cho_solve, NOT a precomputed inverse
+                    # (the dev-notes small-system rule does not apply):
+                    # A carries the 1e10 pinned masses, and at cond
+                    # ~1e10 an explicit f32 inverse-multiply loses the
+                    # small solution components that backward-stable
+                    # triangular solves keep
                     return jax.scipy.linalg.cho_solve(
                         (chol_full, True), b.reshape(-1)).reshape(-1, 3)
 
@@ -976,6 +1014,17 @@ class AnimSnapBasesSolver:
         use_jit = self._step_jit is not None and (
             not self.store_stacked_projections or not recordable)
         if use_jit:
+            if model.floor_collision:
+                # the jit clamps the predictor in-graph; mirror the host
+                # path's positions_corrections bookkeeping (solver.py
+                # does the same) so consumers never read stale values
+                a = np.asarray(fext, dtype=float) / model.mass[:, None]
+                sn_raw = (model.positions
+                          + dt * getattr(self, "eta", 1.0)
+                          * model.velocities + dt * dt * a)
+                _, corr = collisions.resolve_floor_collision(
+                    sn_raw, model.floor_height)
+                model.positions_corrections = corr
             q, v = self._step_jit(self._cast(model.positions),
                                   self._cast(model.velocities), fext,
                                   targets, num_iterations=num_iterations)
@@ -1062,7 +1111,11 @@ class AnimSnapBasesSolver:
             raise RuntimeError("batched stepping needs the jitted path "
                                "(dense/reduced global solve)")
         core = self._step_jit
-        targets0 = self._cast(self.model.positional_targets(self.frame))
+        # advance the model's animated schedule across calls (internal
+        # serving-frame counter, same contract as make_batched_run) —
+        # a frozen capture would replay the creation frame's target
+        # forever (the round-2 advisor finding on make_batched_run)
+        serving_frame = [self.frame]
 
         spec = None
         if mesh is not None:
@@ -1084,9 +1137,15 @@ class AnimSnapBasesSolver:
 
         def step(positions, velocities, fext, num_iterations=10,
                  targets=None):
-            t = targets0 if targets is None else self._cast(targets)
-            return _step(positions, velocities, fext, t,
-                         num_iterations=num_iterations)
+            if targets is None:
+                t = self._cast(
+                    self.model.positional_targets(serving_frame[0]))
+            else:
+                t = self._cast(targets)
+            out = _step(positions, velocities, fext, t,
+                        num_iterations=num_iterations)
+            serving_frame[0] += 1
+            return out
 
         return step
 
@@ -1122,7 +1181,6 @@ class AnimSnapBasesSolver:
             # beats silently serving interpenetrating trajectories
             raise RuntimeError("batched serving does not support "
                                "self-collision resolvers")
-        run_jit = self._run_jit
         serving_frame = [self.frame]
 
         spec = None
@@ -1131,31 +1189,53 @@ class AnimSnapBasesSolver:
 
             spec = NamedSharding(mesh, P(batch_axis))
 
-        @partial(jax.jit, static_argnames=("num_iterations",))
-        def _run(positions, velocities, fext, targets_seq, num_steps,
-                 num_iterations):
-            if spec is not None:
-                positions = jax.lax.with_sharding_constraint(positions,
-                                                             spec)
-                velocities = jax.lax.with_sharding_constraint(velocities,
-                                                              spec)
-            return jax.vmap(
-                lambda p, v, f: run_jit(p, v, f, targets_seq, num_steps,
-                                        num_iterations=num_iterations)
-            )(positions, velocities, fext)
+        # the vmapped fallback wrappers resolve self._run_jit at CALL
+        # time (cached per underlying build): a creation-time capture
+        # would keep serving the PRE-set_dirty physics on the fallback
+        # path after a set_dirty+prepare rebuild, while the resident
+        # path reads the rebuilt state — exactly the stale-prefactored-
+        # matrix failure mode the scenario drivers guard against
+        wrappers = {}
 
-        @partial(jax.jit, static_argnames=("num_iterations",))
-        def _run_per_sim(positions, velocities, fext, targets_seq,
-                         num_steps, num_iterations):
-            if spec is not None:
-                positions = jax.lax.with_sharding_constraint(positions,
-                                                             spec)
-                velocities = jax.lax.with_sharding_constraint(velocities,
-                                                              spec)
-            return jax.vmap(
-                lambda p, v, f, t: run_jit(p, v, f, t, num_steps,
-                                           num_iterations=num_iterations)
-            )(positions, velocities, fext, targets_seq)
+        def _vmapped(per_sim):
+            run_jit = self._run_jit
+            if run_jit is None:
+                raise RuntimeError(
+                    "batched serving needs the jitted path; call "
+                    "prepare() after set_dirty()")
+            fn = wrappers.get((run_jit, per_sim))
+            if fn is not None:
+                return fn
+            if per_sim:
+                @partial(jax.jit, static_argnames=("num_iterations",))
+                def fn(positions, velocities, fext, targets_seq,
+                       num_steps, num_iterations):
+                    if spec is not None:
+                        positions = jax.lax.with_sharding_constraint(
+                            positions, spec)
+                        velocities = jax.lax.with_sharding_constraint(
+                            velocities, spec)
+                    return jax.vmap(
+                        lambda p, v, f, t: run_jit(
+                            p, v, f, t, num_steps,
+                            num_iterations=num_iterations)
+                    )(positions, velocities, fext, targets_seq)
+            else:
+                @partial(jax.jit, static_argnames=("num_iterations",))
+                def fn(positions, velocities, fext, targets_seq,
+                       num_steps, num_iterations):
+                    if spec is not None:
+                        positions = jax.lax.with_sharding_constraint(
+                            positions, spec)
+                        velocities = jax.lax.with_sharding_constraint(
+                            velocities, spec)
+                    return jax.vmap(
+                        lambda p, v, f: run_jit(
+                            p, v, f, targets_seq, num_steps,
+                            num_iterations=num_iterations)
+                    )(positions, velocities, fext)
+            wrappers[(run_jit, per_sim)] = fn
+            return fn
 
         def run(positions, velocities, fext, num_steps, num_iterations=10,
                 targets_seq=None):
@@ -1163,6 +1243,11 @@ class AnimSnapBasesSolver:
             # a shape mismatch surfacing inside the kernel call would be
             # mistaken for a kernel failure and permanently poison the
             # batched kernel for this batch size
+            if self.enable_self_collision:
+                # re-checked per call: flipping the flag after creation
+                # must not silently serve non-colliding trajectories
+                raise RuntimeError("batched serving does not support "
+                                   "self-collision resolvers")
             B = int(np.shape(positions)[0])
             if (int(np.shape(velocities)[0]) != B
                     or int(np.shape(fext)[0]) != B):
@@ -1204,7 +1289,7 @@ class AnimSnapBasesSolver:
                     per_sim, num_steps, num_iterations)
             if out is None:
                 self._last_batched_path = "vmapped-xla"
-                runner = _run_per_sim if per_sim else _run
+                runner = _vmapped(per_sim)
                 out = runner(self._cast(positions),
                              self._cast(velocities),
                              self._cast(fext), self._cast(tl), num_steps,
@@ -1236,7 +1321,10 @@ class AnimSnapBasesSolver:
                 num_iterations)
         r = st["r"]
         utst = self._resident_utst
-        shared_rb = not per_sim
+        # per-sim schedules with NO positional group degenerate to the
+        # shared zero timeline (same definition as the sharded/sliced
+        # variants — keep all three in lockstep)
+        shared_rb = not (per_sim and utst is not None)
         if utst is not None and tl.size:
             if per_sim:
                 rb = np.einsum("dre,bted->btdr",
@@ -1251,15 +1339,16 @@ class AnimSnapBasesSolver:
                 rb = np.einsum("dre,ted->tdr",
                                utst, np.asarray(tl, dtype=np.float64))
         else:
-            rb = np.zeros((1, 3, r) if shared_rb else (1, 3 * B, r))
+            rb = np.zeros((1, 3, r)) if shared_rb else np.zeros(
+                (1, 3 * B, r))
         # gate on the EXPANDED size the kernel actually consumes —
         # counted at the DEVICE itemsize (rb is built f64 on host but
         # uploads through self._cast; gating on host bytes would halve
         # the admissible timeline for no reason)
         rb_dev_bytes = (rb.size * (B if shared_rb else 1)
                         * st["np_dtype"].itemsize)
-        if rb_dev_bytes > getattr(
-                self, "_rb_seq_limit", self.RESIDENT_RB_SEQ_LIMIT):
+        if rb_dev_bytes > self._rb_allowance(self.batched_resident_budget(
+                st, B, self.model.floor_collision)):
             return None
 
         key = ("batched_call", B, shared_rb)
@@ -1392,8 +1481,8 @@ class AnimSnapBasesSolver:
         # the DEVICE itemsize (rb is f64 on host, f32 on device)
         rb_dev_bytes = (rb.size * Bl if shared_rb
                         else rb.size // n_dev) * st["np_dtype"].itemsize
-        if rb_dev_bytes > getattr(self, "_rb_seq_limit",
-                                  self.RESIDENT_RB_SEQ_LIMIT):
+        if rb_dev_bytes > self._rb_allowance(self.batched_resident_budget(
+                st, Bl, self.model.floor_collision)):
             return None
 
         key = ("batched_call_sharded", B, n_dev, shared_rb, batch_axis,
@@ -1539,8 +1628,8 @@ class AnimSnapBasesSolver:
         # gate on the per-GROUP expanded size, at the device itemsize
         rb_group_bytes = (rb.size * bs if shared_rb
                           else rb.size // G) * st["np_dtype"].itemsize
-        if rb_group_bytes > getattr(self, "_rb_seq_limit",
-                                    self.RESIDENT_RB_SEQ_LIMIT):
+        if rb_group_bytes > self._rb_allowance(self.batched_resident_budget(
+                st, bs, self.model.floor_collision)):
             return None
 
         key = ("batched_call_sliced", B, bs, shared_rb)
@@ -1903,6 +1992,7 @@ class AnimSnapBasesSolver:
                                     False
                             self._resident_batched = {}
                             self._batched_call_cache = {}
+                            self._sliced_bs_bad = set()
                             return self.run_steps(fext, num_steps,
                                                   num_iterations)
                     if k is not None:
@@ -1951,6 +2041,7 @@ class AnimSnapBasesSolver:
                             self._resident_state["use_affine"] = False
                         self._resident_batched = {}
                         self._batched_call_cache = {}
+                        self._sliced_bs_bad = set()
                         # the tier-1 early-exit kernel shares the affine
                         # staging profile that just failed — drop it too
                         # rather than paying one more doomed compile

@@ -167,3 +167,85 @@ def test_batched_budget_fits_64_bunny_scale_sims():
     # the solo kernel's budget is far below the single-sim 48 MB gate
     b1 = AnimSnapBasesSolver.batched_resident_budget(st, 1, True)
     assert b1 <= 48 * (1 << 20)
+
+
+def test_batched_step_advances_animation(pipeline):
+    """make_batched_step with targets omitted must ADVANCE the model's
+    animated schedule across calls (internal serving-frame counter, same
+    contract as make_batched_run) — not replay the creation frame's
+    target forever (round-3 review finding)."""
+    basis_dir, pos_path, _ = pipeline
+    solver, model = _reduced_solver(basis_dir, pos_path, with_position=True)
+    shift = np.zeros((8, 3))
+    shift[:, 2] = np.linspace(0.0, 0.25, 8)
+    model.add_positional_constraint(7, wi=1e6, motion_type="user_defined",
+                                    frame_shift=shift)
+    solver.set_dirty()
+    solver.prepare(solver.args)
+
+    step = solver.make_batched_step()
+    pos = model.positions[None].copy()
+    vel = np.zeros_like(pos)
+    f = gravity_forces(model)[None]
+    for _ in range(5):
+        pos, vel = step(pos, vel, f, num_iterations=5)
+
+    s2, m2 = _reduced_solver(basis_dir, pos_path, with_position=True)
+    m2.add_positional_constraint(7, wi=1e6, motion_type="user_defined",
+                                 frame_shift=shift)
+    s2.set_dirty()
+    s2.prepare(s2.args)
+    for _ in range(5):
+        s2.step(gravity_forces(m2), num_iterations=5)
+
+    np.testing.assert_allclose(np.asarray(pos)[0], m2.positions,
+                               atol=1e-8)
+
+
+def test_batched_run_fallback_tracks_rebuilds(pipeline):
+    """A held make_batched_run runner must serve the REBUILT physics on
+    the vmapped fallback path after set_dirty+prepare — a creation-time
+    _run_jit capture mixed old and new matrices (round-3 review
+    finding)."""
+    basis_dir, pos_path, _ = pipeline
+    solver, model = _reduced_solver(basis_dir, pos_path, with_position=True)
+    run = solver.make_batched_run()
+    # force the vmapped fallback (pretend no resident kernel)
+    solver._resident = None
+    solver._resident_state = None
+
+    # schedule action: new positional constraint -> matrices rebuild
+    model.add_positional_constraint(7, wi=1e6)
+    solver.set_dirty()
+    solver.prepare(solver.args)
+
+    pos = model.positions[None].copy()
+    vel = np.zeros_like(pos)
+    f = gravity_forces(model)[None]
+    p1, _ = run(pos, vel, f, 4, num_iterations=5)
+    assert solver._last_batched_path == "vmapped-xla"
+
+    s2, m2 = _reduced_solver(basis_dir, pos_path, with_position=True)
+    m2.add_positional_constraint(7, wi=1e6)
+    s2.set_dirty()
+    s2.prepare(s2.args)
+    s2.run_steps(gravity_forces(m2), 4, num_iterations=5)
+    np.testing.assert_allclose(np.asarray(p1)[0], m2.positions,
+                               atol=1e-8)
+
+
+def test_set_model_resets_reduced_state(pipeline):
+    """set_model must force the reduced groups and resident kernels to
+    rebuild — they bake the OLD model's element indices and vertex
+    permutation (round-3 review finding)."""
+    basis_dir, pos_path, _ = pipeline
+    solver, model = _reduced_solver(basis_dir, pos_path, with_position=True)
+    assert solver.constraint_projection_ready
+    solver.set_model(model)
+    assert solver.constraint_projection_ready is False
+    assert solver._reduced_groups == {}
+    assert solver._run_jit is None
+    # a fresh prepare restores a working solver
+    solver.prepare(solver.args)
+    solver.run_steps(gravity_forces(model), 3, num_iterations=4)
+    assert np.isfinite(model.positions).all()
