@@ -89,6 +89,42 @@ def estimate_vmem_bytes(n_verts: int, r: int, n_sel: int, g_total: int,
     return big + state + small + temps + (1 << 20)
 
 
+def estimate_chunked_vmem_bytes(n_verts: int, r: int, n_sel: int,
+                                g_total: int, m_total: int,
+                                mm_bytes: int, state_bytes: int,
+                                nb: int = 1) -> int:
+    """TILING-AWARE VMEM footprint of the CHUNKED affine kernel's
+    operands (:func:`build_resident_affine_chunked`).
+
+    The chunked kernel carries only coefficient state: of the big
+    (3, r, N) matrices it sees just the y-slice of the lift (for the
+    exact per-step floor check), plus (nb, N) y-rows of the anchors and
+    three (3nb, n_sel) selected-prefix slices — so its footprint scales
+    as ~(r*mm_bytes + 3*state_bytes)*N instead of the full-kernel
+    ~(6*r*mm_bytes + 16*state_bytes)*N, which is what lets models far
+    past the resident gate keep stepping at the affine rate."""
+    def pad(x, m):
+        return -(-x // m) * m
+
+    lane_n = pad(n_verts, 128)
+    mm_sub = 8 if mm_bytes >= 4 else 16
+    st_sub = 8 if state_bytes >= 4 else 16
+    # U_lift[y] (r, N): N on lanes
+    big = pad(r, mm_sub) * lane_n * mm_bytes
+    # b0y / b1y / fay (nb, N)
+    yrows = 3 * pad(nb, st_sub) * lane_n * state_bytes
+    small = (3 * pad(3 * nb, st_sub) * pad(n_sel, 128)  # b0s/b1s/fas
+             + 2 * 3 * pad(r, st_sub) * pad(n_sel, 128)  # uselT/usel_inv
+             + 2 * 3 * pad(r, st_sub) * pad(r, 128)      # inv3 / M_utac
+             + 3 * pad(m_total, st_sub) * pad(r, 128)    # WT_all
+             + pad(n_sel, st_sub) * pad(g_total, 128)    # G_allT
+             ) * state_bytes
+    temps = (pad(3 * nb, st_sub)
+             * (pad(g_total, 128) + pad(m_total, 128) + pad(n_sel, 128))
+             * state_bytes)
+    return big + yrows + small + temps + (1 << 20)
+
+
 def _make_iteration_loop(layout, gather_slices, term_dispatch, garrs,
                          WT, G_allT, usel_inv, r, acc, nb=1):
     """The hyper-reduced local-global iteration loop shared by the
@@ -1057,5 +1093,258 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
             interpret=interpret,
         )(steps_arr, P0, V0, fext,
           rb_extra.reshape(-1, rb_extra.shape[-1]), *consts, *arrays)
+
+    return _make_runners(_body, const_inputs, flat_arrays)
+
+
+def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
+                                  G_allT: np.ndarray, WT_all: np.ndarray,
+                                  usel_inv: np.ndarray, inv3: np.ndarray,
+                                  U_liftT: np.ndarray, ut_acT: np.ndarray,
+                                  M_utac: np.ndarray, U_selT: np.ndarray,
+                                  mass_inv: np.ndarray, dt: float,
+                                  floor_h: float, n_sel: int,
+                                  rebase_every: int = 256,
+                                  interpret: bool = False, nb: int = 1,
+                                  eta: float = 1.0):
+    """CHUNKED tier-1 affine kernel: rebase and materialization move OUT
+    of the Pallas kernel into an XLA ``while_loop`` around it, so the
+    kernel carries only COEFFICIENT state.
+
+    Motivation (measured on a 100,489-vertex cloth): the in-kernel
+    affine builds hit a Mosaic register-spill regime at ~100k vertices —
+    the tier-1 kernel (:func:`build_resident_affine_exit`) spills
+    69.6 MB and OOMs, and even the lean contact variant, which compiles,
+    runs SLOWER than the standard kernel (15-27k vs 39k steps/s) because
+    the rebase/materialize branches keep the full (3, r, N) matrices and
+    (3, N) anchors textually live inside the step loop.  Splitting the
+    loop removes all of that from Mosaic's sight:
+
+    * The KERNEL steps up to ``rebase_every`` contact-free affine steps
+      on (3nb, 3) base coefficients + (3nb, r) reduced coordinates.  Its
+      only O(N) operands are the y-slice of the lift (r, N) — for the
+      exact per-step floor check — the (nb, N) y-rows of the anchors,
+      and the (3nb, n_sel) selected-prefix slices.  No rebase branch, no
+      materialize, no (3, N) state: VMEM scales as ~(r*mm + 12)*N bytes
+      instead of ~(6r*mm + 64)*N, admitting ~700k-vertex models at
+      r=48/bf16.
+    * The XLA loop body materializes the post-chunk state (two lift
+      matmuls streaming U from HBM), re-anchors, and re-projects the new
+      anchors through U^T A_c — exactly the in-kernel rebase, but as
+      plain XLA dots every ``rebase_every`` steps (~0.4 us/step
+      amortized at 100k vertices).
+
+    Early exit semantics match :func:`build_resident_affine_exit`: the
+    FIRST would-be clamped step stops the kernel without applying it;
+    the XLA loop breaks, materializes the committed state, and run()
+    returns (P', V', steps_done (1, 1) int32) — the caller finishes the
+    window on a contact-capable kernel.
+
+    Exactness: identical math to the in-kernel affine builds — the same
+    coefficient recursions, the same rebase formula (at chunk
+    boundaries, i.e. ``rebase_every`` semantics), the same bf16-storage
+    rounding on the lift/projection dots.
+    """
+    acc = jnp.float32 if U_liftT.dtype != np.float64 else jnp.float64
+    r = inv3.shape[1]
+    n = U_liftT.shape[2]
+    dt2 = dt * dt
+    state_dtype = mass_inv.dtype
+
+    flat_arrays = [jnp.asarray(g) for g in iteration_terms["flat_arrays"]]
+    term_dispatch = iteration_terms["dispatch"]
+
+    const_inputs = [jnp.asarray(usel_inv), jnp.asarray(inv3),
+                    jnp.asarray(WT_all), jnp.asarray(G_allT),
+                    jnp.asarray(U_liftT), jnp.asarray(ut_acT),
+                    jnp.asarray(M_utac), jnp.asarray(U_selT),
+                    jnp.asarray(mass_inv)]
+
+    # kernel inputs: SMEM scalars + the sliced operands (no (3, N) state,
+    # no full lift/projection matrices)
+    n_kernel_vmem = 11 + 6 + len(flat_arrays)
+
+    def _make_chunk_kernel(num_iterations):
+      def _chunk_kernel(*refs):
+        (sc_ref, b0y_ref, b1y_ref, fay_ref, b0s_ref, b1s_ref, fas_ref,
+         bu0_ref, bu1_ref, bufa_ref, rbex_ref, ulifty_ref, mutac_ref,
+         uselt_ref, uselinv_ref, inv_ref, wt_ref, gall_ref) = refs[:18]
+        garrs = [ref[:] for ref in refs[18:18 + len(flat_arrays)]]
+        (ap_ref, av_ref, wp_ref, wv_ref, k_ref) = \
+            refs[18 + len(flat_arrays):]
+
+        usel_inv_v = uselinv_ref[:]
+        inv = inv_ref[:]
+        WT = wt_ref[:]
+        G_allT_v = gall_ref[:]
+        mutac = mutac_ref[:]
+        uselT = uselt_ref[:]
+        bu0 = bu0_ref[:]
+        bu1 = bu1_ref[:]
+        bu_fa = bufa_ref[:]
+        b0y = b0y_ref[:]
+        b1y = b1y_ref[:]
+        fay = fay_ref[:]
+        b0s = b0s_ref[:]
+        b1s = b1s_ref[:]
+        fas = fas_ref[:]
+        t_len = rbex_ref.shape[0] // (3 * nb)
+        mm_dtype = ulifty_ref.dtype
+        iterate = _make_iteration_loop(layout, gather_slices,
+                                       term_dispatch, garrs, WT,
+                                       G_allT_v, usel_inv_v, r, acc, nb)
+
+        _col = jax.lax.broadcasted_iota(jnp.int32, (3 * nb, 3), 1)
+        fdt = b0s.dtype
+        e0 = (_col == 0).astype(fdt)
+        e1 = (_col == 1).astype(fdt)
+        e2 = (_col == 2).astype(fdt)
+
+        # the tiny coefficient state lives IN the output buffers
+        ap_ref[:] = e0
+        av_ref[:] = e1
+        wp_ref[:] = jnp.zeros((3 * nb, r), dtype=fdt)
+        wv_ref[:] = jnp.zeros((3 * nb, r), dtype=fdt)
+        k_ref[0, 0] = 0
+
+        steps = sc_ref[0, 0]
+        start = sc_ref[0, 1]
+
+        def step(i, carry):
+            @pl.when(k_ref[0, 0] == i)        # == "still active"
+            def _active():
+                ap = ap_ref[:]
+                av = av_ref[:]
+                wp = wp_ref[:]
+                wv = wv_ref[:]
+                avd = av if eta == 1.0 else eta * av
+                wvd = wv if eta == 1.0 else eta * wv
+                asn = ap + dt * avd + e2
+                wsn = wp + dt * wvd
+                asn_y = asn[nb:2 * nb]
+                wsn_y = wsn[nb:2 * nb]
+                sn_y = (asn_y[:, 0:1] * b0y + asn_y[:, 1:2] * b1y
+                        + asn_y[:, 2:3] * fay
+                        + _dot(wsn_y.astype(mm_dtype), ulifty_ref[:],
+                               acc))
+                clamped = jnp.any(sn_y < floor_h)
+
+                @pl.when(jnp.logical_not(clamped))
+                def _free():
+                    rb_ex = rbex_ref[pl.ds(
+                        3 * nb * jnp.minimum(start + i, t_len - 1),
+                        3 * nb)]
+                    rb_lin = (asn[:, 0:1] * bu0 + asn[:, 1:2] * bu1
+                              + asn[:, 2:3] * bu_fa
+                              + jnp.concatenate(
+                                  [_dot(wsn[d * nb:(d + 1) * nb],
+                                        mutac[d], acc)
+                                   for d in range(3)], axis=0))
+                    rb_const = rb_ex - rb_lin
+                    snT_sel = (asn[:, 0:1] * b0s + asn[:, 1:2] * b1s
+                               + asn[:, 2:3] * fas
+                               + jnp.concatenate(
+                                   [_dot(wsn[d * nb:(d + 1) * nb],
+                                         uselT[d], acc)
+                                    for d in range(3)], axis=0))
+                    rb = iterate(snT_sel, rb_const, num_iterations)
+                    u = jnp.concatenate(
+                        [_dot(rb[d * nb:(d + 1) * nb], inv[d], acc)
+                         for d in range(3)], axis=0)
+                    wq = wsn + u
+                    ap_ref[:] = asn
+                    av_ref[:] = avd + e2 / dt
+                    wp_ref[:] = wq
+                    wv_ref[:] = (wq - wp) / dt
+                    k_ref[0, 0] = i + 1
+            return carry
+
+        jax.lax.fori_loop(0, steps, step, 0)
+      return _chunk_kernel
+
+    def _body(P0, V0, fext, rb_extra, steps_arr, consts, arrays,
+              num_iterations):
+        (usel_inv_a, inv3_a, WT_a, G_a, Ulift_a, utac_a, mutac_a,
+         uselt_a, minv_a) = consts
+        rb2d = rb_extra.reshape(-1, rb_extra.shape[-1])
+        mm_dtype = Ulift_a.dtype
+        fa = dt2 * fext * minv_a                       # (3nb, N)
+        fay = fa[nb:2 * nb]
+        fas = fa[:, :n_sel]
+        ulift_y = Ulift_a[1]
+
+        def project(X):
+            """(3nb, N) -> (3nb, r) through U^T A_c (NT dots)."""
+            return jnp.concatenate(
+                [_dot_nt(X[d * nb:(d + 1) * nb].astype(mm_dtype),
+                         utac_a[d], acc)
+                 for d in range(3)], axis=0)
+
+        def lift(w):
+            """(3nb, r) reduced coords -> (3nb, N)."""
+            return jnp.concatenate(
+                [_dot(w[d * nb:(d + 1) * nb].astype(mm_dtype),
+                      Ulift_a[d], acc)
+                 for d in range(3)], axis=0)
+
+        bu_fa = project(fa)
+        total = steps_arr[0, 0]
+
+        compiler_params = None
+        if not interpret:
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=SCOPED_VMEM_LIMIT)
+
+        call = pl.pallas_call(
+            _make_chunk_kernel(num_iterations),
+            out_shape=(jax.ShapeDtypeStruct((3 * nb, 3), P0.dtype),
+                       jax.ShapeDtypeStruct((3 * nb, 3), P0.dtype),
+                       jax.ShapeDtypeStruct((3 * nb, r), P0.dtype),
+                       jax.ShapeDtypeStruct((3 * nb, r), P0.dtype),
+                       jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                      + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                      * n_kernel_vmem),
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )
+
+        def cond(carry):
+            P, V, done, contact = carry
+            return jnp.logical_and(done < total,
+                                   jnp.logical_not(contact))
+
+        def body(carry):
+            P, V, done, _ = carry
+            bu0 = project(P)
+            bu1 = project(V)
+            chunk = jnp.minimum(
+                jnp.asarray(rebase_every, dtype=total.dtype),
+                total - done)
+            sc = jnp.concatenate(
+                [chunk.reshape(1, 1), done.reshape(1, 1)],
+                axis=1).astype(jnp.int32)
+            ap, av, wp, wv, k = call(
+                sc, P[nb:2 * nb], V[nb:2 * nb], fay,
+                P[:, :n_sel], V[:, :n_sel], fas, bu0, bu1, bu_fa,
+                rb2d, ulift_y, mutac_a, uselt_a, usel_inv_a, inv3_a,
+                WT_a, G_a, *arrays)
+            k = k[0, 0]
+            Pn = (ap[:, 0:1] * P + ap[:, 1:2] * V + ap[:, 2:3] * fa
+                  + lift(wp))
+            Vn = (av[:, 0:1] * P + av[:, 1:2] * V + av[:, 2:3] * fa
+                  + lift(wv))
+            return Pn, Vn, done + k, k < chunk
+
+        P, V, done, _ = jax.lax.while_loop(
+            cond, body,
+            (P0, V0, jnp.zeros((), dtype=total.dtype),
+             jnp.zeros((), dtype=bool)))
+        return P, V, done.astype(jnp.int32).reshape(1, 1)
 
     return _make_runners(_body, const_inputs, flat_arrays)

@@ -210,6 +210,15 @@ class AnimSnapBasesSolver:
     # VMEM failure auto-downgrades to standard, see run_steps)
     RESIDENT_VMEM_LIMIT = 72 * (1 << 20)
     BATCHED_VMEM_LIMIT = 84 * (1 << 20)
+    # past this vertex count the IN-KERNEL affine builds hit the Mosaic
+    # register-spill regime (100k-vertex cloth: the tier-1 early-exit
+    # kernel spills 69.6 MB and OOMs; the lean contact build compiles but
+    # steps SLOWER than the standard kernel, 15k vs 39k steps/s) — tier 1
+    # switches to the CHUNKED affine kernel (rebase/materialize in an
+    # outer XLA loop, only coefficient state + the y-row lift slice
+    # in-kernel) with the STANDARD kernel as the contact tier.  Instance
+    # override: resident_chunked_tier1 = True/False.
+    CHUNKED_TIER1_MIN_VERTS = 64000
     # headroom the FUSED sliced-serving search subtracts from the batched
     # gate: multiple kernel calls in one jit overlap the next group's
     # operand staging with the current group's execution (~14 MB measured
@@ -620,6 +629,49 @@ class AnimSnapBasesSolver:
             "contact_mode": contact_mode,
         }
         self._resident_batched = {}
+
+        chunked_tier1 = getattr(self, "resident_chunked_tier1", None)
+        if chunked_tier1 is None:
+            chunked_tier1 = n >= self.CHUNKED_TIER1_MIN_VERTS
+        if use_affine and chunked_tier1:
+            # SPILL-REGIME tiering (see CHUNKED_TIER1_MIN_VERTS): the
+            # in-kernel affine builds slow down or OOM past ~64k verts,
+            # so tier 1 becomes the CHUNKED affine kernel — an XLA
+            # while_loop re-anchors every rebase_every steps and the
+            # Pallas kernel steps pure coefficient state (its only O(N)
+            # operands are the y-slice of the lift for the exact floor
+            # check and the anchor y-rows/selected prefixes) — and the
+            # contact tier is the STANDARD kernel outright (measured
+            # faster than the lean affine build here: 39k vs 15k
+            # steps/s at a 100k-vertex cloth).  Floor-off models pass a
+            # sentinel floor so the chunked kernel never exits.
+            from animsnapbases_tpu.ops.pallas_resident import (
+                build_resident_affine_chunked,
+            )
+
+            floor_h = (self.model.floor_height
+                       if self.model.floor_collision else -3.0e38)
+            self._resident_fast = build_resident_affine_chunked(
+                ops, ops["gather_slices"], ops["layout"],
+                ops["G_allT"], ops["WT_all"], ops["usel_inv"],
+                ops["inv3"], U_liftT, ut_acT, M_utac,
+                U_selT.astype(np_dtype), mass_inv, self.dt,
+                floor_h, n_sel,
+                rebase_every=getattr(self, "resident_rebase_every", 256),
+                interpret=interpret, eta=getattr(self, "eta", 1.0))
+            run = build_resident_multistep(
+                ops, ops["gather_slices"], ops["layout"],
+                ops["G_allT"], ops["WT_all"], ops["usel_inv"],
+                ops["inv3"], U_liftT, ut_acT, mass_inv, self.dt,
+                self.model.floor_collision, self.model.floor_height,
+                n_sel, interpret=interpret,
+                eta=getattr(self, "eta", 1.0))
+            self._resident_kind = "standard"
+            self._resident_fallback = None
+            # batched rebuilds at this scale must use the standard
+            # kernel too, not re-enter the spill regime
+            self._resident_state["use_affine"] = False
+            return run, perm, iperm
 
         if use_affine:
             # default: the affine-coordinate kernel never touches the
@@ -1949,7 +2001,9 @@ class AnimSnapBasesSolver:
                 # the whole call (contact-mode build, exit, or fallback);
                 # reset at method entry above.
                 fast = getattr(self, "_resident_fast", None)
-                if fast is not None:
+                if fast is not None and model.floor_collision:
+                    # (floor-off models run the chunked tier-1 with a
+                    # sentinel floor — no step-0 check to mirror)
                     sn_y0 = (model.positions[:, 1]
                              + self.dt * getattr(self, "eta", 1.0)
                              * model.velocities[:, 1]

@@ -4,10 +4,14 @@ cloth stepping fully ON-CHIP.
 Only possible since round 3's (3, r, N) NT matrix layout — the former
 (3, N, r) layout of ``ut_acT`` padded r to the 128-lane VMEM tile and
 the kernel was VMEM-rejected at this scale, falling to the ~1.3k
-steps/s per-step fused path.  At 100k vertices the affine builds hit
-Mosaic's register-spill regime, so the solver auto-downgrades to the
-STANDARD resident kernel (see docs/PERFORMANCE.md item 12) — the
-number below is that kernel's rate.
+steps/s per-step fused path.  At 100k vertices the IN-KERNEL affine
+builds hit Mosaic's register-spill regime (the tier-1 early-exit build
+spills 69.6 MB and OOMs; the lean contact build runs 15k vs the
+standard kernel's 39k steps/s), so past CHUNKED_TIER1_MIN_VERTS the
+solver pairs the CHUNKED affine tier-1 kernel (rebase in an outer XLA
+while_loop, only coefficient state + the y-row lift slice in-kernel —
+no spill) with the standard kernel as the contact tier; the JSON's
+``tier1_steps`` certifies the timed window ran entirely on tier 1.
 
 Uses a SYNTHETIC random orthonormal basis (r=48): basis quality is
 irrelevant for throughput; the timed window is a zero-force rest state
@@ -109,6 +113,7 @@ def main():
         "vs_baseline": round(best / 10000, 3),
         "detail": {"n_verts": n, "rows": ROWS, "chunk": CHUNK,
                    "resident_kind": solver._resident_kind,
+                   "tier1_steps": solver._last_fast_steps,
                    "end_min_y": round(min_y, 2),
                    "synthetic_basis_r": 48},
     }))

@@ -247,9 +247,49 @@ def check_damped():
     assert float(np.linalg.norm(model.velocities)) < 0.5 * speed0
 
 
+def check_chunked():
+    """Spill-regime tiering under real Mosaic: the CHUNKED affine tier-1
+    kernel (rebase in an outer XLA while_loop, coefficient-only Pallas
+    body) must compile and serve contact-free windows whole, and the
+    tiered handoff to the STANDARD contact kernel must survive a genuine
+    floor hit.  (Exactness vs step() is pinned by the CPU interpret
+    tests; this check is Mosaic acceptance.)"""
+    model = _cloth()
+    solver = _synthetic_reduced(model, damping=0.01)
+    solver.resident_chunked_tier1 = True
+    solver.set_dirty()
+    solver.prepare(solver.args)
+    assert solver._resident_kind == "standard"
+    assert solver._resident_fast is not None, "chunked tier-1 not built"
+
+    # contact-free ring-down: tier 1 must serve and certify the window
+    rng = np.random.default_rng(11)
+    v0 = rng.normal(scale=0.2, size=model.positions.shape)
+    v0[model.fixed_flags] = 0.0
+    model.velocities = v0.copy()
+    f0 = np.zeros_like(model.positions)
+    solver.run_steps(f0, 600, num_iterations=10)
+    assert solver._resident_fast is not None, \
+        "Mosaic rejected the chunked tier-1 kernel"
+    assert solver._last_fast_steps == 600, \
+        f"tier 1 did not serve the window ({solver._last_fast_steps})"
+    assert np.isfinite(model.positions).all()
+
+    # slam into the floor: early exit + standard-kernel remainder
+    f = _gravity(model) * 30.0
+    solver.run_steps(f, 400, num_iterations=10)
+    assert np.isfinite(model.positions).all()
+    min_y = float(model.positions[:, 1].min())
+    assert min_y >= -1e-4, f"floor violated: {min_y}"
+    assert solver._last_fast_steps != 400   # contact genuinely fired
+    log(f"[smoke] chunked: ring-down served whole; contact window "
+        f"min_y={min_y:.4f}")
+
+
 CHECKS = {"contact": check_contact, "tets": check_tets,
           "bend": check_bend, "batched": check_batched,
-          "batched_poke": check_batched_poke, "damped": check_damped}
+          "batched_poke": check_batched_poke, "damped": check_damped,
+          "chunked": check_chunked}
 
 
 def main():

@@ -548,3 +548,180 @@ def test_tier1_vmem_failure_downgrades_to_standard(pipeline):
     s_ref.run_steps(f, 5, num_iterations=4)
     np.testing.assert_allclose(model.positions, m_ref.positions,
                                atol=1e-5)
+
+
+def _tier1_pair(solver, chunk_every=4):
+    """Build the early-exit and CHUNKED tier-1 kernels from the same
+    prepared resident state (the exact operands reduced.py would use)."""
+    from animsnapbases_tpu.ops.pallas_resident import (
+        build_resident_affine_chunked,
+        build_resident_affine_exit,
+    )
+
+    st = solver._resident_state
+    ops = st["ops"]
+    common = (ops, ops["gather_slices"], ops["layout"], ops["G_allT"],
+              ops["WT_all"], ops["usel_inv"], ops["inv3"], st["U_liftT"],
+              st["ut_acT"], st["M_utac"], st["U_selT"], st["mass_inv"],
+              solver.dt, solver.model.floor_height, st["n_sel"])
+    kw = dict(rebase_every=chunk_every, interpret=True,
+              eta=getattr(solver, "eta", 1.0))
+    return (build_resident_affine_exit(*common, **kw),
+            build_resident_affine_chunked(*common, **kw))
+
+
+def _packed_state(solver, model, fext):
+    st = solver._resident_state
+    perm = st["perm"]
+    P = np.ascontiguousarray(model.positions[perm].T)
+    V = np.ascontiguousarray(model.velocities[perm].T)
+    Fx = np.ascontiguousarray(np.asarray(fext)[perm].T)
+    return P, V, Fx
+
+
+def test_chunked_tier1_run_steps_matches_step_loop(pipeline):
+    """The spill-regime configuration (chunked tier-1 + STANDARD contact
+    tier, reduced.py builds it past CHUNKED_TIER1_MIN_VERTS) must match
+    the per-frame step loop exactly through contact-free stepping, floor
+    contact, and the tiered handoff."""
+    basis_dir, pos_path, _ = pipeline
+    s, m = _solver(basis_dir, pos_path, "interpret", floor=True,
+                   rebase_every=4)
+    s.resident_chunked_tier1 = True      # force the big-model tiering
+    s.set_dirty()
+    s.prepare(s.args)
+    assert s._resident_kind == "standard"
+    assert s._resident_fast is not None
+    assert s._resident_state["use_affine"] is False
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=True)
+
+    f = gravity_forces(m)
+    # contact-free window: tier 1 serves everything and certifies it
+    s.run_steps(f, 10, num_iterations=6)
+    assert s._last_fast_steps == 10
+    # slam into the floor: tier 1 exits, the standard kernel finishes
+    s.run_steps(f * 50.0, 20, num_iterations=6)
+    assert s.frame == 30
+    assert s._last_fast_steps != 20
+    for _ in range(10):
+        s_ref.step(f, num_iterations=6)
+    for _ in range(20):
+        s_ref.step(f * 50.0, num_iterations=6)
+    np.testing.assert_allclose(m.positions, m_ref.positions, atol=1e-6)
+    np.testing.assert_allclose(m.velocities, m_ref.velocities, atol=1e-4)
+
+
+def test_chunked_tier1_floor_off(pipeline):
+    """Floor-off models build the chunked tier-1 with a sentinel floor:
+    the kernel never exits and serves whole windows at the affine rate."""
+    basis_dir, pos_path, _ = pipeline
+    s, m = _solver(basis_dir, pos_path, "interpret", floor=False,
+                   rebase_every=4)
+    s.resident_chunked_tier1 = True
+    s.set_dirty()
+    s.prepare(s.args)
+    assert s._resident_fast is not None
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=False)
+
+    f = gravity_forces(m) * 8.0          # would cross the floor plane
+    s.run_steps(f, 12, num_iterations=6)
+    assert s._last_fast_steps == 12      # tier 1 served the whole window
+    for _ in range(12):
+        s_ref.step(f, num_iterations=6)
+    np.testing.assert_allclose(m.positions, m_ref.positions, atol=1e-6)
+    np.testing.assert_allclose(m.velocities, m_ref.velocities, atol=1e-4)
+
+
+def test_chunked_tier1_vertex_gate(pipeline):
+    """Default gating: tiny models keep the in-kernel early-exit tier-1;
+    past CHUNKED_TIER1_MIN_VERTS the chunked build is selected."""
+    from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+
+    basis_dir, pos_path, _ = pipeline
+    s, _ = _solver(basis_dir, pos_path, "interpret", floor=True)
+    s.resident_contact_mode = False
+    s.set_dirty()
+    s.prepare(s.args)
+    assert s._resident_kind == "affine"   # tiny cloth: in-kernel builds
+
+    old = AnimSnapBasesSolver.CHUNKED_TIER1_MIN_VERTS
+    try:
+        AnimSnapBasesSolver.CHUNKED_TIER1_MIN_VERTS = 4
+        s2, _ = _solver(basis_dir, pos_path, "interpret", floor=True)
+        assert s2._resident_kind == "standard"
+        assert s2._resident_fast is not None
+    finally:
+        AnimSnapBasesSolver.CHUNKED_TIER1_MIN_VERTS = old
+
+
+def test_chunked_kernel_matches_exit_kernel_contact_free(pipeline):
+    """The chunked tier-1 kernel (rebase in an outer XLA loop, only
+    coefficient state in the Pallas kernel) must reproduce the in-kernel
+    early-exit build bit-for-bit modulo f32 summation order: same state,
+    same completed-step count, across rebase boundaries."""
+    basis_dir, pos_path, _ = pipeline
+    s, m = _solver(basis_dir, pos_path, "interpret", floor=True,
+                   rebase_every=4)
+    s.resident_contact_mode = False
+    s.set_dirty()
+    s.prepare(s.args)
+    exit_run, chunk_run = _tier1_pair(s, chunk_every=4)
+
+    f = gravity_forces(m)
+    P, V, Fx = _packed_state(s, m, f)
+    rb = np.zeros((1, 3, s.U.shape[1]))
+    # 10 steps crosses two chunk/rebase boundaries (4, 8)
+    Pe, Ve, ke = exit_run(P, V, Fx, rb, 10, 6)
+    Pc, Vc, kc = chunk_run(P, V, Fx, rb, 10, 6)
+    assert int(np.asarray(ke)[0, 0]) == 10
+    assert int(np.asarray(kc)[0, 0]) == 10
+    np.testing.assert_allclose(np.asarray(Pc), np.asarray(Pe), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Vc), np.asarray(Ve), atol=1e-4)
+
+
+def test_chunked_kernel_early_exit_matches(pipeline):
+    """On a contacting trajectory both tier-1 builds must stop at the
+    SAME first would-be clamped step with identical committed state."""
+    basis_dir, pos_path, _ = pipeline
+    s, m = _solver(basis_dir, pos_path, "interpret", floor=True,
+                   rebase_every=4)
+    s.resident_contact_mode = False
+    s.set_dirty()
+    s.prepare(s.args)
+    exit_run, chunk_run = _tier1_pair(s, chunk_every=4)
+
+    m.positions = m.positions.copy()
+    m.positions[:, 1] -= 2.9             # hover just above the floor
+    f = gravity_forces(m) * 4.0
+    P, V, Fx = _packed_state(s, m, f)
+    rb = np.zeros((1, 3, s.U.shape[1]))
+    Pe, Ve, ke = exit_run(P, V, Fx, rb, 30, 6)
+    Pc, Vc, kc = chunk_run(P, V, Fx, rb, 30, 6)
+    ke, kc = int(np.asarray(ke)[0, 0]), int(np.asarray(kc)[0, 0])
+    assert 0 < ke < 30                   # the scene genuinely clamps
+    assert kc == ke
+    np.testing.assert_allclose(np.asarray(Pc), np.asarray(Pe), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Vc), np.asarray(Ve), atol=1e-4)
+
+
+def test_chunked_kernel_windowed_matches(pipeline):
+    """run.windowed (device-resident schedule sliced inside the jit) must
+    agree between the two tier-1 builds on an animated trajectory."""
+    basis_dir, pos_path, _ = pipeline
+    s, m = _solver(basis_dir, pos_path, "interpret", floor=True,
+                   rebase_every=4)
+    s.resident_contact_mode = False
+    s.set_dirty()
+    s.prepare(s.args)
+    exit_run, chunk_run = _tier1_pair(s, chunk_every=4)
+
+    f = gravity_forces(m)
+    P, V, Fx = _packed_state(s, m, f)
+    r = s.U.shape[1]
+    rng = np.random.default_rng(3)
+    rb_full = rng.normal(scale=1e-3, size=(16, 3, r))
+    Pe, Ve, ke = exit_run.windowed(P, V, Fx, rb_full, 2, 8, 7, 6)
+    Pc, Vc, kc = chunk_run.windowed(P, V, Fx, rb_full, 2, 8, 7, 6)
+    assert int(np.asarray(kc)[0, 0]) == int(np.asarray(ke)[0, 0]) == 7
+    np.testing.assert_allclose(np.asarray(Pc), np.asarray(Pe), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Vc), np.asarray(Ve), atol=1e-4)
