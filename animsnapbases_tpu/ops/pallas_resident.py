@@ -111,8 +111,10 @@ def estimate_chunked_vmem_bytes(n_verts: int, r: int, n_sel: int,
     st_sub = 8 if state_bytes >= 4 else 16
     # U_lift[y] (r, N): N on lanes
     big = pad(r, mm_sub) * lane_n * mm_bytes
-    # b0y / b1y / fay (nb, N)
-    yrows = 3 * pad(nb, st_sub) * lane_n * state_bytes
+    # b0y/b1y/fay packed as ONE (3nb, N) operand — three separate
+    # (nb, N) arrays each pad nb up to the 8-sublane tile (24 sublanes
+    # of VMEM at nb=1 instead of 8)
+    yrows = pad(3 * nb, st_sub) * lane_n * state_bytes
     small = (3 * pad(3 * nb, st_sub) * pad(n_sel, 128)  # b0s/b1s/fas
              + 2 * 3 * pad(r, st_sub) * pad(n_sel, 128)  # uselT/usel_inv
              + 2 * 3 * pad(r, st_sub) * pad(r, 128)      # inv3 / M_utac
@@ -1106,7 +1108,8 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
                                   floor_h: float, n_sel: int,
                                   rebase_every: int = 256,
                                   interpret: bool = False, nb: int = 1,
-                                  eta: float = 1.0):
+                                  eta: float = 1.0,
+                                  floor_bound_skip: bool = True):
     """CHUNKED tier-1 affine kernel: rebase and materialization move OUT
     of the Pallas kernel into an XLA ``while_loop`` around it, so the
     kernel carries only COEFFICIENT state.
@@ -1123,8 +1126,10 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
     * The KERNEL steps up to ``rebase_every`` contact-free affine steps
       on (3nb, 3) base coefficients + (3nb, r) reduced coordinates.  Its
       only O(N) operands are the y-slice of the lift (r, N) — for the
-      exact per-step floor check — the (nb, N) y-rows of the anchors,
-      and the (3nb, n_sel) selected-prefix slices.  No rebase branch, no
+      exact per-step floor check — ONE packed (3nb, N) array holding
+      the anchor/force y-rows (packed so nb=1 pays one 8-sublane tile,
+      not three), and the (3nb, n_sel) selected-prefix slices.  No
+      rebase branch, no
       materialize, no (3, N) state: VMEM scales as ~(r*mm + 12)*N bytes
       instead of ~(6r*mm + 64)*N, admitting ~700k-vertex models at
       r=48/bf16.
@@ -1144,12 +1149,28 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
     coefficient recursions, the same rebase formula (at chunk
     boundaries, i.e. ``rebase_every`` semantics), the same bf16-storage
     rounding on the lift/projection dots.
+
+    ``floor_bound_skip`` (default on): a certified interval bound makes
+    the per-step floor check O(r) instead of O(r*N).  By Cauchy-Schwarz
+    ``min_v sn_y[v] >= lb_aff - ||wsn_y|| * max_v ||U_y[:, v]||`` where
+    ``lb_aff = sum_j (a_j>=0 ? a_j*min(x_j) : a_j*max(x_j))`` over the
+    three packed y-rows (min/max taken once per chunk, the column-norm
+    bound at trace time).  Steps whose bound clears the floor — every
+    step of a floor-clear window — skip the (nb, r) x (r, N) lift dot
+    and the O(N) reduction entirely, making per-step cost N-INDEPENDENT;
+    the exact check runs only when the bound trips (slack absorbs the
+    bf16/f32 rounding gap, so a bound-certified step can never disagree
+    with the exact bf16 check).
     """
     acc = jnp.float32 if U_liftT.dtype != np.float64 else jnp.float64
     r = inv3.shape[1]
     n = U_liftT.shape[2]
     dt2 = dt * dt
     state_dtype = mass_inv.dtype
+    # trace-time Cauchy-Schwarz constant for the floor bound: the
+    # largest y-column norm of the lift (f32 math on the stored values)
+    umax = float(np.linalg.norm(
+        np.asarray(U_liftT[1], dtype=np.float32), axis=0).max())
 
     flat_arrays = [jnp.asarray(g) for g in iteration_terms["flat_arrays"]]
     term_dispatch = iteration_terms["dispatch"]
@@ -1162,16 +1183,16 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
 
     # kernel inputs: SMEM scalars + the sliced operands (no (3, N) state,
     # no full lift/projection matrices)
-    n_kernel_vmem = 11 + 6 + len(flat_arrays)
+    n_kernel_vmem = 9 + 6 + len(flat_arrays)
 
     def _make_chunk_kernel(num_iterations):
       def _chunk_kernel(*refs):
-        (sc_ref, b0y_ref, b1y_ref, fay_ref, b0s_ref, b1s_ref, fas_ref,
+        (sc_ref, yrows_ref, b0s_ref, b1s_ref, fas_ref,
          bu0_ref, bu1_ref, bufa_ref, rbex_ref, ulifty_ref, mutac_ref,
-         uselt_ref, uselinv_ref, inv_ref, wt_ref, gall_ref) = refs[:18]
-        garrs = [ref[:] for ref in refs[18:18 + len(flat_arrays)]]
-        (ap_ref, av_ref, wp_ref, wv_ref, k_ref) = \
-            refs[18 + len(flat_arrays):]
+         uselt_ref, uselinv_ref, inv_ref, wt_ref, gall_ref) = refs[:16]
+        garrs = [ref[:] for ref in refs[16:16 + len(flat_arrays)]]
+        (ap_ref, av_ref, wp_ref, wv_ref, k_ref, cl_ref) = \
+            refs[16 + len(flat_arrays):]
 
         usel_inv_v = uselinv_ref[:]
         inv = inv_ref[:]
@@ -1182,9 +1203,15 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
         bu0 = bu0_ref[:]
         bu1 = bu1_ref[:]
         bu_fa = bufa_ref[:]
-        b0y = b0y_ref[:]
-        b1y = b1y_ref[:]
-        fay = fay_ref[:]
+        yr = yrows_ref[:]
+        b0y = yr[:nb]
+        b1y = yr[nb:2 * nb]
+        fay = yr[2 * nb:3 * nb]
+        if floor_bound_skip:
+            # once per chunk: per-sim min/max of the packed y-rows for
+            # the O(r) certified floor bound (see docstring)
+            ymn = jnp.min(yr, axis=1, keepdims=True)    # (3nb, 1)
+            ymx = jnp.max(yr, axis=1, keepdims=True)
         b0s = b0s_ref[:]
         b1s = b1s_ref[:]
         fas = fas_ref[:]
@@ -1223,11 +1250,44 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
                 wsn = wp + dt * wvd
                 asn_y = asn[nb:2 * nb]
                 wsn_y = wsn[nb:2 * nb]
-                sn_y = (asn_y[:, 0:1] * b0y + asn_y[:, 1:2] * b1y
-                        + asn_y[:, 2:3] * fay
-                        + _dot(wsn_y.astype(mm_dtype), ulifty_ref[:],
-                               acc))
-                clamped = jnp.any(sn_y < floor_h)
+                if floor_bound_skip:
+                    # O(r) certified bound; the exact O(r*N) check runs
+                    # only when the bound can't clear the floor.  Slack
+                    # (25 % of the lift bound + a relative epsilon)
+                    # absorbs bf16 dot rounding so a certified-clear
+                    # step can never disagree with the exact check.
+                    a0 = asn_y[:, 0:1]
+                    a1 = asn_y[:, 1:2]
+                    a2 = asn_y[:, 2:3]
+                    lb_aff = (
+                        jnp.where(a0 >= 0, a0 * ymn[:nb],
+                                  a0 * ymx[:nb])
+                        + jnp.where(a1 >= 0, a1 * ymn[nb:2 * nb],
+                                    a1 * ymx[nb:2 * nb])
+                        + jnp.where(a2 >= 0, a2 * ymn[2 * nb:3 * nb],
+                                    a2 * ymx[2 * nb:3 * nb]))
+                    wn = jnp.sqrt(jnp.sum(wsn_y * wsn_y, axis=1,
+                                          keepdims=True))
+                    slack = (0.25 * wn * umax
+                             + 1e-6 * (1.0 + jnp.abs(lb_aff)))
+                    lb = lb_aff - wn * umax - slack
+                    maybe = jnp.any(lb < floor_h)
+                    cl_ref[0] = 0
+
+                    @pl.when(maybe)
+                    def _exact():
+                        sn_y = (a0 * b0y + a1 * b1y + a2 * fay
+                                + _dot(wsn_y.astype(mm_dtype),
+                                       ulifty_ref[:], acc))
+                        cl_ref[0] = jnp.any(
+                            sn_y < floor_h).astype(jnp.int32)
+                    clamped = cl_ref[0] == 1
+                else:
+                    sn_y = (asn_y[:, 0:1] * b0y + asn_y[:, 1:2] * b1y
+                            + asn_y[:, 2:3] * fay
+                            + _dot(wsn_y.astype(mm_dtype),
+                                   ulifty_ref[:], acc))
+                    clamped = jnp.any(sn_y < floor_h)
 
                 @pl.when(jnp.logical_not(clamped))
                 def _free():
@@ -1310,6 +1370,8 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
                        pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.SMEM)),
+            # per-step clamp flag staging the two-phase floor check
+            scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
             compiler_params=compiler_params,
             interpret=interpret,
         )
@@ -1329,8 +1391,10 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
             sc = jnp.concatenate(
                 [chunk.reshape(1, 1), done.reshape(1, 1)],
                 axis=1).astype(jnp.int32)
+            yrows = jnp.concatenate(
+                [P[nb:2 * nb], V[nb:2 * nb], fay], axis=0)
             ap, av, wp, wv, k = call(
-                sc, P[nb:2 * nb], V[nb:2 * nb], fay,
+                sc, yrows,
                 P[:, :n_sel], V[:, :n_sel], fas, bu0, bu1, bu_fa,
                 rb2d, ulift_y, mutac_a, uselt_a, usel_inv_a, inv3_a,
                 WT_a, G_a, *arrays)

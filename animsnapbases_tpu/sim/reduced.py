@@ -576,8 +576,27 @@ class AnimSnapBasesSolver:
         # limit for matmul staging, double-buffered state, and a per-call
         # rb window (v5e: 128 MB/core); if Mosaic still can't fit it,
         # run_steps falls back at first call.
+        chunked_only = getattr(self, "resident_chunked_only", None)
         if budget > limit:
-            return None
+            # BEYOND-GATE admission: the full-state resident kernels
+            # can't fit, but the CHUNKED affine kernel carries only
+            # coefficient state (its O(N) operands are the lift's
+            # y-slice + one packed (3, N) y-rows array), so models far
+            # past the gate — ~450k verts at r=48/bf16 — still step at
+            # the affine rate.  Contact windows fall to the per-step
+            # fused path (run_fn=None below); resting-on-floor regimes
+            # are served in bounded per-step windows (see run_steps).
+            from animsnapbases_tpu.ops.pallas_resident import (
+                estimate_chunked_vmem_bytes,
+            )
+
+            chunked_budget = estimate_chunked_vmem_bytes(
+                n, r, n_sel, g_total, m_total,
+                mm_dtype.itemsize, np_dtype.itemsize)
+            if chunked_only is False or chunked_budget > limit:
+                return None
+            chunked_only = True
+            budget = chunked_budget
         if mm_dtype.itemsize == 8 and not interpret:
             return None          # no native f64 dots in Mosaic
         # per-call rb-timeline allowance: gate + window + staging stays
@@ -604,7 +623,7 @@ class AnimSnapBasesSolver:
         self._rb_sched = None
 
         M_utac = None
-        if use_affine:
+        if use_affine or chunked_only:
             M_utac = np.stack(
                 [self._ut_ac_np[d] @ self.U[:, :, d]
                  for d in range(3)]).astype(np_dtype)      # (3, r, r)
@@ -633,7 +652,7 @@ class AnimSnapBasesSolver:
         chunked_tier1 = getattr(self, "resident_chunked_tier1", None)
         if chunked_tier1 is None:
             chunked_tier1 = n >= self.CHUNKED_TIER1_MIN_VERTS
-        if use_affine and chunked_tier1:
+        if chunked_only or (use_affine and chunked_tier1):
             # SPILL-REGIME tiering (see CHUNKED_TIER1_MIN_VERTS): the
             # in-kernel affine builds slow down or OOM past ~64k verts,
             # so tier 1 becomes the CHUNKED affine kernel — an XLA
@@ -658,7 +677,20 @@ class AnimSnapBasesSolver:
                 U_selT.astype(np_dtype), mass_inv, self.dt,
                 floor_h, n_sel,
                 rebase_every=getattr(self, "resident_rebase_every", 256),
-                interpret=interpret, eta=getattr(self, "eta", 1.0))
+                interpret=interpret, eta=getattr(self, "eta", 1.0),
+                floor_bound_skip=getattr(
+                    self, "resident_floor_bound_skip", True))
+            self._resident_fallback = None
+            # batched rebuilds at this scale must use the standard
+            # kernel too, not re-enter the spill regime
+            self._resident_state["use_affine"] = False
+            if chunked_only:
+                # BEYOND-GATE: no full-state resident kernel fits VMEM
+                # — the contact tier is the per-step fused path
+                # (run_steps serves bounded per-step windows when
+                # run_fn is None)
+                self._resident_kind = "chunked-only"
+                return None, perm, iperm
             run = build_resident_multistep(
                 ops, ops["gather_slices"], ops["layout"],
                 ops["G_allT"], ops["WT_all"], ops["usel_inv"],
@@ -667,10 +699,6 @@ class AnimSnapBasesSolver:
                 n_sel, interpret=interpret,
                 eta=getattr(self, "eta", 1.0))
             self._resident_kind = "standard"
-            self._resident_fallback = None
-            # batched rebuilds at this scale must use the standard
-            # kernel too, not re-enter the spill regime
-            self._resident_state["use_affine"] = False
             return run, perm, iperm
 
         if use_affine:
@@ -2022,6 +2050,13 @@ class AnimSnapBasesSolver:
                         warnings.warn("early-exit kernel failed; "
                                       f"disabling tier 1: {e}")
                         self._resident_fast = None
+                        if run_fn is None:
+                            # chunked-only resident: tier 1 WAS the
+                            # resident path — drop to the per-step
+                            # fused kernel for good
+                            self._resident = None
+                            return self.run_steps(fext, num_steps,
+                                                  num_iterations)
                         fallback = getattr(self, "_resident_fallback",
                                            None)
                         if (fallback is not None
@@ -2072,6 +2107,52 @@ class AnimSnapBasesSolver:
                         # contact-capable resident kernel below for
                         # this window (P/V/Fx still hold the committed
                         # state: zero steps ran).
+                if run_fn is None:
+                    # CHUNKED-ONLY resident (beyond-gate model): no
+                    # full-state contact kernel fits VMEM, so contact
+                    # regimes run on the per-step fused path in BOUNDED
+                    # windows, handing back to tier 1 as soon as the
+                    # host predictor says the next step is floor-clear.
+                    # The depth guard caps pathological graze/contact
+                    # alternation (each recursion makes >=1 window of
+                    # progress, so the cap only costs throughput, never
+                    # correctness).
+                    window = max(
+                        int(getattr(self, "resident_rebase_every", 256)),
+                        -(-num_steps // 64))
+                    depth = getattr(self, "_chunkonly_depth", 0)
+                    remaining = num_steps
+                    while remaining > 0:
+                        w = min(remaining, window)
+                        targets_tl, _ = self._targets_timeline(w)
+                        p, v = self._run_jit(
+                            self._cast(model.positions),
+                            self._cast(model.velocities),
+                            self._cast(fext), self._cast(targets_tl),
+                            num_steps=w,
+                            num_iterations=num_iterations)
+                        model.positions = np.asarray(p)
+                        model.velocities = np.asarray(v)
+                        self.frame += w
+                        remaining -= w
+                        if (remaining <= 0 or depth >= 16
+                                or self._resident_fast is None
+                                or not model.floor_collision):
+                            continue
+                        sn_y0 = (model.positions[:, 1]
+                                 + self.dt * getattr(self, "eta", 1.0)
+                                 * model.velocities[:, 1]
+                                 + self.dt * self.dt
+                                 * np.asarray(fext)[:, 1] / model.mass)
+                        if float(sn_y0.min()) >= model.floor_height:
+                            # floor-clear again: back to the affine rate
+                            self._chunkonly_depth = depth + 1
+                            try:
+                                return self.run_steps(fext, remaining,
+                                                      num_iterations)
+                            finally:
+                                self._chunkonly_depth = depth
+                    return
                 try:
                     Pf, Vf = call(P, V, Fx, run_fn)
                 except Exception as e:

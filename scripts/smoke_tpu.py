@@ -286,10 +286,54 @@ def check_chunked():
         f"min_y={min_y:.4f}")
 
 
+def check_chunked_only():
+    """BEYOND-GATE admission under real Mosaic: when no full-state
+    resident kernel fits VMEM, the solver serves tier 1 on the chunked
+    affine kernel alone (run_fn=None) and contact regimes on bounded
+    per-step fused windows.  Forced here by inflating the full-state
+    estimate — exactly what a 250k-vertex model produces."""
+    from animsnapbases_tpu.ops import pallas_resident
+
+    real = pallas_resident.estimate_vmem_bytes
+    pallas_resident.estimate_vmem_bytes = lambda *a, **k: 1 << 60
+    try:
+        model = _cloth()
+        solver = _synthetic_reduced(model, damping=0.01)
+    finally:
+        pallas_resident.estimate_vmem_bytes = real
+    assert solver._resident_kind == "chunked-only"
+    run_fn, _, _ = solver._resident
+    assert run_fn is None and solver._resident_fast is not None
+
+    # contact-free ring-down: tier 1 must serve and certify the window
+    rng = np.random.default_rng(13)
+    v0 = rng.normal(scale=0.2, size=model.positions.shape)
+    v0[model.fixed_flags] = 0.0
+    model.velocities = v0.copy()
+    f0 = np.zeros_like(model.positions)
+    solver.run_steps(f0, 600, num_iterations=10)
+    assert solver._resident_fast is not None, \
+        "Mosaic rejected the chunked-only tier-1 kernel"
+    assert solver._last_fast_steps == 600, \
+        f"tier 1 did not serve the window ({solver._last_fast_steps})"
+    assert np.isfinite(model.positions).all()
+
+    # slam into the floor: early exit + bounded per-step windows
+    f = _gravity(model) * 30.0
+    solver.run_steps(f, 400, num_iterations=10)
+    assert np.isfinite(model.positions).all()
+    min_y = float(model.positions[:, 1].min())
+    assert min_y >= -1e-4, f"floor violated: {min_y}"
+    assert solver._last_fast_steps != 400   # contact genuinely fired
+    assert solver._resident is not None     # tier 1 still alive
+    log(f"[smoke] chunked_only: ring-down served whole; contact window "
+        f"min_y={min_y:.4f}")
+
+
 CHECKS = {"contact": check_contact, "tets": check_tets,
           "bend": check_bend, "batched": check_batched,
           "batched_poke": check_batched_poke, "damped": check_damped,
-          "chunked": check_chunked}
+          "chunked": check_chunked, "chunked_only": check_chunked_only}
 
 
 def main():

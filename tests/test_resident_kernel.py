@@ -725,3 +725,209 @@ def test_chunked_kernel_windowed_matches(pipeline):
     assert int(np.asarray(kc)[0, 0]) == int(np.asarray(ke)[0, 0]) == 7
     np.testing.assert_allclose(np.asarray(Pc), np.asarray(Pe), atol=1e-6)
     np.testing.assert_allclose(np.asarray(Vc), np.asarray(Ve), atol=1e-4)
+
+
+def test_beyond_gate_estimates_separate():
+    """The chunked kernel's coefficient-only footprint is what admits
+    beyond-gate models: at 250k verts / r=48 / bf16 matmuls the
+    full-state estimate is far past the 72 MB gate while the chunked
+    one fits comfortably."""
+    from animsnapbases_tpu.ops.pallas_resident import (
+        estimate_chunked_vmem_bytes,
+        estimate_vmem_bytes,
+    )
+
+    full = estimate_vmem_bytes(250000, 48, 500, 1500, 2000, 2, 4)
+    chunk = estimate_chunked_vmem_bytes(250000, 48, 500, 1500, 2000,
+                                        2, 4)
+    assert full > 72 * (1 << 20)
+    assert chunk < 40 * (1 << 20)
+
+
+def _chunked_only_solver(basis_dir, pos_path, monkeypatch, floor=True):
+    """Force the BEYOND-GATE admission path on the tiny test cloth by
+    making the full-state estimate exceed any limit — exactly what a
+    250k-vertex model does — so _try_build_resident takes the
+    chunked-only branch (run_fn=None, per-step contact tier)."""
+    from animsnapbases_tpu.ops import pallas_resident
+
+    monkeypatch.setattr(pallas_resident, "estimate_vmem_bytes",
+                        lambda *a, **k: 1 << 60)
+    s, m = _solver(basis_dir, pos_path, "interpret", floor=floor,
+                   rebase_every=4)
+    return s, m
+
+
+def test_chunked_only_admission(pipeline, monkeypatch):
+    """Beyond the gate the solver builds the chunked tier-1 with NO
+    full-state contact kernel (run_fn None) and reports the kind."""
+    basis_dir, pos_path, _ = pipeline
+    s, _ = _chunked_only_solver(basis_dir, pos_path, monkeypatch)
+    assert s._resident is not None
+    run_fn, _, _ = s._resident
+    assert run_fn is None
+    assert s._resident_kind == "chunked-only"
+    assert s._resident_fast is not None
+    assert s._resident_state["use_affine"] is False
+
+
+def test_chunked_only_disabled_by_flag(pipeline, monkeypatch):
+    """resident_chunked_only=False keeps beyond-gate models on the
+    per-step fused path (the pre-round-3 behavior)."""
+    from animsnapbases_tpu.ops import pallas_resident
+
+    basis_dir, pos_path, _ = pipeline
+    monkeypatch.setattr(pallas_resident, "estimate_vmem_bytes",
+                        lambda *a, **k: 1 << 60)
+    from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+
+    args = sim_args(
+        constraint_projection_basis_type="deim_pod_vectorized",
+        tri_strain_reduced=True, tri_strain_num_components=10,
+        edge_spring_reduced=True, edge_spring_num_components=10,
+        geom_interpolation_basis_dir=basis_dir,
+        geom_interpolation_basis_file="basis.npz",
+        position_reduced=True, position_num_components=14,
+        position_basis_file=pos_path)
+    solver = AnimSnapBasesSolver(args, pallas_mode="interpret")
+    _, model = make_cloth_solver(rows=5, cols=5, wi=1e4, tilt=0.15)
+    solver.set_model(model)
+    solver.resident_chunked_only = False
+    solver.prepare(args)
+    assert solver._resident is None
+
+
+def test_chunked_only_run_steps_matches_step_loop(pipeline, monkeypatch):
+    """Beyond-gate stepping must match the per-frame step loop exactly:
+    contact-free windows on tier 1, a floor slam handed to the per-step
+    fused windows, and the hand-back to tier 1 once floor-clear."""
+    basis_dir, pos_path, _ = pipeline
+    s, m = _chunked_only_solver(basis_dir, pos_path, monkeypatch)
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=True)
+
+    f = gravity_forces(m)
+    # contact-free window: tier 1 serves everything and certifies it
+    s.run_steps(f, 10, num_iterations=6)
+    assert s._last_fast_steps == 10
+    # slam into the floor: tier 1 exits, per-step windows finish
+    s.run_steps(f * 50.0, 20, num_iterations=6)
+    assert s.frame == 30
+    assert s._last_fast_steps != 20
+    for _ in range(10):
+        s_ref.step(f, num_iterations=6)
+    for _ in range(20):
+        s_ref.step(f * 50.0, num_iterations=6)
+    np.testing.assert_allclose(m.positions, m_ref.positions, atol=1e-6)
+    np.testing.assert_allclose(m.velocities, m_ref.velocities, atol=1e-4)
+
+
+def test_chunked_only_resting_regime(pipeline, monkeypatch):
+    """A model RESTING on the floor (predictor clamped every window)
+    must still make full progress through bounded per-step windows."""
+    basis_dir, pos_path, _ = pipeline
+    s, m = _chunked_only_solver(basis_dir, pos_path, monkeypatch)
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=True)
+
+    f = gravity_forces(m) * 50.0
+    # drive into the floor, then KEEP pressing: the whole second window
+    # runs on the per-step contact tier
+    s.run_steps(f, 30, num_iterations=6)
+    s.run_steps(f, 17, num_iterations=6)
+    assert s.frame == 47
+    for _ in range(47):
+        s_ref.step(f, num_iterations=6)
+    # 2e-6: the bounded windows change jit boundaries (f32 summation
+    # order) vs the per-frame loop — identical math, reordered
+    np.testing.assert_allclose(m.positions, m_ref.positions, atol=2e-6)
+    np.testing.assert_allclose(m.velocities, m_ref.velocities, atol=1e-4)
+
+
+def test_chunked_only_floor_off(pipeline, monkeypatch):
+    """Floor-off beyond-gate models run the chunked tier-1 with the
+    sentinel floor: whole windows at the affine rate, no contact tier."""
+    basis_dir, pos_path, _ = pipeline
+    s, m = _chunked_only_solver(basis_dir, pos_path, monkeypatch,
+                                floor=False)
+    run_fn, _, _ = s._resident
+    assert run_fn is None and s._resident_fast is not None
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=False)
+
+    f = gravity_forces(m) * 8.0          # would cross the floor plane
+    s.run_steps(f, 12, num_iterations=6)
+    assert s._last_fast_steps == 12
+    for _ in range(12):
+        s_ref.step(f, num_iterations=6)
+    np.testing.assert_allclose(m.positions, m_ref.positions, atol=1e-6)
+    np.testing.assert_allclose(m.velocities, m_ref.velocities, atol=1e-4)
+
+
+def test_chunked_only_tier1_failure_drops_to_per_step(pipeline,
+                                                      monkeypatch):
+    """If Mosaic rejects the chunked kernel at first dispatch, the
+    beyond-gate solver must land on the per-step fused path and still
+    produce exact results (there is no other kernel to fall back to)."""
+    basis_dir, pos_path, _ = pipeline
+    s, m = _chunked_only_solver(basis_dir, pos_path, monkeypatch)
+
+    class _Boom:
+        def __call__(self, *a, **k):
+            raise RuntimeError("mosaic rejected (test)")
+
+        def windowed(self, *a, **k):
+            raise RuntimeError("mosaic rejected (test)")
+
+    s._resident_fast = _Boom()
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=True)
+
+    f = gravity_forces(m)
+    with pytest.warns(UserWarning, match="disabling tier 1"):
+        s.run_steps(f, 10, num_iterations=6)
+    assert s._resident is None           # resident path fully retired
+    s.run_steps(f, 5, num_iterations=6)
+    for _ in range(15):
+        s_ref.step(f, num_iterations=6)
+    np.testing.assert_allclose(m.positions, m_ref.positions, atol=1e-6)
+    np.testing.assert_allclose(m.velocities, m_ref.velocities, atol=1e-4)
+
+
+def test_chunked_floor_bound_grazing_equivalence(pipeline):
+    """The O(r) certified floor bound must be behavior-invisible: on a
+    trajectory hovering JUST above the floor (the bound trips into the
+    exact check every step, without clamping) and on a clamping one,
+    bound-on and bound-off builds must agree step-for-step."""
+    from animsnapbases_tpu.ops.pallas_resident import (
+        build_resident_affine_chunked,
+    )
+
+    basis_dir, pos_path, _ = pipeline
+    s, m = _solver(basis_dir, pos_path, "interpret", floor=True,
+                   rebase_every=4)
+    s.resident_contact_mode = False
+    s.set_dirty()
+    s.prepare(s.args)
+    st = s._resident_state
+    ops = st["ops"]
+    common = (ops, ops["gather_slices"], ops["layout"], ops["G_allT"],
+              ops["WT_all"], ops["usel_inv"], ops["inv3"], st["U_liftT"],
+              st["ut_acT"], st["M_utac"], st["U_selT"], st["mass_inv"],
+              s.dt, s.model.floor_height, st["n_sel"])
+    kw = dict(rebase_every=4, interpret=True, eta=getattr(s, "eta", 1.0))
+    run_on = build_resident_affine_chunked(*common,
+                                           floor_bound_skip=True, **kw)
+    run_off = build_resident_affine_chunked(*common,
+                                            floor_bound_skip=False, **kw)
+
+    rb = np.zeros((1, 3, s.U.shape[1]))
+    for drop, scale in ((2.7, 0.5), (2.9, 4.0)):   # hover, then clamp
+        m2 = m.positions.copy()
+        m2[:, 1] -= drop
+        mm = m.positions
+        m.positions = m2
+        f = gravity_forces(m) * scale
+        P, V, Fx = _packed_state(s, m, f)
+        m.positions = mm
+        Pa, Va, ka = run_on(P, V, Fx, rb, 30, 6)
+        Pb, Vb, kb = run_off(P, V, Fx, rb, 30, 6)
+        assert int(np.asarray(ka)[0, 0]) == int(np.asarray(kb)[0, 0])
+        np.testing.assert_array_equal(np.asarray(Pa), np.asarray(Pb))
+        np.testing.assert_array_equal(np.asarray(Va), np.asarray(Vb))
