@@ -670,13 +670,21 @@ class AnimSnapBasesSolver:
 
             floor_h = (self.model.floor_height
                        if self.model.floor_collision else -3.0e38)
+            # larger chunks amortize the per-chunk O(N) overhead (the
+            # rebase lift/project dots + per-pallas_call operand
+            # staging), which DOMINATES at this scale once the O(r)
+            # floor bound removes the per-step O(N) work — measured at
+            # 250k verts: 55-62k steps/s at 256 vs 85-89k at 1024
+            # (4096 plateaus); numerically the cadence only sets the
+            # f32 coefficient-drift window, bounded and tiny either way
             self._resident_fast = build_resident_affine_chunked(
                 ops, ops["gather_slices"], ops["layout"],
                 ops["G_allT"], ops["WT_all"], ops["usel_inv"],
                 ops["inv3"], U_liftT, ut_acT, M_utac,
                 U_selT.astype(np_dtype), mass_inv, self.dt,
                 floor_h, n_sel,
-                rebase_every=getattr(self, "resident_rebase_every", 256),
+                rebase_every=getattr(self, "resident_rebase_every",
+                                     None) or 1024,
                 interpret=interpret, eta=getattr(self, "eta", 1.0),
                 floor_bound_skip=getattr(
                     self, "resident_floor_bound_skip", True))
