@@ -1381,6 +1381,15 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
             return jnp.logical_and(done < total,
                                    jnp.logical_not(contact))
 
+        # animated schedules: stage only THIS chunk's rb rows into the
+        # kernel (the full 16-32k-frame window as a per-call operand
+        # would be re-staged into VMEM on EVERY while-loop chunk — tens
+        # of MB x chunks; the exit kernel pays it once per dispatch).
+        # The slice is offset-clamped so the kernel's min(start+i, S-1)
+        # indexing reproduces the full-schedule clamp semantics exactly.
+        t_total = rb2d.shape[0] // (3 * nb)
+        S = min(rebase_every, t_total)
+
         def body(carry):
             P, V, done, _ = carry
             bu0 = project(P)
@@ -1388,15 +1397,20 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
             chunk = jnp.minimum(
                 jnp.asarray(rebase_every, dtype=total.dtype),
                 total - done)
+            done32 = done.astype(jnp.int32)
+            off = jnp.clip(done32, 0, t_total - S)
+            rb_chunk = jax.lax.dynamic_slice(
+                rb2d, (3 * nb * off, jnp.zeros((), dtype=off.dtype)),
+                (3 * nb * S, rb2d.shape[1]))
             sc = jnp.concatenate(
-                [chunk.reshape(1, 1), done.reshape(1, 1)],
-                axis=1).astype(jnp.int32)
+                [chunk.reshape(1, 1).astype(jnp.int32),
+                 (done32 - off).reshape(1, 1)], axis=1)
             yrows = jnp.concatenate(
                 [P[nb:2 * nb], V[nb:2 * nb], fay], axis=0)
             ap, av, wp, wv, k = call(
                 sc, yrows,
                 P[:, :n_sel], V[:, :n_sel], fas, bu0, bu1, bu_fa,
-                rb2d, ulift_y, mutac_a, uselt_a, usel_inv_a, inv3_a,
+                rb_chunk, ulift_y, mutac_a, uselt_a, usel_inv_a, inv3_a,
                 WT_a, G_a, *arrays)
             k = k[0, 0]
             Pn = (ap[:, 0:1] * P + ap[:, 1:2] * V + ap[:, 2:3] * fa

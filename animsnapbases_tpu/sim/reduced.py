@@ -651,20 +651,24 @@ class AnimSnapBasesSolver:
 
         chunked_tier1 = getattr(self, "resident_chunked_tier1", None)
         if chunked_tier1 is None:
-            chunked_tier1 = n >= self.CHUNKED_TIER1_MIN_VERTS
+            # measured IN-PROCESS on the TPU at every scale, the chunked
+            # tier-1 (coefficient-only Pallas body + O(r) floor bound)
+            # beats the in-kernel alternatives for contact-free
+            # stepping: 154k vs 147k steps/s at 14.4k verts (vs the
+            # no-tier contact-mode loop), 140k vs 120k at 51.5k (vs the
+            # lean exit kernel), 123k vs 41k at 100k, 89k vs 1.3k at
+            # 250k — so it is tier 1 at ALL sizes; only the CONTACT
+            # tier varies with scale below.
+            chunked_tier1 = True
         if chunked_only or (use_affine and chunked_tier1):
-            # SPILL-REGIME tiering (see CHUNKED_TIER1_MIN_VERTS): the
-            # in-kernel affine builds slow down or OOM past ~64k verts,
-            # so tier 1 becomes the CHUNKED affine kernel — an XLA
-            # while_loop re-anchors every rebase_every steps and the
-            # Pallas kernel steps pure coefficient state (its only O(N)
-            # operands are the y-slice of the lift for the exact floor
-            # check and the anchor y-rows/selected prefixes) — and the
-            # contact tier is the STANDARD kernel outright (measured
-            # faster than the lean affine build here: 39k vs 15k
-            # steps/s at a 100k-vertex cloth).  Floor-off models pass a
-            # sentinel floor so the chunked kernel never exits.
+            # TIER 1 = the CHUNKED affine kernel: an XLA while_loop
+            # re-anchors every rebase_every steps and the Pallas kernel
+            # steps pure coefficient state (its only O(N) operands are
+            # the y-slice of the lift for the exact floor check and the
+            # packed anchor y-rows/selected prefixes).  Floor-off
+            # models pass a sentinel floor so the kernel never exits.
             from animsnapbases_tpu.ops.pallas_resident import (
+                build_resident_affine,
                 build_resident_affine_chunked,
             )
 
@@ -689,24 +693,53 @@ class AnimSnapBasesSolver:
                 floor_bound_skip=getattr(
                     self, "resident_floor_bound_skip", True))
             self._resident_fallback = None
-            # batched rebuilds at this scale must use the standard
-            # kernel too, not re-enter the spill regime
-            self._resident_state["use_affine"] = False
             if chunked_only:
                 # BEYOND-GATE: no full-state resident kernel fits VMEM
                 # — the contact tier is the per-step fused path
                 # (run_steps serves bounded per-step windows when
                 # run_fn is None)
+                self._resident_state["use_affine"] = False
                 self._resident_kind = "chunked-only"
                 return None, perm, iperm
-            run = build_resident_multistep(
+            if n >= self.CHUNKED_TIER1_MIN_VERTS:
+                # SPILL REGIME (see CHUNKED_TIER1_MIN_VERTS): the
+                # contact tier is the STANDARD kernel outright —
+                # measured faster than the lean affine build here (39k
+                # vs 15k steps/s at a 100k-vertex cloth) — and batched
+                # rebuilds must use it too, not re-enter the spill
+                # regime
+                self._resident_state["use_affine"] = False
+                run = build_resident_multistep(
+                    ops, ops["gather_slices"], ops["layout"],
+                    ops["G_allT"], ops["WT_all"], ops["usel_inv"],
+                    ops["inv3"], U_liftT, ut_acT, mass_inv, self.dt,
+                    self.model.floor_collision, self.model.floor_height,
+                    n_sel, interpret=interpret,
+                    eta=getattr(self, "eta", 1.0))
+                self._resident_kind = "standard"
+                return run, perm, iperm
+            # small/mid models: the adaptive affine kernel stays the
+            # contact tier (contact-mode <=32k verts serves contact-
+            # dominated windows at ~126k steps/s; the lean build above
+            # that), and batched/ensemble rebuilds keep the affine path
+            run = build_resident_affine(
+                ops, ops["gather_slices"], ops["layout"],
+                ops["G_allT"], ops["WT_all"], ops["usel_inv"],
+                ops["inv3"], U_liftT, ut_acT, M_utac,
+                U_selT.astype(np_dtype), mass_inv, self.dt,
+                self.model.floor_collision, self.model.floor_height,
+                n_sel,
+                rebase_every=getattr(self, "resident_rebase_every", 256),
+                interpret=interpret, contact_mode=contact_mode,
+                eta=getattr(self, "eta", 1.0))
+            self._resident_kind = "affine"
+            self._resident_fallback = lambda: build_resident_multistep(
                 ops, ops["gather_slices"], ops["layout"],
                 ops["G_allT"], ops["WT_all"], ops["usel_inv"],
                 ops["inv3"], U_liftT, ut_acT, mass_inv, self.dt,
                 self.model.floor_collision, self.model.floor_height,
                 n_sel, interpret=interpret,
                 eta=getattr(self, "eta", 1.0))
-            self._resident_kind = "standard"
             return run, perm, iperm
 
         if use_affine:

@@ -254,11 +254,15 @@ def check_chunked():
     tiered handoff to the STANDARD contact kernel must survive a genuine
     floor hit.  (Exactness vs step() is pinned by the CPU interpret
     tests; this check is Mosaic acceptance.)"""
+    from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+
     model = _cloth()
-    solver = _synthetic_reduced(model, damping=0.01)
-    solver.resident_chunked_tier1 = True
-    solver.set_dirty()
-    solver.prepare(solver.args)
+    old = AnimSnapBasesSolver.CHUNKED_TIER1_MIN_VERTS
+    AnimSnapBasesSolver.CHUNKED_TIER1_MIN_VERTS = 4   # force spill tier
+    try:
+        solver = _synthetic_reduced(model, damping=0.01)
+    finally:
+        AnimSnapBasesSolver.CHUNKED_TIER1_MIN_VERTS = old
     assert solver._resident_kind == "standard"
     assert solver._resident_fast is not None, "chunked tier-1 not built"
 

@@ -584,12 +584,16 @@ def test_chunked_tier1_run_steps_matches_step_loop(pipeline):
     tier, reduced.py builds it past CHUNKED_TIER1_MIN_VERTS) must match
     the per-frame step loop exactly through contact-free stepping, floor
     contact, and the tiered handoff."""
+    from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+
     basis_dir, pos_path, _ = pipeline
-    s, m = _solver(basis_dir, pos_path, "interpret", floor=True,
-                   rebase_every=4)
-    s.resident_chunked_tier1 = True      # force the big-model tiering
-    s.set_dirty()
-    s.prepare(s.args)
+    old = AnimSnapBasesSolver.CHUNKED_TIER1_MIN_VERTS
+    AnimSnapBasesSolver.CHUNKED_TIER1_MIN_VERTS = 4   # force spill tier
+    try:
+        s, m = _solver(basis_dir, pos_path, "interpret", floor=True,
+                       rebase_every=4)
+    finally:
+        AnimSnapBasesSolver.CHUNKED_TIER1_MIN_VERTS = old
     assert s._resident_kind == "standard"
     assert s._resident_fast is not None
     assert s._resident_state["use_affine"] is False
