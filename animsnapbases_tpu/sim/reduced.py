@@ -887,6 +887,73 @@ class AnimSnapBasesSolver:
         self._resident_batched[nb] = run
         return run
 
+    @staticmethod
+    def batched_chunked_budget(st, nb: int) -> int:
+        """VMEM-byte estimate for an ``nb``-sim batched CHUNKED affine
+        kernel built from resident state ``st`` (the coefficient-only
+        Pallas body: its per-sim O(N) cost is ONE packed y-row block, so
+        ensembles of models far past the full-state batched gate still
+        fit — e.g. 8x a 250k-vertex cloth).  Pure function so capacity
+        is pinned by unit tests."""
+        from animsnapbases_tpu.ops.pallas_resident import (
+            estimate_chunked_vmem_bytes,
+        )
+
+        return estimate_chunked_vmem_bytes(
+            st["n"], st["r"], st["n_sel"], st["g_total"], st["m_total"],
+            st["mm_dtype"].itemsize, st["np_dtype"].itemsize, nb=nb)
+
+    def _build_resident_batched_chunked(self, nb: int):
+        """Batched CHUNKED affine runner: ``nb`` independent sims of this
+        prepared model stepped as dim-major (3nb, N) COEFFICIENT state in
+        one chunked kernel (rebase/materialize in the outer XLA
+        while_loop, shared big matrices).  This is the ensemble path for
+        models whose full-state batched kernel exceeds VMEM (spill
+        regime / beyond the gate) — the alternative is the ~25x slower
+        vmapped per-step loop.  Early-exit semantics are whole-batch:
+        the kernel stops before the first step where ANY sim would clamp
+        (the caller serves a bounded per-step window, then hands back).
+        Cached per batch size; None when the footprint doesn't fit or
+        the solver has no chunked tier."""
+        st = getattr(self, "_resident_state", None)
+        if (st is None or nb < 1
+                or getattr(self, "_resident_fast", None) is None):
+            return None
+        key = ("chunked", nb)
+        if key in self._resident_batched:
+            return self._resident_batched[key]
+        if nb == 1:
+            # the tier-1 chunked runner IS the nb=1 batched kernel
+            # (identical builder arguments) — reuse it instead of
+            # compiling a second, mathematically identical kernel
+            self._resident_batched[key] = self._resident_fast
+            return self._resident_fast
+        limit = getattr(self, "resident_vmem_limit",
+                        self.RESIDENT_VMEM_LIMIT)
+        if self.batched_chunked_budget(st, nb) > limit:
+            self._resident_batched[key] = None
+            return None
+        from animsnapbases_tpu.ops.pallas_resident import (
+            build_resident_affine_chunked,
+        )
+
+        ops = st["ops"]
+        floor_h = (self.model.floor_height
+                   if self.model.floor_collision else -3.0e38)
+        run = build_resident_affine_chunked(
+            ops, ops["gather_slices"], ops["layout"], ops["G_allT"],
+            ops["WT_all"], ops["usel_inv"], ops["inv3"], st["U_liftT"],
+            st["ut_acT"], st["M_utac"], st["U_selT"], st["mass_inv"],
+            self.dt, floor_h, st["n_sel"],
+            rebase_every=getattr(self, "resident_rebase_every",
+                                 None) or 1024,
+            interpret=st["interpret"], nb=nb,
+            eta=getattr(self, "eta", 1.0),
+            floor_bound_skip=getattr(
+                self, "resident_floor_bound_skip", True))
+        self._resident_batched[key] = run
+        return run
+
     def _build_step(self):
         model = self.model
         cast = self._cast
@@ -1434,12 +1501,32 @@ class AnimSnapBasesSolver:
         B = int(positions.shape[0])
         run_b = self._build_resident_batched(B)
         if run_b is None:
-            # the whole batch exceeds the VMEM gate — serve it in
-            # resident-kernel-sized slices instead of dropping the entire
-            # ensemble to the ~25x slower vmapped XLA path
-            return self._run_batched_resident_sliced(
+            # the whole batch exceeds the full-state VMEM gate.  LARGE
+            # models (chunked tier regimes) go to the batched CHUNKED
+            # kernel first: slicing them degenerates to sequential
+            # nb=1 groups at the contact-tier rate (39k aggregate at a
+            # 100k-vert cloth) or fails outright beyond the gate, while
+            # the chunked kernel steps the whole ensemble's coefficient
+            # state at the affine rate.  SMALL models keep the proven
+            # fused-slice path first (flagship 4.4M steps/s at 64
+            # bunnies), with chunked as the last pre-vmapped resort.
+            big = (st["n"] >= self.CHUNKED_TIER1_MIN_VERTS
+                   or getattr(self, "_resident_kind", "")
+                   == "chunked-only")
+            if big:
+                out = self._run_batched_resident_chunked(
+                    positions, velocities, fext, tl, per_sim, num_steps,
+                    num_iterations)
+                if out is not None:
+                    return out
+            out = self._run_batched_resident_sliced(
                 positions, velocities, fext, tl, per_sim, num_steps,
                 num_iterations)
+            if out is None and not big:
+                out = self._run_batched_resident_chunked(
+                    positions, velocities, fext, tl, per_sim, num_steps,
+                    num_iterations)
+            return out
         r = st["r"]
         utst = self._resident_utst
         # per-sim schedules with NO positional group degenerate to the
@@ -1530,6 +1617,180 @@ class AnimSnapBasesSolver:
             return self._run_batched_resident_sliced(
                 positions, velocities, fext, tl, per_sim, num_steps,
                 num_iterations)
+
+    def _run_batched_resident_chunked(self, positions, velocities, fext,
+                                      tl, per_sim, num_steps,
+                                      num_iterations):
+        """Ensemble serving through the batched CHUNKED affine kernel:
+        the whole batch steps as dim-major coefficient state in ONE
+        kernel at the affine rate (the big matrices shared, per-sim O(N)
+        cost one packed y-row block).  Early exit is whole-batch — the
+        kernel stops before the first step where ANY sim would clamp;
+        committed steps stand, a bounded window runs on the vmapped
+        per-step path, and stepping hands back to the kernel (mirroring
+        the single-sim chunked-only tiering in :meth:`run_steps` — each
+        loop turn makes >=1 step of progress, so no depth guard is
+        needed).  Returns (P', V') as (B, N, 3) device arrays, or None
+        when unavailable (caller falls back)."""
+        st = getattr(self, "_resident_state", None)
+        if st is None:
+            return None
+        B = int(positions.shape[0])
+        run_c = self._build_resident_batched_chunked(B)
+        if run_c is None:
+            return None
+        r = st["r"]
+        utst = self._resident_utst
+        shared_rb = not (per_sim and utst is not None)
+        if utst is not None and tl.size:
+            if per_sim:
+                rb_full = np.einsum("dre,bted->btdr", utst,
+                                    np.asarray(tl, dtype=np.float64))
+                rb_full = np.ascontiguousarray(
+                    rb_full.transpose(1, 2, 0, 3)).reshape(-1, 3 * B, r)
+            else:
+                rb_full = np.einsum("dre,ted->tdr", utst,
+                                    np.asarray(tl, dtype=np.float64))
+        else:
+            rb_full = (np.zeros((1, 3, r)) if shared_rb
+                       else np.zeros((1, 3 * B, r)))
+        # VMEM gate: the chunked kernel stages only the CURRENT chunk's
+        # rb rows (an in-loop dynamic_slice of <=rebase_every rows); the
+        # full timeline stays in HBM — so the allowance compares the
+        # CHUNK bytes, not the window bytes
+        T_rb = rb_full.shape[0]
+        S = min(int(getattr(self, "resident_rebase_every",
+                            None) or 1024), max(1, T_rb))
+        chunk_bytes = S * 3 * B * r * st["np_dtype"].itemsize
+        if chunk_bytes > self._rb_allowance(
+                self.batched_chunked_budget(st, B)):
+            return None
+
+        key = ("batched_chunked_call", B, shared_rb)
+        cache = getattr(self, "_batched_call_cache", None)
+        if cache is None:
+            cache = self._batched_call_cache = {}
+        call = cache.get(key)
+        if call is None:
+            perm_j = jnp.asarray(st["perm"])
+            iperm_j = jnp.asarray(st["iperm"])
+            n = st["n"]
+
+            @partial(jax.jit, static_argnames=("num_iterations",))
+            def call(pos, vel, fx, rb_dev, steps_arr, consts, arrays,
+                     num_iterations):
+                if shared_rb:
+                    # (T, 3, r) -> dim-major (T, 3B, r) on device
+                    T, _, rr = rb_dev.shape
+                    rb_dev = jnp.broadcast_to(
+                        rb_dev[:, :, None, :],
+                        (T, 3, B, rr)).reshape(T, 3 * B, rr)
+
+                def pack(x):
+                    return x[:, perm_j, :].transpose(2, 0, 1).reshape(
+                        3 * B, n)
+
+                def unpack(y):
+                    return y.reshape(3, B, n).transpose(1, 2, 0)[
+                        :, iperm_j, :]
+
+                Pf, Vf, k = run_c.body(pack(pos), pack(vel), pack(fx),
+                                       rb_dev, steps_arr, consts,
+                                       arrays, num_iterations)
+                return unpack(Pf), unpack(Vf), k
+
+            cache[key] = call
+        consts, arrays = run_c.operands
+        pos = self._cast(positions)
+        vel = self._cast(velocities)
+        fx = self._cast(fext)
+        remaining = int(num_steps)
+        t0 = 0
+        windows = 0
+        window = max(int(getattr(self, "resident_rebase_every",
+                                 None) or 1024),
+                     -(-int(num_steps) // 64))
+        while remaining > 0:
+            # resume mid-schedule: the kernel indexes its timeline from
+            # row 0 with end-clamp, so re-slice at t0 with clamped
+            # indices of FIXED length T_rb (rows past the end repeat the
+            # last row = the same clamp; constant shape = one compile)
+            idx = np.minimum(np.arange(t0, t0 + T_rb), T_rb - 1)
+            steps_arr = jnp.asarray([[remaining]], dtype=jnp.int32)
+            try:
+                self._last_batched_path = "batched-chunked"
+                Pf, Vf, k_arr = call(pos, vel, fx,
+                                     self._cast(rb_full[idx]),
+                                     steps_arr, consts, arrays,
+                                     num_iterations=num_iterations)
+                k = int(np.asarray(k_arr)[0, 0])
+            except Exception as e:
+                import warnings
+
+                warnings.warn("batched chunked kernel failed; falling "
+                              f"back: {e}")
+                self._resident_batched[("chunked", B)] = None
+                cache.pop(key, None)
+                return None
+            if k > 0:
+                pos, vel = Pf, Vf
+                t0 += k
+                remaining -= k
+            if remaining <= 0:
+                break
+            # whole-batch contact at schedule row t0: bounded per-step
+            # window on the vmapped path, then hand back to the kernel
+            w = min(remaining, window)
+            pos, vel = self._run_batched_vmapped_window(
+                pos, vel, fx, tl, per_sim, t0, w, window,
+                num_iterations)
+            t0 += w
+            remaining -= w
+            windows += 1
+        self._last_batched_path = (
+            "batched-chunked" if windows == 0
+            else f"batched-chunked+perstep[{windows}w]")
+        return pos, vel
+
+    def _run_batched_vmapped_window(self, pos, vel, fx, tl, per_sim,
+                                    t0, w, window, num_iterations):
+        """Bounded contact window for the batched chunked path: vmap the
+        per-step jitted run over the batch for ``w`` steps starting at
+        schedule row ``t0``.  The timeline slice is always ``window``
+        rows (clamped at the last entry — the kernels' end-clamp
+        semantics), so every window reuses one compilation."""
+        run_jit = self._run_jit
+        if run_jit is None:
+            raise RuntimeError("batched serving needs the jitted path; "
+                               "call prepare() after set_dirty()")
+        T_tl = int(tl.shape[1] if per_sim else tl.shape[0]) or 1
+        idx = np.minimum(np.arange(t0, t0 + window), T_tl - 1)
+        tl_win = tl[:, idx] if per_sim else tl[idx]
+        cache = getattr(self, "_batched_call_cache", None)
+        if cache is None:
+            cache = self._batched_call_cache = {}
+        key = ("vmapped_window", run_jit, per_sim)
+        fn = cache.get(key)
+        if fn is None:
+            if per_sim:
+                @partial(jax.jit, static_argnames=("num_iterations",))
+                def fn(p, v, f, t, num_steps, num_iterations):
+                    return jax.vmap(
+                        lambda pp, vv, ff, tt: run_jit(
+                            pp, vv, ff, tt, num_steps,
+                            num_iterations=num_iterations)
+                    )(p, v, f, t)
+            else:
+                @partial(jax.jit, static_argnames=("num_iterations",))
+                def fn(p, v, f, t, num_steps, num_iterations):
+                    return jax.vmap(
+                        lambda pp, vv, ff: run_jit(
+                            pp, vv, ff, t, num_steps,
+                            num_iterations=num_iterations)
+                    )(p, v, f)
+            cache[key] = fn
+        return fn(pos, vel, fx, self._cast(tl_win), w,
+                  num_iterations=num_iterations)
 
     def _run_batched_resident_sharded(self, mesh, batch_axis, positions,
                                       velocities, fext, tl, per_sim,

@@ -334,10 +334,51 @@ def check_chunked_only():
         f"min_y={min_y:.4f}")
 
 
+def check_batched_chunked():
+    """Big-model ENSEMBLE serving under real Mosaic: with no full-state
+    batched kernel admitted (the 100k+-vertex regime, forced here via
+    the batched gate), make_batched_run must serve the whole batch
+    through ONE batched CHUNKED kernel, and survive a genuine floor hit
+    via bounded per-step windows with hand-back.  (Exactness is pinned
+    by the CPU interpret tests; this check is Mosaic acceptance of the
+    nb>1 chunked kernel.)"""
+    model = _cloth()
+    solver = _synthetic_reduced(model, damping=0.01)
+    assert solver._resident_fast is not None, "chunked tier-1 not built"
+    solver.resident_batched_vmem_limit = 0   # no full-state batch fits
+    run = solver.make_batched_run()
+    B = 4
+
+    # contact-free ring-down: the whole batch on one chunked kernel
+    rng = np.random.default_rng(17)
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = rng.normal(scale=0.2, size=pos.shape)
+    vel[:, model.fixed_flags] = 0.0
+    f0 = np.zeros_like(pos)
+    p, v = run(pos, vel, f0, 600, num_iterations=10)
+    assert solver._last_batched_path == "batched-chunked", \
+        solver._last_batched_path
+    p = np.asarray(p)
+    assert np.isfinite(p).all()
+
+    # slam into the floor: whole-batch early exit + per-step windows
+    f = np.tile(_gravity(model) * 30.0, (B, 1, 1))
+    p, v = run(p, np.asarray(v), f, 400, num_iterations=10)
+    assert solver._last_batched_path.startswith(
+        "batched-chunked+perstep"), solver._last_batched_path
+    p = np.asarray(p)
+    assert np.isfinite(p).all()
+    min_y = float(p[..., 1].min())
+    assert min_y >= -1e-4, f"floor violated: {min_y}"
+    log(f"[smoke] batched_chunked: B={B} ring-down on one kernel; "
+        f"contact windows min_y={min_y:.4f}")
+
+
 CHECKS = {"contact": check_contact, "tets": check_tets,
           "bend": check_bend, "batched": check_batched,
           "batched_poke": check_batched_poke, "damped": check_damped,
-          "chunked": check_chunked, "chunked_only": check_chunked_only}
+          "chunked": check_chunked, "chunked_only": check_chunked_only,
+          "batched_chunked": check_batched_chunked}
 
 
 def main():

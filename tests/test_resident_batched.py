@@ -556,3 +556,138 @@ def test_batched_resident_sharded_over_gate_slices(pipeline):
         s_ref, m_ref = _solver(basis_dir, pos_path, "interpret")
         s_ref.run_steps(fs[b], 6, num_iterations=5)
         np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# batched CHUNKED kernel: the ensemble path for models whose full-state
+# batched kernel exceeds VMEM (spill regime / beyond the gate)
+# ---------------------------------------------------------------------------
+
+def test_batched_chunked_matches_per_sim_run_steps(pipeline):
+    """With the in-kernel batched path gated out entirely, ensemble
+    serving must go through the batched CHUNKED kernel (coefficient-only
+    Pallas body) and each sim must match its own run_steps."""
+    basis_dir, pos_path, _ = pipeline
+    B = 3
+    solver, model = _solver(basis_dir, pos_path, "interpret")
+    assert solver._resident_fast is not None
+    solver.resident_batched_vmem_limit = 0    # no full-state batch fits
+    run = solver.make_batched_run()
+
+    fs = _per_sim_forces(model, B)
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    p, v = run(pos, vel, fs, 7, num_iterations=6)
+    assert solver._last_batched_path.startswith("batched-chunked")
+    assert solver._resident_batched.get(("chunked", B)) is not None
+    p = np.asarray(p)
+    v = np.asarray(v)
+
+    for b in range(B):
+        s_ref, m_ref = _solver(basis_dir, pos_path, "interpret")
+        s_ref.run_steps(fs[b], 7, num_iterations=6)
+        np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-5)
+        np.testing.assert_allclose(v[b], m_ref.velocities, atol=1e-3)
+
+
+def test_batched_chunked_floor_contact_windows(pipeline):
+    """Whole-batch early exit: one sim slammed into the floor stops the
+    kernel for ALL sims; the committed steps stand, bounded per-step
+    windows serve the contact, and stepping hands BACK to the kernel (a
+    short rebase cadence forces several kernel<->window alternations).
+    Every sim must still match its own run_steps."""
+    basis_dir, pos_path, _ = pipeline
+    B = 2
+    solver, model = _solver(basis_dir, pos_path, "interpret",
+                            rebase_every=2)
+    assert model.floor_collision
+    solver.resident_batched_vmem_limit = 0
+    run = solver.make_batched_run()
+
+    base = gravity_forces(model)
+    fs = np.stack([base, base * 40.0])        # sim 1 hits the floor
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    p, v = run(pos, vel, fs, 12, num_iterations=6)
+    assert solver._last_batched_path.startswith("batched-chunked+perstep")
+    p = np.asarray(p)
+
+    floored = False
+    for b in range(B):
+        s_ref, m_ref = _solver(basis_dir, pos_path, "interpret",
+                               rebase_every=2)
+        s_ref.run_steps(fs[b], 12, num_iterations=6)
+        np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-5)
+        floored = floored or np.any(
+            np.asarray(m_ref.positions)[:, 1]
+            <= m_ref.floor_height + 1e-9)
+    assert floored, "test scene never touched the floor"
+
+
+def test_batched_chunked_per_sim_schedules(pipeline):
+    """Per-sim animated poke schedules through the batched CHUNKED
+    kernel: the (B, T, e, 3) timeline rides as dim-major (T, 3B, r) rb
+    rows staged chunk-by-chunk; each sim matches its own poked
+    run_steps."""
+    basis_dir, pos_path, _ = pipeline
+    B = 2
+    shifts = [_poke_shift(amp=0.3), _poke_shift(amp=-0.2, per=4)]
+    solver, model = _solver(basis_dir, pos_path, "interpret")
+    model.add_positional_constraint(12, wi=1e7,
+                                    motion_type="user_defined",
+                                    frame_shift=shifts[0])
+    solver.set_dirty()
+    solver.prepare(solver.args)
+    assert solver._resident_fast is not None
+    solver.resident_batched_vmem_limit = 0
+    run = solver.make_batched_run()
+
+    from animsnapbases_tpu.sim.solver import positional_targets_timeline
+
+    tls = []
+    for b in range(B):
+        model._positional[-1]["frame_shift"] = shifts[b]
+        tl, animated = positional_targets_timeline(model, 0, 10)
+        assert animated
+        tls.append(tl)
+    model._positional[-1]["frame_shift"] = shifts[0]
+    T = max(t.shape[0] for t in tls)
+    tls = [np.concatenate([t, np.repeat(t[-1:], T - len(t), axis=0)])
+           if len(t) < T else t for t in tls]
+    targets_seq = np.stack(tls)
+
+    f = gravity_forces(model)
+    fs = np.tile(f, (B, 1, 1))
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    p, v = run(pos, vel, fs, 10, num_iterations=5,
+               targets_seq=targets_seq)
+    assert solver._last_batched_path.startswith("batched-chunked")
+    p = np.asarray(p)
+
+    for b in range(B):
+        m_ref = _poked_reference(basis_dir, pos_path, shifts[b], f,
+                                 10, 5)
+        np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-5)
+
+
+def test_batched_chunked_budget_admits_8_megacloth_sims():
+    """Capacity pin for the big-model ensemble path: 8 sims of the 250k-
+    vertex megacloth (r=48, bf16 matmuls, f32 state) fit the chunked
+    kernel's 72 MB gate in ONE kernel — the full-state batched kernel
+    admits none of them.  32 sims must be rejected."""
+    from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+
+    st = {"n": 250000, "r": 48, "n_sel": 153, "g_total": 167,
+          "m_total": 66, "mm_dtype": np.dtype(np.float16),
+          "np_dtype": np.dtype(np.float32), "use_affine": True,
+          "contact_mode": False}
+    gate = AnimSnapBasesSolver.RESIDENT_VMEM_LIMIT
+    b8 = AnimSnapBasesSolver.batched_chunked_budget(st, 8)
+    b32 = AnimSnapBasesSolver.batched_chunked_budget(st, 32)
+    assert b8 <= gate, f"8-sim chunked budget {b8 / 2**20:.1f} MB over"
+    assert b32 > gate, f"32-sim chunked budget {b32 / 2**20:.1f} MB under"
+    # the FULL-STATE batched kernel can't even serve one such sim under
+    # the batched gate — which is exactly why the chunked path exists
+    full1 = AnimSnapBasesSolver.batched_resident_budget(st, 2, True)
+    assert full1 > AnimSnapBasesSolver.BATCHED_VMEM_LIMIT
