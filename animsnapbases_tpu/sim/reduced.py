@@ -1816,6 +1816,19 @@ class AnimSnapBasesSolver:
         Bl = B // n_dev
         run_b = self._build_resident_batched(Bl)
         if run_b is None:
+            # LARGE models (chunked tier regimes) go to the sharded
+            # batched CHUNKED kernel first — the group recursion below
+            # degenerates (or fails outright) for them exactly as the
+            # single-chip sliced path does
+            big = (st["n"] >= self.CHUNKED_TIER1_MIN_VERTS
+                   or getattr(self, "_resident_kind", "")
+                   == "chunked-only")
+            if big:
+                out = self._run_batched_resident_chunked_sharded(
+                    mesh, batch_axis, positions, velocities, fext, tl,
+                    per_sim, num_steps, num_iterations)
+                if out is not None:
+                    return out
             # per-device batch over the VMEM gate: serve the ensemble in
             # smaller mesh-sharded GROUPS (bl = largest power-of-two
             # per-device sub-batch that fits AND divides Bl; each group
@@ -1829,7 +1842,11 @@ class AnimSnapBasesSolver:
                                is None):
                 bl //= 2
             if bl < 1:
-                return None
+                if big:
+                    return None          # chunked already tried above
+                return self._run_batched_resident_chunked_sharded(
+                    mesh, batch_axis, positions, velocities, fext, tl,
+                    per_sim, num_steps, num_iterations)
             Bg = bl * n_dev
             p_parts, v_parts = [], []
             for s in range(0, B, Bg):
@@ -1947,6 +1964,179 @@ class AnimSnapBasesSolver:
                           f"falling back to the vmapped path: {e}")
             cache[key] = None
             return None
+
+    def _run_batched_resident_chunked_sharded(self, mesh, batch_axis,
+                                              positions, velocities,
+                                              fext, tl, per_sim,
+                                              num_steps, num_iterations):
+        """Multi-chip ensemble serving of BIG models: shard the batch
+        over ``mesh`` and run the batched CHUNKED kernel on each
+        device's LOCAL shard via ``shard_map`` (pure data-parallel, the
+        shared matrices replicate once).
+
+        The chunked kernel's early exit is per-shard, so a contact on
+        one device would desynchronize the ensemble.  The driver keeps
+        lockstep with probe-and-retry: run all shards for the remaining
+        budget and gather the per-shard completed counts k_i; if every
+        shard served the SAME count, commit it; otherwise DISCARD the
+        probe and re-run with the agreed budget min(k_i) — the chunked
+        kernel is deterministic, so the shorter run is itself an exact
+        serve (it is NOT required to match the discarded probe's
+        prefix, which had different rebase boundaries).  Contact then
+        falls to a bounded per-step vmapped window before handing back,
+        exactly like the single-chip chunked driver; the retry cap only
+        costs throughput, never correctness (the window guarantees
+        progress).  Returns global (B, N, 3) arrays or None."""
+        st = getattr(self, "_resident_state", None)
+        if st is None:
+            return None
+        n_dev = int(mesh.shape[batch_axis])
+        B = int(positions.shape[0])
+        if n_dev <= 0 or B % n_dev != 0:
+            return None
+        Bl = B // n_dev
+        run_c = self._build_resident_batched_chunked(Bl)
+        if run_c is None:
+            return None
+        r = st["r"]
+        utst = self._resident_utst
+        shared_rb = not (per_sim and utst is not None)
+        if utst is not None and tl.size:
+            if per_sim:
+                rb_full = np.einsum("dre,bted->btdr", utst,
+                                    np.asarray(tl, dtype=np.float64))
+            else:
+                rb_full = np.einsum("dre,ted->tdr", utst,
+                                    np.asarray(tl, dtype=np.float64))
+        else:
+            rb_full = (np.zeros((1, 3, r)) if shared_rb
+                       else np.zeros((B, 1, 3, r)))
+        T_rb = rb_full.shape[1] if per_sim else rb_full.shape[0]
+        S = min(int(getattr(self, "resident_rebase_every",
+                            None) or 1024), max(1, T_rb))
+        # per-DEVICE staged chunk bytes (see the single-chip variant)
+        chunk_bytes = S * 3 * Bl * r * st["np_dtype"].itemsize
+        if chunk_bytes > self._rb_allowance(
+                self.batched_chunked_budget(st, Bl)):
+            return None
+
+        key = ("batched_chunked_call_sharded", B, n_dev, shared_rb,
+               batch_axis, mesh)
+        cache = getattr(self, "_batched_call_cache", None)
+        if cache is None:
+            cache = self._batched_call_cache = {}
+        call = cache.get(key)
+        if call is None:
+            try:
+                from jax import shard_map
+            except ImportError:
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            perm_j = jnp.asarray(st["perm"])
+            iperm_j = jnp.asarray(st["iperm"])
+            n = st["n"]
+            ax = batch_axis
+            rb_spec = P() if shared_rb else P(ax)
+
+            @partial(jax.jit, static_argnames=("num_iterations",))
+            def call(pos, vel, fx, rb_dev, steps_arr, consts, arrays,
+                     num_iterations):
+                def body(pos, vel, fx, rb_dev, steps_arr, consts,
+                         arrays):
+                    # local shard: pos/vel/fx (Bl, N, 3)
+                    if shared_rb:
+                        T, _, rr = rb_dev.shape
+                        rb_l = jnp.broadcast_to(
+                            rb_dev[:, :, None, :],
+                            (T, 3, Bl, rr)).reshape(T, 3 * Bl, rr)
+                    else:                # (Bl, T, 3, r) -> (T, 3Bl, r)
+                        rb_l = rb_dev.transpose(1, 2, 0, 3).reshape(
+                            rb_dev.shape[1], 3 * Bl, rb_dev.shape[-1])
+
+                    def pack(x):
+                        return x[:, perm_j, :].transpose(
+                            2, 0, 1).reshape(3 * Bl, n)
+
+                    def unpack(y):
+                        return y.reshape(3, Bl, n).transpose(1, 2, 0)[
+                            :, iperm_j, :]
+
+                    Pf, Vf, k = run_c.body(
+                        pack(pos), pack(vel), pack(fx), rb_l,
+                        steps_arr, consts, arrays, num_iterations)
+                    return unpack(Pf), unpack(Vf), k
+
+                kw = dict(mesh=mesh,
+                          in_specs=(P(ax), P(ax), P(ax), rb_spec, P(),
+                                    P(), P()),
+                          out_specs=(P(ax), P(ax), P(ax)))
+                try:
+                    smap = shard_map(body, check_vma=False, **kw)
+                except TypeError:   # older jax spells it check_rep
+                    smap = shard_map(body, check_rep=False, **kw)
+                return smap(pos, vel, fx, rb_dev, steps_arr, consts,
+                            arrays)
+
+            cache[key] = call
+        consts, arrays = run_c.operands
+        pos = self._cast(positions)
+        vel = self._cast(velocities)
+        fx = self._cast(fext)
+        remaining = int(num_steps)
+        t0 = 0
+        windows = 0
+        window = max(int(getattr(self, "resident_rebase_every",
+                                 None) or 1024),
+                     -(-int(num_steps) // 64))
+        while remaining > 0:
+            # resume at schedule row t0: clamped fixed-length re-slice
+            # (same semantics/compile-stability as the local variant)
+            idx = np.minimum(np.arange(t0, t0 + T_rb), T_rb - 1)
+            rb_win = rb_full[:, idx] if per_sim else rb_full[idx]
+            rb_dev = self._cast(rb_win)
+            budget = remaining
+            for _ in range(4):            # probe + up to 3 re-probes
+                steps_arr = jnp.asarray([[budget]], dtype=jnp.int32)
+                try:
+                    Pf, Vf, ks = call(pos, vel, fx, rb_dev, steps_arr,
+                                      consts, arrays,
+                                      num_iterations=num_iterations)
+                    ks = np.asarray(ks).ravel()
+                except Exception as e:
+                    import warnings
+
+                    warnings.warn("sharded batched chunked kernel "
+                                  f"failed; falling back: {e}")
+                    self._resident_batched[("chunked", Bl)] = None
+                    cache.pop(key, None)
+                    return None
+                kmin = int(ks.min())
+                if kmin > 0 and (ks == kmin).all():
+                    # every shard served exactly kmin steps — an exact,
+                    # committable serve (full budget or lockstep stop)
+                    pos, vel = Pf, Vf
+                    t0 += kmin
+                    remaining -= kmin
+                    break
+                if kmin == 0:
+                    break                 # step-0 contact: window below
+                budget = kmin             # desynchronized: agree + retry
+            if remaining <= 0:
+                break
+            # contact (or retry cap): bounded per-step window, hand back
+            w = min(remaining, window)
+            pos, vel = self._run_batched_vmapped_window(
+                pos, vel, fx, tl, per_sim, t0, w, window,
+                num_iterations)
+            t0 += w
+            remaining -= w
+            windows += 1
+        self._last_batched_path = (
+            f"batched-chunked-sharded[{n_dev}x{Bl}]" if windows == 0
+            else f"batched-chunked-sharded[{n_dev}x{Bl}]"
+                 f"+perstep[{windows}w]")
+        return pos, vel
 
     def _run_batched_resident_sliced(self, positions, velocities, fext,
                                      tl, per_sim, num_steps,

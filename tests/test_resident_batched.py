@@ -691,3 +691,107 @@ def test_batched_chunked_budget_admits_8_megacloth_sims():
     # the batched gate — which is exactly why the chunked path exists
     full1 = AnimSnapBasesSolver.batched_resident_budget(st, 2, True)
     assert full1 > AnimSnapBasesSolver.BATCHED_VMEM_LIMIT
+
+
+def test_batched_chunked_sharded_over_mesh(pipeline):
+    """Multi-chip BIG-model ensemble serving: with no full-state batched
+    kernel admitted, make_batched_run(mesh) must serve each device's
+    local shard through the batched CHUNKED kernel under shard_map —
+    every sim matching its own run_steps, per-sim schedules included."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from animsnapbases_tpu.parallel import build_device_mesh
+
+    basis_dir, pos_path, _ = pipeline
+    B = 8
+    solver, model = _solver(basis_dir, pos_path, "interpret")
+    assert solver._resident_fast is not None
+
+    from animsnapbases_tpu.sim.solver import positional_targets_timeline
+
+    shifts = [_poke_shift(amp=0.05 * (b + 1), per=3 + b % 4)
+              for b in range(B)]
+    model.add_positional_constraint(12, wi=1e7,
+                                    motion_type="user_defined",
+                                    frame_shift=shifts[0])
+    solver.set_dirty()
+    solver.prepare(solver.args)
+    # gate the full-state batched builder out entirely (the nb=1 reuse
+    # shortcut ignores the VMEM limit, so a limit of 0 alone still lets
+    # the group recursion serve bl=1 slices)
+    solver._build_resident_batched = lambda nb: None
+
+    mesh = build_device_mesh((4,), ("data",))
+    run = solver.make_batched_run(mesh)
+
+    tls = []
+    for b in range(B):
+        model._positional[-1]["frame_shift"] = shifts[b]
+        tl, animated = positional_targets_timeline(model, 0, 8)
+        assert animated
+        tls.append(tl)
+    model._positional[-1]["frame_shift"] = shifts[0]
+    T = max(t.shape[0] for t in tls)
+    tls = [np.concatenate([t, np.repeat(t[-1:], T - len(t), axis=0)])
+           if len(t) < T else t for t in tls]
+    targets_seq = np.stack(tls)
+
+    fs = _per_sim_forces(model, B)
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    p, v = run(pos, vel, fs, 8, num_iterations=5,
+               targets_seq=targets_seq)
+    assert solver._last_batched_path.startswith(
+        "batched-chunked-sharded[4x2]")
+    p = np.asarray(p)
+
+    for b in range(B):
+        m_ref = _poked_reference(basis_dir, pos_path, shifts[b], fs[b],
+                                 8, 5)
+        np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-5)
+
+
+def test_batched_chunked_sharded_desync_contact(pipeline):
+    """Lockstep under desynchronizing contact: ONE shard's sim slams
+    into the floor while the others fly free — the probe-and-retry
+    protocol must re-agree on a common step count, serve the clamp in
+    bounded per-step windows, hand back, and keep every sim exact."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from animsnapbases_tpu.parallel import build_device_mesh
+
+    basis_dir, pos_path, _ = pipeline
+    B = 4
+    solver, model = _solver(basis_dir, pos_path, "interpret",
+                            rebase_every=2)
+    assert model.floor_collision
+    solver._build_resident_batched = lambda nb: None
+    mesh = build_device_mesh((4,), ("data",))
+    run = solver.make_batched_run(mesh)
+
+    base = gravity_forces(model)
+    fs = np.stack([base, base * 40.0, base, base])  # shard 1 hits
+    pos = np.tile(model.positions, (B, 1, 1))
+    vel = np.zeros_like(pos)
+    p, v = run(pos, vel, fs, 12, num_iterations=6)
+    path = solver._last_batched_path
+    assert path.startswith("batched-chunked-sharded[4x1]"), path
+    assert "+perstep" in path, path
+    p = np.asarray(p)
+
+    floored = False
+    for b in range(B):
+        s_ref, m_ref = _solver(basis_dir, pos_path, "interpret",
+                               rebase_every=2)
+        s_ref.run_steps(fs[b], 12, num_iterations=6)
+        np.testing.assert_allclose(p[b], m_ref.positions, atol=1e-5)
+        floored = floored or np.any(
+            np.asarray(m_ref.positions)[:, 1]
+            <= m_ref.floor_height + 1e-9)
+    assert floored, "test scene never touched the floor"
