@@ -84,6 +84,14 @@ def main():
     log(f"[bench_ens_bigcloth] prepare {time.time() - t0:.1f}s "
         f"(kind={solver._resident_kind})")
 
+    rebase = int(os.environ.get("ENSEMBLE_BIGCLOTH_REBASE", "0"))
+    if rebase:
+        # at nb sims the per-chunk O(nb*N) overhead (y-row min/max,
+        # operand staging, rebase lifts) is nb x the solo kernel's —
+        # a longer cadence amortizes it (A/B knob)
+        solver.resident_rebase_every = rebase
+        log(f"[bench_ens_bigcloth] rebase_every={rebase}")
+
     run = solver.make_batched_run()
     pos = np.tile(model.positions, (B, 1, 1))
     vel = np.tile(model.velocities, (B, 1, 1))
