@@ -71,14 +71,45 @@ class PolyscopeViewer:
         changed, self.animating = psim.Checkbox("animate", self.animating)
         if psim.Button("reset"):
             sess.reset()
+            self._surf.update_vertex_positions(
+                np.asarray(sess.model.positions))
+            self._down, self._move = sess.mouse_handlers(self._project)
         psim.SameLine()
         if psim.Button("step"):
             sess.step(1)
 
+        # panel toggles (ref demos/calbacks.py:884-1135): gravity,
+        # constraint sets, side fixing — 1:1 to InteractiveSession methods
+        g_changed, g_on = psim.Checkbox(
+            "gravity", sess.args.is_gravity_active)
+        if g_changed:
+            sess.set_gravity(g_on)
+        for cname, flag in (("edge", "edge_constraint"),
+                            ("tri_strain", "tri_strain_constraint"),
+                            ("vert_bending", "vert_bending_constraint")):
+            c_changed, c_on = psim.Checkbox(
+                cname, bool(getattr(sess.args, flag, False)))
+            if c_changed:
+                sess.set_constraint(cname, c_on)
+        for side in ("left", "right"):
+            if psim.Button(f"fix {side}"):
+                sess.fix_side(side)
+            psim.SameLine()
+            if psim.Button(f"release {side}"):
+                sess.release_side(side)
+        if psim.TreeNode("stats"):
+            for k, v in sess.stats().items():
+                psim.BulletText(f"{k}: {v}")
+            psim.TreePop()
+
+        # gestures (ref usr_interface.py:29-129): shift-click toggles a
+        # pin + positional constraint, ctrl-click picks, ctrl-drag
+        # converts the screen delta into a force on the picked vertex
         io = psim.GetIO()
         if io.MouseClicked[0]:
             x, y = io.MousePos
-            self._down.handle_click(x, y, shift=io.KeyShift)
+            self._down.handle_click(x, y, shift=io.KeyShift,
+                                    ctrl=io.KeyCtrl)
         elif io.MouseDown[0]:
             x, y = io.MousePos
             self._move.handle_move(x, y)

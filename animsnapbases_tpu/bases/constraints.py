@@ -50,6 +50,30 @@ from animsnapbases_tpu.utils.checks import (
 from animsnapbases_tpu.utils.timing import log_time
 
 
+# smallest mode budget at which the device DEIM scan is the product
+# default: measured on the canonical bunny tensor the scan beats the host
+# f64 loop at K=100 (and 2.1x at K=200) with identical picks, while tiny
+# budgets are dominated by scan dispatch overhead (BENCH_bases_r03/r04)
+DEIM_DEVICE_MIN_K = 64
+
+
+def _deim_device_auto(param, mesh, K: int) -> bool:
+    """Round-4 product default for the DEIM selection backend.
+
+    Explicit config wins (``deim_device: true/false``); otherwise the
+    device ``lax.scan`` runs when a device mesh is configured or at
+    production budgets (K >= DEIM_DEVICE_MIN_K).  Small budgets stay on
+    the host f64 loop: its one-time cost is negligible there, and
+    pinned artifact builds (e.g. the bench cache) rely on its
+    bit-reproducible lstsq rounding.  The host loop also remains the
+    fallback — both callers re-run it when the device picks
+    degenerate."""
+    flag = getattr(param, "deim_device", None)
+    if flag is not None:
+        return bool(flag)
+    return mesh is not None or K >= DEIM_DEVICE_MIN_K
+
+
 # ---------------------------------------------------------------------------
 # jitted kernels
 # ---------------------------------------------------------------------------
@@ -467,21 +491,20 @@ class ConstraintComponents:
 
         ``device=True`` runs the selection as one ``lax.scan`` on the
         accelerator (:mod:`animsnapbases_tpu.ops.deim_scan`) — same greedy
-        recurrence, basis stays device-resident.  Default (None/False) is
-        the host f64 loop, which matches the reference's lstsq rounding
-        bit-for-bit (parity tests pin its selections).
-        """
+        recurrence, basis stays device-resident.  Since round 4 the device
+        scan is the PRODUCT DEFAULT at production budgets (it beats the
+        host loop at K=100 AND K=200 with identical picks —
+        BENCH_bases_r03: 1.69 s vs 3.57 s at K=200); the host f64 loop
+        (which matches the reference's lstsq rounding bit-for-bit, parity
+        tests pin its selections) remains the default for tiny budgets,
+        the explicit opt-out (``deim_device: false``), and the automatic
+        fallback whenever the device picks degenerate."""
         p = self.nonlinearSnapshots.constraintsSize
         d = self.nonlinearSnapshots.dim
         K = self.numComp
         mesh = getattr(self, "pod_mesh", None)
-        if device is None and (mesh is not None
-                               or getattr(self.param, "deim_device",
-                                          False)):
-            # a configured device mesh — or the deim_device config flag —
-            # opts the pipeline into the device scan unless the caller
-            # forces host
-            device = True
+        if device is None:
+            device = _deim_device_auto(self.param, mesh, K)
         if device:
             from animsnapbases_tpu.ops.deim_scan import deim_rows_host_result
 
@@ -557,16 +580,16 @@ class ConstraintComponents:
         """Block-DEIM: selects whole p-row blocks.
 
         ``device=True`` runs the selection as one ``lax.scan`` on the
-        accelerator (:mod:`animsnapbases_tpu.ops.deim_scan`); the host f64
-        loop stays the default (reference-rounding-exact)."""
+        accelerator (:mod:`animsnapbases_tpu.ops.deim_scan`); same
+        round-4 default policy as :meth:`deim` (device at production
+        budgets, host f64 loop for tiny budgets / opt-out / degenerate
+        fallback)."""
         p = self.nonlinearSnapshots.constraintsSize
         d = self.nonlinearSnapshots.dim
         K = self.numComp
         mesh = getattr(self, "pod_mesh", None)
-        if device is None and (mesh is not None
-                               or getattr(self.param, "deim_device",
-                                          False)):
-            device = True
+        if device is None:
+            device = _deim_device_auto(self.param, mesh, K)
         if device:
             from animsnapbases_tpu.ops.deim_scan import (
                 deim_blocks_host_result,

@@ -112,11 +112,13 @@ class BasesConfig:
     # >1: shard the bases compute (Gram POD + device DEIM) over an
     # N-device jax mesh — the multi-chip bases product feature
     device_mesh_shards: int = 0
-    # run the DEIM/block-DEIM greedy selection as the single-device
+    # DEIM/block-DEIM greedy selection backend: True = the single-device
     # lax.scan accelerator path (same picks as the host f64 loop —
-    # parity-tested — and faster at the canonical budgets); default off
-    # keeps the host loop's reference-exact lstsq rounding
-    deim_device: bool = False
+    # parity-tested), False = the host loop's reference-exact lstsq
+    # rounding, None = AUTO (round-4 default: device at production
+    # budgets K >= 64 / device-resident bases / configured mesh, host
+    # for tiny budgets; degenerate device picks always fall back)
+    deim_device: bool | None = None
     constProj_standarize: bool = False
     constProj_massWeight: bool = False
     constProj_orthogonal: bool = False
@@ -290,7 +292,7 @@ class BasesConfig:
         self.deim_desired_num_components = cp.get("desired_num_components", -1)
         self.device_mesh_shards = cp.get("device_mesh_shards",
                                           self.device_mesh_shards)
-        self.deim_device = cp.get("deim_device", False)
+        self.deim_device = cp.get("deim_device", None)
 
         base = os.path.join(self.snapshots_repo_dir, self.name, self.experiment)
         p_folder = ctype.get("p_snaps_folder", "")

@@ -1,5 +1,7 @@
 """Poke-trajectory generation and seed selection for the cloth snapshot
-factory (ref ``demos/calbacks.py:650-735``)."""
+factory (behavior ref ``demos/calbacks.py:650-735``; independent
+vectorized construction, pinned bit-exact by a parity test against the
+reference recipe in ``tests/test_demos_cli.py``)."""
 
 from __future__ import annotations
 
@@ -9,21 +11,23 @@ import numpy as np
 def create_poke_z_motion_with_jumps(f_l: int, f_j: int, k: int,
                                     z_range: float = 1.0) -> np.ndarray:
     """z-motion repeating k times: 0 -> -z -> +z -> -z over f_l frames, then
-    f_j paused frames.  Returns (k*(f_l+f_j), 3) with x = y = 0."""
-    pattern = []
-    for _ in range(k):
-        quarter = f_l // 4
-        z = z_range
-        z_values = np.concatenate([
-            np.linspace(0, -z, quarter, endpoint=False),
-            np.linspace(-z, +z, quarter, endpoint=False),
-            np.linspace(+z, -z, quarter, endpoint=False),
-            np.linspace(-z, 0, f_l - 3 * quarter),
-        ])
-        pattern.append(z_values)
-        pattern.append(np.zeros(f_j))
-    z_all = np.concatenate(pattern)
-    motion = np.zeros((len(z_all), 3))
+    f_j paused frames.  Returns (k*(f_l+f_j), 3) with x = y = 0.
+
+    Every cycle is identical, so ONE cycle is assembled from its four
+    ramp segments (three open quarter-ramps plus a closed return ramp
+    absorbing the ``f_l % 4`` remainder) and tiled k times — ``np.tile``
+    replicates bitwise, so the output matches a per-cycle loop exactly."""
+    q = f_l // 4
+    z = float(z_range)
+    ramps = ((0.0, -z, q, False),        # dip
+             (-z, +z, q, False),         # swing up through rest
+             (+z, -z, q, False),         # swing back down
+             (-z, 0.0, f_l - 3 * q, True))   # settle to rest (closed)
+    cycle = np.concatenate(
+        [np.linspace(a, b, m, endpoint=closed)
+         for a, b, m, closed in ramps] + [np.zeros(f_j)])
+    z_all = np.tile(cycle, k)
+    motion = np.zeros((z_all.size, 3))
     motion[:, 2] = z_all
     return motion
 

@@ -1215,7 +1215,13 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
         b0s = b0s_ref[:]
         b1s = b1s_ref[:]
         fas = fas_ref[:]
-        t_len = rbex_ref.shape[0] // (3 * nb)
+        # rb rows arrive padded to a sublane-tile-aligned per-step stride
+        # (see _body): the per-step dynamic load below lands on 8-row
+        # tile boundaries, which Mosaic serves far cheaper than the
+        # 3nb-row layout's shifting sub-tile offsets (measured ~2 us/step
+        # on the animated bunny schedule)
+        stride = -(-3 * nb // 8) * 8
+        t_len = rbex_ref.shape[0] // stride
         mm_dtype = ulifty_ref.dtype
         iterate = _make_iteration_loop(layout, gather_slices,
                                        term_dispatch, garrs, WT,
@@ -1292,8 +1298,8 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
                 @pl.when(jnp.logical_not(clamped))
                 def _free():
                     rb_ex = rbex_ref[pl.ds(
-                        3 * nb * jnp.minimum(start + i, t_len - 1),
-                        3 * nb)]
+                        stride * jnp.minimum(start + i, t_len - 1),
+                        stride)][:3 * nb]
                     rb_lin = (asn[:, 0:1] * bu0 + asn[:, 1:2] * bu1
                               + asn[:, 2:3] * bu_fa
                               + jnp.concatenate(
@@ -1390,6 +1396,12 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
         t_total = rb2d.shape[0] // (3 * nb)
         S = min(rebase_every, t_total)
 
+        # per-step rb rows are padded from 3nb to a sublane-tile-aligned
+        # stride before entering the kernel (tile-aligned dynamic loads;
+        # see the stride note in _make_chunk_kernel); padding the small
+        # per-chunk slice costs one reshape+pad per while-loop turn
+        stride = -(-3 * nb // 8) * 8
+
         def body(carry):
             P, V, done, _ = carry
             bu0 = project(P)
@@ -1402,6 +1414,11 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
             rb_chunk = jax.lax.dynamic_slice(
                 rb2d, (3 * nb * off, jnp.zeros((), dtype=off.dtype)),
                 (3 * nb * S, rb2d.shape[1]))
+            if stride != 3 * nb:
+                rb_chunk = jnp.pad(
+                    rb_chunk.reshape(S, 3 * nb, -1),
+                    ((0, 0), (0, stride - 3 * nb), (0, 0))).reshape(
+                        S * stride, -1)
             sc = jnp.concatenate(
                 [chunk.reshape(1, 1).astype(jnp.int32),
                  (done32 - off).reshape(1, 1)], axis=1)

@@ -287,6 +287,7 @@ class AnimSnapBasesSolver:
         self._resident_batched = {}
         self._batched_call_cache = {}
         self._resident_fast = None
+        self._resident_fast_kind = None
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -339,6 +340,7 @@ class AnimSnapBasesSolver:
         self._resident = None
         self._resident_state = None
         self._resident_fast = None
+        self._resident_fast_kind = None
         self._resident_batched = {}
         self._run_jit = None
         self.set_dirty()
@@ -537,6 +539,7 @@ class AnimSnapBasesSolver:
         self._resident_batched = {}
         self._batched_call_cache = {}   # closures capture the old build
         self._resident_fast = None
+        self._resident_fast_kind = None
         if getattr(self, "_fused_pack", None) is None:
             return None
         if self._collision_mode == "device":
@@ -692,6 +695,7 @@ class AnimSnapBasesSolver:
                 interpret=interpret, eta=getattr(self, "eta", 1.0),
                 floor_bound_skip=getattr(
                     self, "resident_floor_bound_skip", True))
+            self._resident_fast_kind = "chunked"
             self._resident_fallback = None
             if chunked_only:
                 # BEYOND-GATE: no full-state resident kernel fits VMEM
@@ -781,6 +785,7 @@ class AnimSnapBasesSolver:
                     rebase_every=getattr(self, "resident_rebase_every",
                                          256),
                     interpret=interpret, eta=getattr(self, "eta", 1.0))
+                self._resident_fast_kind = "exit"
             self._resident_kind = "affine"
             # if Mosaic rejects the affine kernel at first compile, the
             # standard resident kernel (35-75k steps/s) is still far
@@ -922,10 +927,14 @@ class AnimSnapBasesSolver:
         key = ("chunked", nb)
         if key in self._resident_batched:
             return self._resident_batched[key]
-        if nb == 1:
+        if nb == 1 and getattr(self, "_resident_fast_kind",
+                               None) == "chunked":
             # the tier-1 chunked runner IS the nb=1 batched kernel
             # (identical builder arguments) — reuse it instead of
-            # compiling a second, mathematically identical kernel
+            # compiling a second, mathematically identical kernel.
+            # Guarded on the recorded KIND: with resident_chunked_tier1
+            # = False the tier-1 slot holds the affine-EXIT (full-state)
+            # kernel, whose VMEM staging the chunked gates undercount
             self._resident_batched[key] = self._resident_fast
             return self._resident_fast
         limit = getattr(self, "resident_vmem_limit",
@@ -2011,7 +2020,12 @@ class AnimSnapBasesSolver:
         else:
             rb_full = (np.zeros((1, 3, r)) if shared_rb
                        else np.zeros((B, 1, 3, r)))
-        T_rb = rb_full.shape[1] if per_sim else rb_full.shape[0]
+        # time-axis length: per-sim schedules are (B, T, 3, r), shared
+        # ones (incl. the per_sim-requested-but-no-positional-group case,
+        # where rb_full is the shared (1, 3, r) zeros) are (T, 3, r) —
+        # branch on shared_rb, not per_sim, so the re-slice below never
+        # indexes the dimension axis
+        T_rb = rb_full.shape[0] if shared_rb else rb_full.shape[1]
         S = min(int(getattr(self, "resident_rebase_every",
                             None) or 1024), max(1, T_rb))
         # per-DEVICE staged chunk bytes (see the single-chip variant)
@@ -2089,13 +2103,21 @@ class AnimSnapBasesSolver:
         window = max(int(getattr(self, "resident_rebase_every",
                                  None) or 1024),
                      -(-int(num_steps) // 64))
+        # contact-heavy scenes: a shard clamping near step 1 would make
+        # every full-budget probe discard an up-to-remaining-step run.
+        # After a desync, start subsequent probes at the last agreed
+        # count (never below the rebase cadence) and DOUBLE it on every
+        # clean full-budget serve, so a recovered ensemble climbs back
+        # to whole-call probes within a few turns.
+        probe_cap = None
         while remaining > 0:
             # resume at schedule row t0: clamped fixed-length re-slice
             # (same semantics/compile-stability as the local variant)
             idx = np.minimum(np.arange(t0, t0 + T_rb), T_rb - 1)
-            rb_win = rb_full[:, idx] if per_sim else rb_full[idx]
+            rb_win = rb_full[idx] if shared_rb else rb_full[:, idx]
             rb_dev = self._cast(rb_win)
-            budget = remaining
+            budget = (remaining if probe_cap is None
+                      else min(remaining, max(probe_cap, S)))
             for _ in range(4):            # probe + up to 3 re-probes
                 steps_arr = jnp.asarray([[budget]], dtype=jnp.int32)
                 try:
@@ -2118,10 +2140,13 @@ class AnimSnapBasesSolver:
                     pos, vel = Pf, Vf
                     t0 += kmin
                     remaining -= kmin
+                    if probe_cap is not None and kmin == budget:
+                        probe_cap = budget * 2
                     break
                 if kmin == 0:
                     break                 # step-0 contact: window below
                 budget = kmin             # desynchronized: agree + retry
+                probe_cap = kmin
             if remaining <= 0:
                 break
             # contact (or retry cap): bounded per-step window, hand back
@@ -2446,6 +2471,11 @@ class AnimSnapBasesSolver:
             run_fn, perm, iperm = self._resident
             r = self.U.shape[1]
             call = None
+            # contact-tier serve length + call: normally the whole window;
+            # under the chunked-tier-1 WINDOW BYPASS below the full-state
+            # contact kernel serves a bounded sub-window instead
+            steps_c = num_steps
+            call_c = None
             if self._resident_utst is not None and animated:
                 t_eff = min(num_steps, remaining)
                 t_pad = 1 << max(t_eff - 1, 0).bit_length()
@@ -2474,6 +2504,36 @@ class AnimSnapBasesSolver:
                         return runner.windowed(P, V, Fx, sched, frame,
                                                t_pad, num_steps,
                                                num_iterations)
+
+                    limit = getattr(self, "_rb_seq_limit",
+                                    self.RESIDENT_RB_SEQ_LIMIT)
+                    if (rb_bytes > limit
+                            and getattr(self, "_resident_fast_kind",
+                                        None) == "chunked"
+                            and getattr(self, "_resident_fast",
+                                        None) is not None):
+                        # WINDOW BYPASS: the chunked tier-1 kernel streams
+                        # its rb rows from the HBM-resident schedule (the
+                        # outer XLA while_loop stages only rebase_every
+                        # rows per inner pallas_call), so the VMEM-window
+                        # gate below does not apply to it — serve the
+                        # WHOLE animated call in ONE dispatch (this is
+                        # what lets poke-style schedules run 128k+-step
+                        # chunks at the flagship rate instead of being
+                        # capped at ~32k by the window gate).  Only the
+                        # full-state CONTACT tier still holds its window
+                        # in VMEM: cap ITS serve length so that window
+                        # fits, and recurse for the remainder.
+                        cap = max(1, limit // (3 * r * itemsize))
+                        cap = 1 << (cap.bit_length() - 1)   # floor pow2
+                        steps_c = min(num_steps, cap)
+
+                        def call_c(P, V, Fx, runner):
+                            return runner.windowed(P, V, Fx, sched,
+                                                   frame, cap, steps_c,
+                                                   num_iterations)
+
+                        rb_bytes = 0    # tier-1 takes the full window
                 else:
                     # oversized schedule: per-call host window + upload
                     rb_dev = self._cast(
@@ -2542,6 +2602,7 @@ class AnimSnapBasesSolver:
                         warnings.warn("early-exit kernel failed; "
                                       f"disabling tier 1: {e}")
                         self._resident_fast = None
+                        self._resident_fast_kind = None
                         if run_fn is None:
                             # chunked-only resident: tier 1 WAS the
                             # resident path — drop to the per-step
@@ -2646,7 +2707,7 @@ class AnimSnapBasesSolver:
                                 self._chunkonly_depth = depth
                     return
                 try:
-                    Pf, Vf = call(P, V, Fx, run_fn)
+                    Pf, Vf = (call_c or call)(P, V, Fx, run_fn)
                 except Exception as e:
                     import warnings
                     fallback = getattr(self, "_resident_fallback", None)
@@ -2673,6 +2734,7 @@ class AnimSnapBasesSolver:
                         # staging profile that just failed — drop it too
                         # rather than paying one more doomed compile
                         self._resident_fast = None
+                        self._resident_fast_kind = None
                         return self.run_steps(fext, num_steps,
                                               num_iterations)
                     # standard kernel failed too (e.g. operands + staging
@@ -2684,7 +2746,13 @@ class AnimSnapBasesSolver:
                 else:
                     model.positions = np.asarray(Pf, dtype=float).T[iperm]
                     model.velocities = np.asarray(Vf, dtype=float).T[iperm]
-                    self.frame += num_steps
+                    self.frame += steps_c
+                    if steps_c < num_steps:
+                        # window-bypass bounded contact serve: the
+                        # remainder re-enters tier 1 (or another bounded
+                        # contact window) through the recursion
+                        return self.run_steps(fext, num_steps - steps_c,
+                                              num_iterations)
                     return
         targets_tl, _ = self._targets_timeline(num_steps)
         p, v = self._run_jit(self._cast(model.positions),

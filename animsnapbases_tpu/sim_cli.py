@@ -14,7 +14,19 @@ from animsnapbases_tpu.demos.scenarios import SCENARIOS, build_scenario
 def cli(argv=None):
     parser = argparse.ArgumentParser(description="Projective dynamics demos")
     parser.add_argument("--example", type=str, default="testing",
-                        choices=sorted(SCENARIOS))
+                        choices=sorted(SCENARIOS) + ["interactive"])
+    parser.add_argument("--view", action="store_true",
+                        help="launch the LIVE polyscope app (the "
+                             "reference's main.py window: shift-click "
+                             "pins, ctrl-drag applies force, imgui panel "
+                             "toggles constraints/gravity) instead of the "
+                             "headless scripted run")
+    parser.add_argument("--steps-per-frame", type=int, default=1,
+                        help="solver steps per rendered frame (--view)")
+    parser.add_argument("--system", type=str, default=None,
+                        choices=("Cloth", "Bar"),
+                        help="interactive system (--view); default follows "
+                             "the example name (bar_* -> Bar, else Cloth)")
     parser.add_argument("--config", type=str,
                         default="configs/demos/testing.json")
     parser.add_argument("--solver", type=str, default=None,
@@ -46,6 +58,23 @@ def cli(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     params = SimConfig(args_ns.config)
+    if args_ns.view or args_ns.example == "interactive":
+        # the LIVE product loop (ref projective_dynamics/main.py:7-35 +
+        # usr_interface.py:29-211): InteractiveSession holds the model/
+        # solver/panel state, PolyscopeViewer renders it and forwards
+        # mouse + imgui events to the session's handlers
+        from animsnapbases_tpu.analysis.ps_viewer import show_session
+        from animsnapbases_tpu.demos.interactive import InteractiveSession
+
+        system = args_ns.system or (
+            "Bar" if args_ns.example.startswith("bar") else "Cloth")
+        sim_args = params.build_args(system)
+        if args_ns.solver is not None:
+            sim_args.solver = args_ns.solver
+        session = InteractiveSession(sim_args, system=system, params=params)
+        show_session(session, steps_per_frame=args_ns.steps_per_frame)
+        return session
+
     sim_args = params.build_args()
     if args_ns.solver is not None:
         sim_args.solver = args_ns.solver

@@ -287,10 +287,11 @@ def main():
 
     # device DEIM (lax.scan with incremental bordered inverse) vs the
     # host f64 loop, at BOTH canonical budgets (VERDICT r2 item 3).
-    # Every pick must match the host loop's.  The headline "deim" stage
-    # stays the PRODUCT default (the host loop — deim(device=None), kept
-    # for reference-rounding parity); both paths are separate detail
-    # entries, no min() mixing (round-2 advisor finding).
+    # Every pick must match the host loop's.  Since round 4 the DEVICE
+    # scan IS the product default at these budgets (deim(device=None)
+    # routes to it for K >= 64), so the headline "deim" stage below is
+    # the device time; the host f64 loop stays a separate detail entry,
+    # no min() mixing (round-2 advisor finding).
     deim_detail = {}
     picks_match = True
     device_wins = True
@@ -300,7 +301,7 @@ def main():
         host_t = []
         for _ in range(3):
             t0 = time.perf_counter()
-            cc.deim()
+            cc.deim(device=False)
             host_t.append(time.perf_counter() - t0)
         host_pt = cc.geom_Pt.copy()
         dev_t = []
@@ -322,11 +323,11 @@ def main():
     if not device_wins:
         log("[bench-bases] WARNING: device DEIM did not beat the host "
             "loop at every budget")
-    # headline "deim" stage = the product default (host loop) at K_NL;
-    # stages holds ONLY pipeline stages (their sum matches the pipeline
-    # wall-clock) — per-budget host/device/cold timings ship in the
-    # artifact under detail["deim_paths"]
-    stages["deim"] = deim_detail[f"deim_host_K{K_NL}_s"]
+    # headline "deim" stage = the product default at K_NL — since round 4
+    # that is the DEVICE scan (VERDICT r3 item 3); stages holds ONLY
+    # pipeline stages (their sum matches the pipeline wall-clock) —
+    # per-budget host/device/cold timings ship under detail["deim_paths"]
+    stages["deim"] = deim_detail[f"deim_device_K{K_NL}_s"]
 
     import jax.numpy as jnp
 

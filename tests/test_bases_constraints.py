@@ -238,6 +238,60 @@ def test_device_comps_cache_invalidated_on_recompute(tmp_path):
     np.testing.assert_array_equal(cc.geom_Pt, host)
 
 
+def test_deim_device_auto_default_policy():
+    """Round-4 default: device scan at production budgets (K >= 64) or
+    with a mesh; host loop for tiny budgets; explicit flag always wins."""
+    import types
+
+    from animsnapbases_tpu.bases.constraints import (
+        DEIM_DEVICE_MIN_K,
+        _deim_device_auto,
+    )
+
+    none_flag = types.SimpleNamespace(deim_device=None)
+    assert _deim_device_auto(none_flag, None, DEIM_DEVICE_MIN_K) is True
+    assert _deim_device_auto(none_flag, None, DEIM_DEVICE_MIN_K - 1) is False
+    assert _deim_device_auto(none_flag, object(), 4) is True     # mesh
+    # explicit config overrides both directions
+    assert _deim_device_auto(types.SimpleNamespace(deim_device=False),
+                             object(), 500) is False
+    assert _deim_device_auto(types.SimpleNamespace(deim_device=True),
+                             None, 2) is True
+    # params without the key (programmatic SimpleNamespace callers) = auto
+    assert _deim_device_auto(types.SimpleNamespace(), None, 200) is True
+
+
+def test_deim_auto_device_picks_match_host_at_production_budget(
+        tmp_path, monkeypatch):
+    """E2E config-driven run at K >= DEIM_DEVICE_MIN_K: deim() with no
+    flag must take the DEVICE path (round-4 default) and select exactly
+    the host loop's rows (VERDICT r3 item 3 'Done' criterion)."""
+    from animsnapbases_tpu.ops import deim_scan as DS
+
+    X = synthetic_p_tensor(F=90, e=40, p=2, seed=11)
+    cc = make_cc(tmp_path, X, K=64)
+    assert cc.param.deim_device is None          # config default = auto
+    cc.compute_pod_vectorized()
+    assert cc.numComp == 64
+    cc.deim(device=False)                        # host f64 reference
+    host = (cc.geom_Pt.copy(), cc.geom_alpha.copy(),
+            cc.geom_alpha_ranges.copy())
+
+    calls = []
+    real = DS.deim_rows_host_result
+
+    def spy(*a, **k):
+        calls.append(True)
+        return real(*a, **k)
+
+    monkeypatch.setattr(DS, "deim_rows_host_result", spy)
+    cc.deim()                                    # product default
+    assert calls, "auto default did not take the device scan at K=64"
+    np.testing.assert_array_equal(cc.geom_Pt, host[0])
+    np.testing.assert_array_equal(cc.geom_alpha, host[1])
+    np.testing.assert_array_equal(cc.geom_alpha_ranges, host[2])
+
+
 def test_deim_device_config_flag_routes_to_device(tmp_path, monkeypatch):
     """The `deim_device` config key (constraintProj_bases section) opts
     the PRODUCT pipeline into the device scan without a mesh — same

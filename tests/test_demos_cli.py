@@ -44,6 +44,35 @@ def test_poke_motion_shape():
     assert np.allclose(m[20:30, 2], 0)
 
 
+def test_poke_motion_bitexact_vs_reference_recipe():
+    """The vectorized one-cycle+tile construction must reproduce the
+    reference's per-cycle loop (``demos/calbacks.py:650-686``) BIT-exactly
+    — poke trajectory parity feeds bit-exact snapshot replays."""
+    def oracle(f_l, f_j, k, z_range=1.0):
+        pattern = []
+        for _ in range(k):
+            quarter = f_l // 4
+            z = z_range
+            pattern.append(np.concatenate([
+                np.linspace(0, -z, quarter, endpoint=False),
+                np.linspace(-z, +z, quarter, endpoint=False),
+                np.linspace(+z, -z, quarter, endpoint=False),
+                np.linspace(-z, 0, f_l - 3 * quarter),
+            ]))
+            pattern.append(np.zeros(f_j))
+        z_all = np.concatenate(pattern)
+        motion = np.zeros((len(z_all), 3))
+        motion[:, 2] = z_all
+        return motion
+
+    for f_l, f_j, k, zr in [(40, 8, 3, 0.05), (20, 10, 3, 0.5),
+                            (22, 0, 2, 1.0), (4, 1, 5, 2.5)]:
+        got = create_poke_z_motion_with_jumps(f_l, f_j, k, z_range=zr)
+        want = oracle(f_l, f_j, k, z_range=zr)
+        assert got.shape == want.shape
+        assert (got == want).all(), (f_l, f_j, k, zr)
+
+
 def test_voronoi_seeds():
     from animsnapbases_tpu.geometry.procedural import cloth_model
     V, F = cloth_model(8, 8)

@@ -53,3 +53,140 @@ def test_pick_drag_moves_vertex(tmp_path):
     after = s.model.positions[target]
     assert after[0] > before[0]  # dragged in +x
     down.handle_release()
+
+
+def test_view_cli_launches_polyscope_app(monkeypatch):
+    """``sim_main.py --view`` e2e with a STUBBED polyscope module
+    (VERDICT r3 item 2): the CLI must construct InteractiveSession +
+    PolyscopeViewer into one launchable app, and the scripted window
+    events — shift-click pin, ctrl-click + drag force (ref
+    usr_interface.py:29-129) — must mutate the solver exactly as the
+    headless handlers do."""
+    import importlib
+    import sys
+    import types
+
+    state = {}
+    io = types.SimpleNamespace(
+        MouseClicked=[False], MouseDown=[False], MouseReleased=[False],
+        MousePos=(0.0, 0.0), KeyShift=False, KeyCtrl=False)
+
+    def reset_io():
+        io.MouseClicked[0] = io.MouseDown[0] = io.MouseReleased[0] = False
+        io.KeyShift = io.KeyCtrl = False
+
+    class FakeSurf:
+        def update_vertex_positions(self, V):
+            state["V"] = np.asarray(V)
+
+        def add_scalar_quantity(self, *a, **k):
+            pass
+
+    class FakeCam:
+        @staticmethod
+        def get_view_mat():
+            return np.eye(4)
+
+        @staticmethod
+        def get_projection_mat():
+            return np.eye(4)
+
+    def to_screen(p):
+        return ((p[0] + 1) * 0.5 * 800.0, (1 - p[1]) * 0.5 * 600.0)
+
+    def frame_quiet(sess):
+        sess.set_gravity(False)      # deterministic drag direction
+
+    def frame_shift_click(sess):
+        state["fixed_before"] = int(sess.model.fixed_flags.sum())
+        io.MouseClicked[0] = True
+        io.KeyShift = True
+        io.MousePos = to_screen(sess.model.positions[0])
+
+    def frame_ctrl_click(sess):
+        # pick a currently-unfixed vertex
+        cand = int(np.flatnonzero(~sess.model.fixed_flags)[0])
+        io.MouseClicked[0] = True
+        io.KeyCtrl = True
+        io.MousePos = to_screen(sess.model.positions[cand])
+
+    def frame_drag(sess):
+        v = sess.picking.picked_vertex
+        assert v >= 0, "ctrl-click did not pick a vertex"
+        state["dragged"] = v
+        state["x_before"] = float(sess.model.positions[v, 0])
+        io.MouseDown[0] = True
+        x, y = to_screen(sess.model.positions[v])
+        io.MousePos = (x + 40.0, y)
+
+    def frame_release(sess):
+        io.MouseReleased[0] = True
+
+    script = [frame_quiet, frame_shift_click, frame_ctrl_click,
+              frame_drag, frame_release, lambda s: None, lambda s: None]
+    cb_holder = {}
+
+    def fake_show():
+        for setup in script:
+            reset_io()
+            setup(state["session"])
+            cb_holder["cb"]()
+
+    # real ModuleType stubs: `import polyscope.imgui as psim` needs the
+    # parent to be a package-like module, not a namespace object
+    ps_stub = types.ModuleType("polyscope")
+    ps_stub.init = lambda: None
+    ps_stub.set_up_dir = lambda *_: None
+    ps_stub.register_surface_mesh = lambda *a, **k: FakeSurf()
+    ps_stub.get_view_camera_parameters = lambda: FakeCam()
+    ps_stub.get_window_size = lambda: (800, 600)
+    ps_stub.set_user_callback = lambda cb: cb_holder.update(cb=cb)
+    ps_stub.clear_user_callback = lambda: None
+    ps_stub.show = fake_show
+    psim_stub = types.ModuleType("polyscope.imgui")
+    psim_stub.Checkbox = lambda label, v: (False, v)
+    psim_stub.Button = lambda label: False
+    psim_stub.SameLine = lambda: None
+    psim_stub.TreeNode = lambda label: False
+    psim_stub.TreePop = lambda: None
+    psim_stub.BulletText = lambda *_: None
+    psim_stub.GetIO = lambda: io
+    ps_stub.imgui = psim_stub
+
+    monkeypatch.setitem(sys.modules, "polyscope", ps_stub)
+    monkeypatch.setitem(sys.modules, "polyscope.imgui", psim_stub)
+    import animsnapbases_tpu.analysis.ps_viewer as PV
+    importlib.reload(PV)
+    try:
+        assert PV.HAVE_POLYSCOPE
+
+        orig = PV.show_session
+
+        def capture_show(session, steps_per_frame=1):
+            state["session"] = session
+            orig(session, steps_per_frame=steps_per_frame)
+
+        monkeypatch.setattr(PV, "show_session", capture_show)
+
+        from animsnapbases_tpu.sim_cli import cli
+        session = cli(["--example", "interactive", "--cpu",
+                       "--config", "configs/demos/testing.json"])
+
+        assert session is state["session"]
+        # the app ran: one solver step per callback frame
+        assert session.solver.frame == len(script)
+        # shift-click added a pin + positional constraint
+        assert int(session.model.fixed_flags.sum()) == (
+            state["fixed_before"] + 1)
+        assert any(c["vi"] == 0 for c in session.model._positional)
+        # ctrl-drag pushed the picked vertex in +x
+        v = state["dragged"]
+        assert float(session.model.positions[v, 0]) > state["x_before"]
+        # release cleared the picking state
+        assert not session.picking.is_picking
+        assert session.picking.picked_vertex == -1
+    finally:
+        for m in ("polyscope", "polyscope.imgui"):
+            sys.modules.pop(m, None)
+        importlib.reload(PV)
+        assert not PV.HAVE_POLYSCOPE

@@ -230,6 +230,93 @@ def test_affine_animated_targets_match(pipeline):
     np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-5)
 
 
+def test_window_bypass_animated_matches_step_loop(pipeline):
+    """Round-4 WINDOW BYPASS: when the animated rb window exceeds the
+    VMEM allowance but tier 1 is the CHUNKED kernel (which streams rb
+    rows from the HBM-resident schedule), run_steps must serve the whole
+    call in one tier-1 dispatch instead of dropping to the per-step path
+    — and still match per-frame step() exactly."""
+    basis_dir, pos_path, _ = pipeline
+    s_res, m_res = _solver(basis_dir, pos_path, "interpret", floor=False,
+                           rebase_every=8)
+    _add_poke(s_res, m_res)
+    assert s_res._resident_fast_kind == "chunked"
+    # shrink the allowance so the 18-frame poke window overflows it
+    itemsize = 8      # interpret mode keeps f64 state
+    r = s_res.U.shape[1]
+    s_res._rb_seq_limit = 4 * 3 * r * itemsize          # 4-step window
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=False)
+    _add_poke(s_ref, m_ref)
+    f = gravity_forces(m_ref)
+
+    s_res.run_steps(f, 18, num_iterations=6)     # ONE bypassed dispatch
+    for _ in range(18):
+        s_ref.step(f, num_iterations=6)
+
+    assert s_res._resident is not None
+    assert s_res.frame == 18
+    # tier 1 covered the entire window (contact-free, floor off)
+    assert s_res._last_fast_steps == 18
+    np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-5)
+
+
+def test_window_bypass_bounded_contact_windows(pipeline):
+    """WINDOW BYPASS with floor contact: the full-state contact tier
+    still holds its rb window in VMEM, so its serve length is capped to
+    the allowance and the remainder recurses — trajectory must match the
+    per-frame step loop through the tier handoffs."""
+    basis_dir, pos_path, _ = pipeline
+    s_res, m_res = _solver(basis_dir, pos_path, "interpret", floor=True,
+                           rebase_every=4)
+    _add_poke(s_res, m_res)
+    assert s_res._resident_fast_kind == "chunked"
+    itemsize = 8
+    r = s_res.U.shape[1]
+    s_res._rb_seq_limit = 4 * 3 * r * itemsize          # cap = 4 steps
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=True)
+    _add_poke(s_ref, m_ref)
+    for m in (m_res, m_ref):
+        m.positions = m.positions.copy()
+        m.velocities = m.velocities.copy()
+        # graze the floor with downward momentum: the strong constraints
+        # (wi=1e4/1e7) hold a resting cloth up, so push it into the floor
+        # a few steps into the window
+        m.positions[:, 1] -= 2.9
+        m.velocities[:, 1] -= 0.5
+    f = gravity_forces(m_ref)
+
+    # spy on the contact tier: the bypass must serve it in capped windows
+    run_fn, perm, iperm = s_res._resident
+    contact_calls = []
+
+    class Spy:
+        windowed = staticmethod(
+            lambda P, V, Fx, sched, frame, t_pad, n, ni:
+            (contact_calls.append((n, t_pad)),
+             run_fn.windowed(P, V, Fx, sched, frame, t_pad, n, ni))[1])
+
+        def __call__(self, *a, **k):
+            contact_calls.append(("plain",))
+            return run_fn(*a, **k)
+
+    s_res._resident = (Spy(), perm, iperm)
+    s_res.run_steps(f, 14, num_iterations=6)
+    for _ in range(14):
+        s_ref.step(f, num_iterations=6)
+
+    assert s_res.frame == 14
+    # the contact tier really served bounded windows (<= 4-step cap)
+    assert contact_calls, "contact tier never ran — scene stayed airborne"
+    assert all(c[0] != "plain" and c[0] <= 4 for c in contact_calls), \
+        contact_calls
+    # the scene genuinely reached the floor in both runs
+    assert float(m_ref.positions[:, 1].min()) < 0.01
+    assert float(m_res.positions[:, 1].min()) < 0.01
+    np.testing.assert_allclose(m_res.positions, m_ref.positions, atol=1e-5)
+    np.testing.assert_allclose(m_res.velocities, m_ref.velocities,
+                               atol=1e-4)
+
+
 def test_recorded_run_steps_matches_step_loop(pipeline):
     """run_steps(record=True) captures the per-frame trajectory on device
     (one dispatch) and must equal the per-frame step() trajectory exactly,
