@@ -442,6 +442,28 @@ def main():
     if compile_s is not None:
         log(f"[bench] client compile (AOT, incl. Mosaic) {compile_s:.1f}s")
 
+    # cold-start control experiment (VERDICT r3 item 6): first-dispatch a
+    # TRIVIAL same-shaped kernel in the same process BEFORE the resident
+    # kernel's first dispatch.  Its wall-clock is the pure tunnel-load /
+    # program-load floor; the resident kernel's first dispatch minus this
+    # floor is the kernel-size-dependent share.
+    trivial_dispatch_s = None
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        x_probe = jnp.zeros((3, model.positions.shape[0]),
+                            dtype=jnp.float32)
+        triv = jax.jit(lambda a: a * 1.0000001 + 1.0)
+        triv.lower(x_probe).compile()       # client compile, not timed
+        t0 = time.perf_counter()
+        jax.block_until_ready(triv(x_probe))
+        trivial_dispatch_s = time.perf_counter() - t0
+        log(f"[bench] first dispatch of a TRIVIAL same-shaped kernel "
+            f"{trivial_dispatch_s:.1f}s (tunnel-load floor)")
+    except Exception as e:                   # pragma: no cover
+        log(f"[bench] trivial-dispatch probe failed: {e}")
+
     # correctness sanity: short reduced run stays finite and near the FOM
     P_entry = model.positions.copy()          # initial hang state
     t0 = time.perf_counter()
@@ -520,6 +542,12 @@ def main():
             "client_compile_s": (round(compile_s, 1)
                                  if compile_s is not None else None),
             "first_dispatch_s": round(first_dispatch_s, 1),
+            # tunnel-load floor (trivial same-shaped kernel, same
+            # process): first_dispatch_s minus this is the
+            # kernel-size-dependent share of cold start
+            "first_dispatch_trivial_s": (
+                round(trivial_dispatch_s, 1)
+                if trivial_dispatch_s is not None else None),
             "resident_kind": getattr(solver, "_resident_kind", None),
             "end_min_y": round(end_min_y, 2),
             "window_contact_free_proof": window_proof,

@@ -24,6 +24,30 @@ sys.path.insert(0, os.path.dirname(_HERE))
 
 import bench  # noqa: E402
 
+# Acceptance gates (VERDICT r3 item 7): committed at 2x the round-3
+# artifact values (mean rel-L2 3.071e-3, mean normal angle 0.0989 rad) —
+# a regression that doubles the on-mesh error fails the report and the
+# bench-replay e2e instead of silently shipping a worse vs_baseline.
+REL_L2_GATE = 6.2e-3
+NORMAL_ANGLE_GATE = 0.20
+
+
+def check_gates(mean_l2: float, mean_ang: float) -> dict:
+    """Gate fields for the JSON artifact; raises on a gate violation."""
+    gates = {
+        "rel_l2_gate": REL_L2_GATE,
+        "normal_angle_gate_rad": NORMAL_ANGLE_GATE,
+        "gate_passed": bool(mean_l2 <= REL_L2_GATE
+                            and mean_ang <= NORMAL_ANGLE_GATE),
+    }
+    if not gates["gate_passed"]:
+        raise AssertionError(
+            f"on-mesh accuracy regressed past the committed gate: "
+            f"mean rel-L2 {mean_l2:.3e} (gate {REL_L2_GATE:.3e}), "
+            f"mean normal angle {mean_ang:.3e} rad "
+            f"(gate {NORMAL_ANGLE_GATE:.3e})")
+    return gates
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -78,15 +102,26 @@ def main():
 
     mean_l2 = float(np.mean([r["rel_l2"] for r in rows]))
     mean_ang = float(np.mean([r["normal_angle"] for r in rows]))
-    print(json.dumps({
-        "metric": "on_mesh_accuracy_mean_rel_l2",
-        "value": round(mean_l2, 6),
-        "unit": "relative L2",
-        "vs_baseline": 1.0,
-        "detail": {"mean_normal_angle_rad": round(mean_ang, 5),
-                   "frames": F, "csv": csv_path,
-                   "heatmaps": [os.path.basename(p) for p in pngs]},
-    }))
+    try:
+        gates = check_gates(mean_l2, mean_ang)
+    except AssertionError:
+        gates = {"rel_l2_gate": REL_L2_GATE,
+                 "normal_angle_gate_rad": NORMAL_ANGLE_GATE,
+                 "gate_passed": False}
+        raise
+    finally:
+        print(json.dumps({
+            "metric": "on_mesh_accuracy_mean_rel_l2",
+            "value": round(mean_l2, 6),
+            "unit": "relative L2",
+            # headroom under the committed gate (>= 1 passes; the round-3
+            # artifact's 1.0 placeholder had no acceptance semantics)
+            "vs_baseline": round(REL_L2_GATE / max(mean_l2, 1e-30), 3),
+            "detail": {"mean_normal_angle_rad": round(mean_ang, 5),
+                       "frames": F, "csv": csv_path,
+                       "heatmaps": [os.path.basename(p) for p in pngs],
+                       **gates},
+        }))
 
 
 if __name__ == "__main__":

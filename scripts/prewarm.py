@@ -1,0 +1,111 @@
+"""Prewarm the serving kernels so interactive sessions start hot.
+
+The cold-start cost on tunneled TPU hosts splits into (a) client
+compile — eliminated across processes by the persistent compilation
+cache — and (b) server-side program load at FIRST dispatch, which is
+paid per process and scales with executable size (bench.py's
+``first_dispatch_trivial_s`` control pins the tunnel floor).  This
+utility pays both ONCE for every kernel variant a session will touch,
+so the session's own first ``run_steps`` is a warm dispatch:
+
+* AOT-compiles (persistent-cache fill) + first-dispatches the tier-1
+  resident kernel at the production chunk length,
+* first-dispatches the CONTACT-tier kernel (a one-step window), and
+* optionally the batched ensemble kernel at ``--batch B``.
+
+Usage (reuses the bench artifact cache; run before a serving session):
+  python scripts/prewarm.py [--batch 8] [--steps 180000]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+
+import bench  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=0,
+                    help="also prewarm the batched ensemble kernel at "
+                         "this batch size")
+    ap.add_argument("--steps", type=int, default=180000,
+                    help="production chunk length to compile for")
+    args = ap.parse_args()
+
+    import jax
+
+    cache_dir = os.path.join(bench.BENCH_DIR, "xla_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception as e:
+        bench.log(f"[prewarm] compilation cache unavailable: {e}")
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    dtype = jnp.float32 if backend == "tpu" else None
+    bench.log(f"[prewarm] backend={backend}")
+
+    meta = bench.run_fom_and_bases()
+    solver, model = bench.build_reduced_solver(meta, dtype)
+    f = bench.gravity(model)
+    timings = {}
+
+    # client compile of the resident kernel at the production chunk
+    # length (fills the persistent cache for future processes)
+    t0 = time.perf_counter()
+    compile_s = bench.aot_compile_probe(solver, model, 10,
+                                        num_steps=args.steps)
+    timings["client_compile_s"] = (round(compile_s, 1)
+                                   if compile_s is not None else None)
+
+    # first dispatch of the tier-1 path (server-side program load) — one
+    # step so the warm state is untouched beyond a single frame
+    p0, v0 = model.positions.copy(), model.velocities.copy()
+    t0 = time.perf_counter()
+    solver.run_steps(f, 1, num_iterations=10)
+    timings["tier1_first_dispatch_s"] = round(time.perf_counter() - t0, 1)
+
+    # contact-tier kernel: force one window through the contact-capable
+    # path by disabling the tier-1 fast kernel for a single call
+    fast = solver._resident_fast
+    try:
+        solver._resident_fast = None
+        t0 = time.perf_counter()
+        solver.run_steps(f, 1, num_iterations=10)
+        timings["contact_tier_first_dispatch_s"] = round(
+            time.perf_counter() - t0, 1)
+    finally:
+        solver._resident_fast = fast
+    model.positions, model.velocities = p0, v0
+    solver.frame = 0
+
+    if args.batch > 1:
+        runner = solver.make_batched_run(args.batch)
+        if runner is not None:
+            P = np.repeat(model.positions[None], args.batch, axis=0)
+            V = np.zeros_like(P)
+            Fb = np.repeat(f[None], args.batch, axis=0)
+            t0 = time.perf_counter()
+            runner(P, V, Fb, num_steps=1, num_iterations=10)
+            timings[f"batched{args.batch}_first_dispatch_s"] = round(
+                time.perf_counter() - t0, 1)
+
+    bench.log(f"[prewarm] done: {timings}")
+    print(json.dumps({"metric": "prewarm_wallclock", "value": round(
+        sum(v for v in timings.values() if v), 1), "unit": "s",
+        "vs_baseline": 1.0, "detail": timings}))
+
+
+if __name__ == "__main__":
+    main()
