@@ -243,3 +243,62 @@ def view_anim_live(h5_path: str, fps: int = 30) -> None:
 def view_components_live(components_h5: str) -> None:
     require_polyscope()
     ComponentViewer(components_h5).show()
+
+
+def rotating_capture_live(verts, tris, out_dir: str, selected=None,
+                          interpol_verts=None, num_frames: int = 100,
+                          prefix: str = "frame",
+                          element_color=(0.5, 0.8, 0.5),
+                          name: str = "mesh") -> list[str]:
+    """Live polyscope rotating-camera capture — the reference's
+    paper-figure generator (nl_reduction_tests.py:244-341): register the
+    mesh (transparent) + the interpolation-vertex point cloud + the
+    highlighted elements, orbit the camera around the bounding-box
+    center and screenshot every angle, then close the window.  Headless
+    twin: :func:`animsnapbases_tpu.analysis.viewer.view_rotating_capture`.
+    Returns the written paths."""
+    require_polyscope()
+    import os
+
+    verts = np.asarray(verts)
+    os.makedirs(out_dir, exist_ok=True)
+    ps.init()
+    ps.set_ground_plane_mode("none")
+    ps.register_surface_mesh(name, verts, np.asarray(tris)[:, :3],
+                             transparency=0.18,
+                             color=(0.89, 0.807, 0.565))
+    if interpol_verts is not None and len(interpol_verts):
+        ps.register_point_cloud(
+            "interpolation vertices",
+            verts[np.asarray(interpol_verts, dtype=int)], enabled=True,
+            color=(0.9, 0.1, 0.25), radius=0.008)
+    if selected is not None and len(selected):
+        sel = np.asarray(selected, dtype=int)
+        ps.register_surface_mesh("highlighted elements", verts,
+                                 np.asarray(tris)[sel][:, :3],
+                                 transparency=0.8, color=element_color)
+
+    lo = verts.min(axis=0)
+    hi = verts.max(axis=0)
+    center = (lo + hi) / 2
+    dist = 1.1 * float(np.linalg.norm(hi - lo))
+    written = []
+    frame = {"i": 0}
+
+    def _callback():
+        i = frame["i"]
+        if i >= num_frames:
+            ps.unshow()
+            return
+        a = np.radians(360.0 * (i + 1) / num_frames)
+        ps.look_at((center[0] + dist * np.sin(a), center[1],
+                    center[2] + dist * np.cos(a)), tuple(center))
+        path = os.path.join(out_dir, f"{prefix}_{i:03d}.png")
+        ps.screenshot(path, transparent_bg=False)
+        written.append(path)
+        frame["i"] = i + 1
+
+    ps.set_user_callback(_callback)
+    ps.show()
+    ps.clear_user_callback()
+    return written

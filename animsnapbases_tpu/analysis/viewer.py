@@ -126,3 +126,131 @@ def view_interpolation_elements(verts, elements, selected, out_path: str,
     fig.savefig(out_path, dpi=90)
     plt.close(fig)
     return out_path
+
+
+def view_rotating_capture(verts, tris, out_dir: str, selected=None,
+                          interpol_verts=None, element_kind: str = "tris",
+                          num_frames: int = 24, prefix: str = "frame",
+                          elev: float = 18.0,
+                          element_color=(0.5, 0.8, 0.5)) -> list[str]:
+    """Rotating-camera screenshot export of a mesh with (optionally) the
+    selected interpolation elements highlighted — headless twin of the
+    reference's polyscope rotation capture (nl_reduction_tests.py:
+    244-341: register mesh + interpolation vertices + highlighted
+    elements, then ``ps.look_at`` around the bounding-box center and
+    screenshot ``num_frames`` angles).  Writes
+    ``{prefix}_{i:03d}.png`` per azimuth and returns the paths.
+
+    ``selected``: indices into ``tris`` (or the edge array for
+    ``element_kind='edges'``) to highlight; ``interpol_verts``: vertex
+    indices drawn as a point cloud (the DEIM/geom pick set)."""
+    verts = np.asarray(verts)
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for i in range(num_frames):
+        azim = 360.0 * i / num_frames
+        fig = plt.figure(figsize=(6, 6))
+        ax = fig.add_subplot(111, projection="3d")
+        if tris is not None and len(tris):
+            _render_mesh(ax, verts, np.asarray(tris)[:, :3])
+        if selected is not None and len(selected):
+            sel = np.asarray(selected, dtype=int)
+            if element_kind == "edges":
+                for e in np.asarray(tris)[sel] if tris is not None else []:
+                    seg = verts[np.asarray(e[:2], dtype=int)]
+                    ax.plot(seg[:, 0], seg[:, 1], seg[:, 2],
+                            color=element_color, lw=2)
+            else:
+                faces = np.asarray(tris)[sel][:, :3]
+                pc = Poly3DCollection(verts[faces],
+                                      facecolors=[element_color],
+                                      edgecolor="k", linewidths=0.5)
+                ax.add_collection3d(pc)
+        if interpol_verts is not None and len(interpol_verts):
+            pts = verts[np.asarray(interpol_verts, dtype=int)]
+            ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2],
+                       color=(0.9, 0.1, 0.25), s=18, depthshade=False)
+        ax.view_init(elev=elev, azim=azim)
+        path = os.path.join(out_dir, f"{prefix}_{i:03d}.png")
+        fig.savefig(path, dpi=90)
+        plt.close(fig)
+        written.append(path)
+    return written
+
+
+def view_element_selection(verts, faces, picked_verts,
+                           element_type: str = "verts",
+                           out_path: str | None = None, tets=None,
+                           vertex_color=(1.0, 0.0, 0.0),
+                           element_color=(0.6, 0.2, 0.62),
+                           max_background_faces: int = 20_000) -> str:
+    """Standalone element visualizer — headless twin of the reference's
+    ``visualize_tet_mesh_elements`` (nl_reduction_tests.py:344-477):
+    picked vertices as a red point cloud plus, per ``element_type``,
+
+    * ``verts``: the picked vertices' one-ring neighbor vertices,
+    * ``edges``: surface edges touching any picked vertex,
+    * ``tris``/``faces``: faces containing any picked vertex,
+    * ``tets``: tetrahedra containing any picked vertex (outlined by
+      their face triangles).
+    """
+    verts = np.asarray(verts)
+    faces = np.asarray(faces) if faces is not None else None
+    picked = np.atleast_1d(np.asarray(picked_verts, dtype=int))
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(111, projection="3d")
+
+    bg_v, bg_f = verts, faces
+    if faces is not None and len(faces) > max_background_faces:
+        from animsnapbases_tpu.geometry.mesh import decimate_to_face_ratio
+        bg_v, bg_f = decimate_to_face_ratio(
+            verts, faces, max_background_faces / len(faces))
+    if bg_f is not None and len(bg_f):
+        _render_mesh(ax, bg_v, bg_f)
+
+    pts = verts[picked]
+    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], color=[vertex_color],
+               s=24, depthshade=False)
+
+    if element_type == "verts" and faces is not None:
+        mask = np.isin(faces, picked).any(axis=1)
+        nbrs = np.setdiff1d(np.unique(faces[mask]), picked)
+        if len(nbrs):
+            npts = verts[nbrs]
+            ax.scatter(npts[:, 0], npts[:, 1], npts[:, 2],
+                       color=[element_color], s=18, depthshade=False)
+    elif element_type == "edges" and faces is not None:
+        mask = np.isin(faces, picked).any(axis=1)
+        for f in faces[mask]:
+            for a, b in ((0, 1), (1, 2), (2, 0)):
+                if f[a] in picked or f[b] in picked:
+                    seg = verts[[f[a], f[b]]]
+                    ax.plot(seg[:, 0], seg[:, 1], seg[:, 2],
+                            color=element_color, lw=1.5)
+    elif element_type in ("tris", "faces") and faces is not None:
+        mask = np.isin(faces, picked).any(axis=1)
+        if mask.any():
+            pc = Poly3DCollection(verts[faces[mask][:, :3]],
+                                  facecolors=[element_color],
+                                  edgecolor=(0.10, 0.45, 0.95),
+                                  linewidths=0.5)
+            ax.add_collection3d(pc)
+    elif element_type == "tets":
+        if tets is None:
+            raise ValueError("element_type='tets' needs a tets array")
+        tets = np.asarray(tets)
+        mask = np.isin(tets, picked).any(axis=1)
+        tri_of_tet = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]])
+        tfaces = tets[mask][:, tri_of_tet].reshape(-1, 3)
+        if len(tfaces):
+            pc = Poly3DCollection(verts[tfaces],
+                                  facecolors=[element_color], alpha=0.45,
+                                  edgecolor="k", linewidths=0.3)
+            ax.add_collection3d(pc)
+    else:
+        raise ValueError(f"unknown element_type {element_type!r}")
+
+    out_path = out_path or "element_selection.png"
+    fig.savefig(out_path, dpi=90)
+    plt.close(fig)
+    return out_path

@@ -12,6 +12,8 @@ import argparse
 import os
 from functools import partial
 
+import numpy as np
+
 from animsnapbases_tpu.config.bases_config import BasesConfig
 from animsnapbases_tpu.utils.timing import global_timer
 
@@ -85,6 +87,30 @@ def run_position_pipeline(param: BasesConfig, view: bool = False):
     return bases
 
 
+def export_rotation_captures(param: BasesConfig, nl_bases,
+                             num_frames: int = 24) -> str:
+    """Rotating-camera screenshot export of the selected interpolation
+    elements (ref main.py:233-243 -> nl_reduction_tests.py:244-341);
+    headless PNGs so it works on display-less TPU hosts — the live
+    polyscope twin is ``analysis.ps_viewer.rotating_capture_live``.
+    Returns the output directory."""
+    from animsnapbases_tpu.analysis.viewer import view_rotating_capture
+
+    K = min(param.visualize_geom_elements_at_K,
+            len(nl_bases.geom_alpha_ranges))
+    snaps = nl_bases.nonlinearSnapshots
+    sel = nl_bases.geom_alpha[:int(nl_bases.geom_alpha_ranges[K - 1])]
+    out_dir = os.path.join(param.constProj_output_directory,
+                           "rotation_scene_snapshots")
+    view_rotating_capture(
+        snaps.verts, snaps.tris, out_dir,
+        selected=(sel if snaps.ele_type == "_tris" else None),
+        interpol_verts=np.asarray(nl_bases.geom_interpol_verts)[:K],
+        num_frames=num_frames,
+        prefix=f"{param.name}_{param.constProj_name}_frame")
+    return out_dir
+
+
 def run_constproj_pipeline(param: BasesConfig):
     from animsnapbases_tpu.bases.constraints import ConstraintComponents
 
@@ -114,6 +140,12 @@ def run_constproj_pipeline(param: BasesConfig):
 
     if param.store_nonlinear_bases:
         nl_bases.store_components_n_interpol_points()
+
+    if (param.visualize_geom_elements
+            and param.visualize_geom_elements_at_K > 0
+            and getattr(nl_bases, "geom_alpha", None) is not None):
+        out_dir = export_rotation_captures(param, nl_bases)
+        print(f"rotation captures written to {out_dir}")
 
     if param.run_geom_tests:
         from animsnapbases_tpu.analysis.figures import plots_nonlinearity_basis

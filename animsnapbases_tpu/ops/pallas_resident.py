@@ -92,7 +92,8 @@ def estimate_vmem_bytes(n_verts: int, r: int, n_sel: int, g_total: int,
 def estimate_chunked_vmem_bytes(n_verts: int, r: int, n_sel: int,
                                 g_total: int, m_total: int,
                                 mm_bytes: int, state_bytes: int,
-                                nb: int = 1) -> int:
+                                nb: int = 1,
+                                floor_exact: bool = True) -> int:
     """TILING-AWARE VMEM footprint of the CHUNKED affine kernel's
     operands (:func:`build_resident_affine_chunked`).
 
@@ -109,8 +110,11 @@ def estimate_chunked_vmem_bytes(n_verts: int, r: int, n_sel: int,
     lane_n = pad(n_verts, 128)
     mm_sub = 8 if mm_bytes >= 4 else 16
     st_sub = 8 if state_bytes >= 4 else 16
-    # U_lift[y] (r, N): N on lanes
-    big = pad(r, mm_sub) * lane_n * mm_bytes
+    # U_lift[y] (r, N): N on lanes — only staged when the kernel keeps
+    # the in-kernel exact floor fallback; exact-free kernels receive an
+    # (8, 128) dummy, making yrows the only O(N) operand
+    big = (pad(r, mm_sub) * lane_n * mm_bytes if floor_exact
+           else 8 * 128 * mm_bytes)
     # b0y/b1y/fay packed as ONE (3nb, N) operand — three separate
     # (nb, N) arrays each pad nb up to the 8-sublane tile (24 sublanes
     # of VMEM at nb=1 instead of 8)
@@ -1109,7 +1113,8 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
                                   rebase_every: int = 256,
                                   interpret: bool = False, nb: int = 1,
                                   eta: float = 1.0,
-                                  floor_bound_skip: bool = True):
+                                  floor_bound_skip: bool = True,
+                                  floor_exact: bool = True):
     """CHUNKED tier-1 affine kernel: rebase and materialization move OUT
     of the Pallas kernel into an XLA ``while_loop`` around it, so the
     kernel carries only COEFFICIENT state.
@@ -1161,7 +1166,25 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
     the exact check runs only when the bound trips (slack absorbs the
     bf16/f32 rounding gap, so a bound-certified step can never disagree
     with the exact bf16 check).
+
+    ``floor_exact=False`` (requires ``floor_bound_skip``) removes the
+    in-kernel exact fallback entirely: a bound trip EXITS the kernel
+    (like a contact) instead of materializing the y-rows in-kernel.
+    This deletes the only textual use of the big (r, N) lift slice from
+    the step loop — Mosaic staging pressure from untaken branches that
+    reference large refs measurably taxes the hot loop at >=100k
+    vertices (the same effect that size-gates the contact mode) — and
+    drops the kernel's dominant VMEM operand, so admission scales as
+    ~16*N bytes instead of ~(r*mm+16)*N (multi-million verts at f32).
+    Semantics stay exact: the caller re-enters after a REBASE, whose
+    fresh anchors make the first-step bound as tight as it can be
+    (wsn=0); if even that trips (k=0), run_steps' existing fall-through
+    serves the window on a contact-capable path.  Near-floor scenes pay
+    extra exits, so large floor-clear serving gates this on, small or
+    contact-grazing models keep the in-kernel exact check.
     """
+    assert floor_exact or floor_bound_skip, \
+        "floor_exact=False requires the certified floor bound"
     acc = jnp.float32 if U_liftT.dtype != np.float64 else jnp.float64
     r = inv3.shape[1]
     n = U_liftT.shape[2]
@@ -1278,16 +1301,23 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
                              + 1e-6 * (1.0 + jnp.abs(lb_aff)))
                     lb = lb_aff - wn * umax - slack
                     maybe = jnp.any(lb < floor_h)
-                    cl_ref[0] = 0
+                    if floor_exact:
+                        cl_ref[0] = 0
 
-                    @pl.when(maybe)
-                    def _exact():
-                        sn_y = (a0 * b0y + a1 * b1y + a2 * fay
-                                + _dot(wsn_y.astype(mm_dtype),
-                                       ulifty_ref[:], acc))
-                        cl_ref[0] = jnp.any(
-                            sn_y < floor_h).astype(jnp.int32)
-                    clamped = cl_ref[0] == 1
+                        @pl.when(maybe)
+                        def _exact():
+                            sn_y = (a0 * b0y + a1 * b1y + a2 * fay
+                                    + _dot(wsn_y.astype(mm_dtype),
+                                           ulifty_ref[:], acc))
+                            cl_ref[0] = jnp.any(
+                                sn_y < floor_h).astype(jnp.int32)
+                        clamped = cl_ref[0] == 1
+                    else:
+                        # no in-kernel exact fallback: treat a bound trip
+                        # as an exit — the caller rebases (tightening the
+                        # bound to its floor) and re-enters, or hands the
+                        # step to a contact-capable path (see docstring)
+                        clamped = maybe
                 else:
                     sn_y = (asn_y[:, 0:1] * b0y + asn_y[:, 1:2] * b1y
                             + asn_y[:, 2:3] * fay
@@ -1337,7 +1367,11 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
         fa = dt2 * fext * minv_a                       # (3nb, N)
         fay = fa[nb:2 * nb]
         fas = fa[:, :n_sel]
-        ulift_y = Ulift_a[1]
+        # exact-free kernels never read the lift's y-slice: stage a tiny
+        # dummy instead of the (r, N) operand (24 MB at 250k verts —
+        # per-chunk VMEM staging AND the dominant admission term)
+        ulift_y = (Ulift_a[1] if floor_exact
+                   else jnp.zeros((8, 128), dtype=Ulift_a.dtype))
 
         def project(X):
             """(3nb, N) -> (3nb, r) through U^T A_c (NT dots)."""

@@ -111,6 +111,39 @@ def resolve_self_collision_device(q, faces, min_dist: float = 0.001,
     return q + corr.sum(axis=1)
 
 
+def min_clearance_device(q, faces, k: int = 5,
+                         max_pairs: int = MAX_PAIRS):
+    """Minimum vertex-to-nearest-non-own-triangle distance over the SAME
+    candidate set the pushout pass tests (k nearest centroids per
+    vertex).  The pass :func:`resolve_self_collision_device` is the
+    IDENTITY exactly when this clearance is >= its ``min_dist`` — the
+    proximity-gated resident serving tier (reduced.py
+    ``_run_steps_self_collision``) uses that equivalence to certify
+    windows where skipping the per-step pass changes nothing."""
+    n = q.shape[0]
+    m = faces.shape[0]
+    if n * m > max_pairs:
+        raise ValueError(
+            f"device clearance probe materializes an (n={n}, m={m}) "
+            f"distance matrix — beyond the {max_pairs / 1e6:.0f}M-pair "
+            f"gate.")
+    k = min(k, m)
+    cent = q[faces].mean(axis=1)
+    d2 = (jnp.sum(q * q, axis=1)[:, None]
+          + jnp.sum(cent * cent, axis=1)[None, :]
+          - 2.0 * q @ cent.T)
+    _, idx = jax.lax.top_k(-d2, k)
+    cand = faces[idx]
+    own = jnp.any(cand == jnp.arange(n)[:, None, None], axis=-1)
+    tri = q[cand]
+    closest = jax.vmap(jax.vmap(closest_point_on_triangle,
+                                in_axes=(None, 0, 0, 0)),
+                       in_axes=(0, 0, 0, 0))(
+        q, tri[:, :, 0], tri[:, :, 1], tri[:, :, 2])
+    d = jnp.linalg.norm(q[:, None, :] - closest, axis=-1)
+    return jnp.where(own, jnp.inf, d).min()
+
+
 def make_collide_jit(faces):
     """Jitted ``q -> resolved q`` closure over a FIXED face array.
 

@@ -219,6 +219,19 @@ class AnimSnapBasesSolver:
     # in-kernel) with the STANDARD kernel as the contact tier.  Instance
     # override: resident_chunked_tier1 = True/False.
     CHUNKED_TIER1_MIN_VERTS = 64000
+
+    # past this vertex count the chunked tier-1 drops its IN-KERNEL exact
+    # floor fallback (floor_exact=False): the untaken exact branch's
+    # textual use of the (r, N) lift slice inside the step loop taxes the
+    # hot loop at scale (the same Mosaic staging effect that size-gates
+    # the contact mode), and removing the operand makes the kernel's
+    # VMEM footprint ~16*N instead of ~(r*mm+16)*N — admission grows
+    # from ~450k to multi-million verts at r=48.  A bound trip then
+    # EXITS the kernel; run_steps rebases (tightening the bound) and
+    # re-enters, or falls through to a contact-capable window on a k=0
+    # trip, so near-floor scenes pay extra exits but stay exact.
+    # Instance override: resident_floor_exact = True/False.
+    CHUNKED_FLOOR_EXACT_MAX_VERTS = 128000
     # headroom the FUSED sliced-serving search subtracts from the batched
     # gate: multiple kernel calls in one jit overlap the next group's
     # operand staging with the current group's execution (~14 MB measured
@@ -287,6 +300,7 @@ class AnimSnapBasesSolver:
         self._resident_batched = {}
         self._batched_call_cache = {}
         self._resident_fast = None
+        self._sc_fused = None
         self._resident_fast_kind = None
 
     # ------------------------------------------------------------------
@@ -340,6 +354,7 @@ class AnimSnapBasesSolver:
         self._resident = None
         self._resident_state = None
         self._resident_fast = None
+        self._sc_fused = None
         self._resident_fast_kind = None
         self._resident_batched = {}
         self._run_jit = None
@@ -540,10 +555,17 @@ class AnimSnapBasesSolver:
         self._batched_call_cache = {}   # closures capture the old build
         self._resident_fast = None
         self._resident_fast_kind = None
+        self._sc_fused = None           # captures the old tier-1 runner
         if getattr(self, "_fused_pack", None) is None:
             return None
-        if self._collision_mode == "device":
-            return None       # the collision pass cannot run in-kernel
+        if (self._collision_mode == "device"
+                and not getattr(self, "self_collision_resident", True)):
+            # the collision pass cannot run in-kernel; with the
+            # proximity-gated serving tier DISABLED the kernels would
+            # never be used — skip their compile cost.  When the tier is
+            # on (default), run_steps serves certified-clear windows on
+            # them (_run_steps_self_collision) and this build pays off.
+            return None
         from animsnapbases_tpu.ops.pallas_reduced import (
             prepare_fused_operands,
         )
@@ -595,7 +617,8 @@ class AnimSnapBasesSolver:
 
             chunked_budget = estimate_chunked_vmem_bytes(
                 n, r, n_sel, g_total, m_total,
-                mm_dtype.itemsize, np_dtype.itemsize)
+                mm_dtype.itemsize, np_dtype.itemsize,
+                floor_exact=self._chunked_floor_exact(n))
             if chunked_only is False or chunked_budget > limit:
                 return None
             chunked_only = True
@@ -690,11 +713,11 @@ class AnimSnapBasesSolver:
                 ops["inv3"], U_liftT, ut_acT, M_utac,
                 U_selT.astype(np_dtype), mass_inv, self.dt,
                 floor_h, n_sel,
-                rebase_every=getattr(self, "resident_rebase_every",
-                                     None) or 1024,
+                rebase_every=self._chunked_rebase_every(n),
                 interpret=interpret, eta=getattr(self, "eta", 1.0),
                 floor_bound_skip=getattr(
-                    self, "resident_floor_bound_skip", True))
+                    self, "resident_floor_bound_skip", True),
+                floor_exact=self._chunked_floor_exact(n))
             self._resident_fast_kind = "chunked"
             self._resident_fallback = None
             if chunked_only:
@@ -893,7 +916,8 @@ class AnimSnapBasesSolver:
         return run
 
     @staticmethod
-    def batched_chunked_budget(st, nb: int) -> int:
+    def batched_chunked_budget(st, nb: int,
+                               floor_exact: bool = True) -> int:
         """VMEM-byte estimate for an ``nb``-sim batched CHUNKED affine
         kernel built from resident state ``st`` (the coefficient-only
         Pallas body: its per-sim O(N) cost is ONE packed y-row block, so
@@ -906,7 +930,32 @@ class AnimSnapBasesSolver:
 
         return estimate_chunked_vmem_bytes(
             st["n"], st["r"], st["n_sel"], st["g_total"], st["m_total"],
-            st["mm_dtype"].itemsize, st["np_dtype"].itemsize, nb=nb)
+            st["mm_dtype"].itemsize, st["np_dtype"].itemsize, nb=nb,
+            floor_exact=floor_exact)
+
+    def _chunked_floor_exact(self, n: int) -> bool:
+        """Whether chunked builds keep the IN-KERNEL exact floor check
+        (see CHUNKED_FLOOR_EXACT_MAX_VERTS).  Exact-free requires the
+        certified O(r) bound, so disabling the bound forces exact."""
+        fe = getattr(self, "resident_floor_exact", None)
+        if fe is None:
+            fe = n <= self.CHUNKED_FLOOR_EXACT_MAX_VERTS
+        if not getattr(self, "resident_floor_bound_skip", True):
+            fe = True
+        return bool(fe)
+
+    def _chunked_rebase_every(self, n: int) -> int:
+        """Rebase cadence for chunked builds.  Past the large-N gate the
+        per-chunk O(N) rebase (lift/project dots streaming the (3, r, N)
+        matrices from HBM) is worth amortizing further: measured
+        in-process at 250k verts, 4096 beats 1024 by ~3 % (116.8k ->
+        120.4k steps/s) and 16384 gives it back (stale anchors loosen
+        the floor bound's y-row intervals)."""
+        every = getattr(self, "resident_rebase_every", None)
+        if every:
+            return int(every)
+        return (4096 if n > self.CHUNKED_FLOOR_EXACT_MAX_VERTS
+                else 1024)
 
     def _build_resident_batched_chunked(self, nb: int):
         """Batched CHUNKED affine runner: ``nb`` independent sims of this
@@ -939,7 +988,9 @@ class AnimSnapBasesSolver:
             return self._resident_fast
         limit = getattr(self, "resident_vmem_limit",
                         self.RESIDENT_VMEM_LIMIT)
-        if self.batched_chunked_budget(st, nb) > limit:
+        if self.batched_chunked_budget(
+                st, nb,
+                floor_exact=self._chunked_floor_exact(st["n"])) > limit:
             self._resident_batched[key] = None
             return None
         from animsnapbases_tpu.ops.pallas_resident import (
@@ -954,12 +1005,12 @@ class AnimSnapBasesSolver:
             ops["WT_all"], ops["usel_inv"], ops["inv3"], st["U_liftT"],
             st["ut_acT"], st["M_utac"], st["U_selT"], st["mass_inv"],
             self.dt, floor_h, st["n_sel"],
-            rebase_every=getattr(self, "resident_rebase_every",
-                                 None) or 1024,
+            rebase_every=self._chunked_rebase_every(st["n"]),
             interpret=st["interpret"], nb=nb,
             eta=getattr(self, "eta", 1.0),
             floor_bound_skip=getattr(
-                self, "resident_floor_bound_skip", True))
+                self, "resident_floor_bound_skip", True),
+            floor_exact=self._chunked_floor_exact(st["n"]))
         self._resident_batched[key] = run
         return run
 
@@ -1672,7 +1723,9 @@ class AnimSnapBasesSolver:
                             None) or 1024), max(1, T_rb))
         chunk_bytes = S * 3 * B * r * st["np_dtype"].itemsize
         if chunk_bytes > self._rb_allowance(
-                self.batched_chunked_budget(st, B)):
+                self.batched_chunked_budget(
+                    st, B, floor_exact=self._chunked_floor_exact(
+                        st["n"]))):
             return None
 
         key = ("batched_chunked_call", B, shared_rb)
@@ -2031,7 +2084,9 @@ class AnimSnapBasesSolver:
         # per-DEVICE staged chunk bytes (see the single-chip variant)
         chunk_bytes = S * 3 * Bl * r * st["np_dtype"].itemsize
         if chunk_bytes > self._rb_allowance(
-                self.batched_chunked_budget(st, Bl)):
+                self.batched_chunked_budget(
+                    st, Bl, floor_exact=self._chunked_floor_exact(
+                        st["n"]))):
             return None
 
         key = ("batched_chunked_call_sharded", B, n_dev, shared_rb,
@@ -2416,6 +2471,205 @@ class AnimSnapBasesSolver:
     # only unbounded scripted trajectories stay host-side.
     RB_SCHED_DEVICE_LIMIT = 256 * (1 << 20)
 
+    def _self_collision_clearance(self) -> float:
+        """Current min vertex-to-non-own-triangle distance over the
+        device pass's own candidate set (one jitted dispatch)."""
+        from animsnapbases_tpu.sim.collisions_device import (
+            min_clearance_device,
+        )
+
+        faces = self.model.faces
+        cached = getattr(self, "_clearance_jit", None)
+        if cached is None or cached[0] is not faces:
+            import jax
+
+            faces_j = jnp.asarray(faces)
+            fn = jax.jit(lambda q: min_clearance_device(q, faces_j))
+            self._clearance_jit = cached = (faces, fn)
+        return float(cached[1](self._cast(self.model.positions)))
+
+    def _sc_fused_runner(self):
+        """ONE-jit device loop for self-collision serving: clearance
+        probe -> certified window on the tier-1 resident kernel ->
+        re-probe, all inside a ``lax.while_loop`` (fusing through
+        ``run.raw``) — per-window host round trips (~100 ms each over
+        the tunnel) would otherwise dominate the certified windows.
+        Returns ``fn(P, V, Fx, rb, total, num_iterations) -> (P', V',
+        done)`` on packed (3, N) state, stopping at the first window the
+        certificate can't admit (proximity) or the kernel exits early
+        (floor contact); cached per prepare."""
+        cached = getattr(self, "_sc_fused", None)
+        if cached is not None:
+            return cached
+        fast = getattr(self, "_resident_fast", None)
+        res = getattr(self, "_resident", None)
+        if fast is None or res is None:
+            return None
+        import jax
+
+        from animsnapbases_tpu.sim.collisions_device import (
+            min_clearance_device,
+        )
+
+        _, perm, iperm = res
+        # P rows are PERMUTED vertex order: remap faces so the probe
+        # gathers the right rows (distances are permutation-invariant)
+        faces_j = jnp.asarray(iperm[np.asarray(self.model.faces)])
+        min_dist = float(getattr(self, "self_collision_min_dist", 0.001))
+        cap = float(getattr(self, "self_collision_window_cap", 4096))
+        dt = self.dt
+
+        def loop(P0, V0, Fx, rb, total, num_iterations):
+            def cond(c):
+                _, _, done, stop = c
+                return jnp.logical_and(done < total,
+                                       jnp.logical_not(stop))
+
+            def body(c):
+                P, V, done, _ = c
+                clearance = (min_clearance_device(P.T.astype(jnp.float32),
+                                                  faces_j) - min_dist)
+                vmax = jnp.sqrt((V * V).sum(axis=0)).max()
+                w = jnp.floor(clearance
+                              / (4.0 * dt * jnp.maximum(vmax, 1e-12)))
+                w = jnp.clip(jnp.nan_to_num(w, nan=0.0), 0.0, cap)
+                w = jnp.minimum(w.astype(jnp.int32),
+                                (total - done).astype(jnp.int32))
+                stop = w < 1
+                steps_arr = jnp.maximum(w, 0).reshape(1, 1)
+                # w=0 runs the kernel as an exact identity (k=0)
+                P2, V2, k = fast.raw(P, V, Fx, rb, steps_arr,
+                                     num_iterations)
+                k = k[0, 0]
+                # an in-window early exit (floor contact) also hands
+                # control back to the host tiers
+                return (P2, V2, done + k,
+                        jnp.logical_or(stop, k < w))
+
+            P, V, done, _ = jax.lax.while_loop(
+                cond, body,
+                (P0, V0, jnp.zeros((), dtype=jnp.int32),
+                 jnp.zeros((), dtype=bool)))
+            return P, V, done
+
+        self._sc_fused = jax.jit(loop,
+                                 static_argnames=("num_iterations",))
+        return self._sc_fused
+
+    def _run_steps_self_collision(self, fext, num_steps, num_iterations):
+        """Proximity-gated RESIDENT serving under the device
+        self-collision pass (ref Constraint_projections.py:1311-1419
+        resolves per step on the host; the device pass fuses into the
+        per-step jit, but both force the slow path for entire runs).
+
+        The pass is the IDENTITY while every vertex stays >= min_dist
+        from every non-own candidate triangle, so stretches certified
+        clear can skip it and run the resident tiers untouched — the
+        window length is chosen so the certificate plausibly holds
+        throughout: with per-step displacement dt*||v_end|| (symplectic
+        Euler: q_{n+1}-q_n = dt*v_{n+1}), a clearance c admits ~c /
+        (4*dt*vmax) steps (2x for two approaching sides, 2x for
+        velocity growth over the window).  This is a conservative
+        HEURISTIC, not a proof — velocities can grow faster under
+        strong forcing — so the clearance is re-probed at every window
+        boundary and windows are capped; scenes that need the pass
+        every step set ``self_collision_resident = False`` to restore
+        the exact per-step serving.  Proximity regimes (clearance at or
+        under min_dist) run the per-step jit (pass included) in bounded
+        windows and hand back as soon as a probe says clear.
+
+        Non-animated calls run probe+window fused ON DEVICE
+        (:meth:`_sc_fused_runner`); animated schedules take the
+        host-window path below (one nested ``run_steps`` per window)
+        so the rb machinery stays in charge of frame advance."""
+        model = self.model
+        min_dist = float(getattr(self, "self_collision_min_dist", 0.001))
+        cap = int(getattr(self, "self_collision_window_cap", 4096))
+        contact_w = int(getattr(self, "self_collision_contact_window",
+                                64))
+        animated = any(
+            c["motion_type"] == "user_defined"
+            and c["frame_shift"] is not None
+            and len(c["frame_shift"]) > self.frame
+            for c in getattr(model, "_positional", []))
+        fused = None if animated else self._sc_fused_runner()
+        tier1 = 0
+        remaining = num_steps
+        self._in_sc_window = True
+        try:
+            while remaining > 0:
+                if fused is not None:
+                    _, perm, iperm = self._resident
+                    r = self.U.shape[1]
+                    if self._resident_utst is not None:
+                        rb = np.einsum(
+                            "dre,ted->tdr", self._resident_utst,
+                            np.asarray(model.positional_targets(
+                                self.frame))[None])
+                    else:
+                        rb = np.zeros((1, 3, r))
+                    P = self._cast(np.ascontiguousarray(
+                        model.positions[perm].T))
+                    V = self._cast(np.ascontiguousarray(
+                        model.velocities[perm].T))
+                    Fx = self._cast(np.ascontiguousarray(
+                        np.asarray(fext)[perm].T))
+                    Pf, Vf, done = fused(
+                        P, V, Fx, self._cast(rb),
+                        jnp.asarray(remaining, dtype=jnp.int32),
+                        num_iterations=num_iterations)
+                    done = int(done)
+                    model.positions = np.asarray(
+                        Pf, dtype=float).T[iperm]
+                    model.velocities = np.asarray(
+                        Vf, dtype=float).T[iperm]
+                    self.frame += done
+                    tier1 += done
+                    remaining -= done
+                    if remaining <= 0:
+                        break
+                    # stopped: proximity regime (or a floor exit) —
+                    # fall through to a bounded per-step window
+                else:
+                    clearance = (self._self_collision_clearance()
+                                 - min_dist)
+                    w = 0
+                    if clearance > 0:
+                        vmax = float(np.linalg.norm(model.velocities,
+                                                    axis=1).max())
+                        w = int(clearance
+                                / (4.0 * self.dt * max(vmax, 1e-12)))
+                    if w >= 1:
+                        w = min(w, cap, remaining)
+                        flag = self.enable_self_collision
+                        self.enable_self_collision = False
+                        try:
+                            self.run_steps(fext, w, num_iterations)
+                        finally:
+                            self.enable_self_collision = flag
+                        if self._last_fast_steps:
+                            tier1 += self._last_fast_steps
+                        remaining -= w
+                        continue
+                # proximity regime: the per-step jit (pass fused)
+                # serves a bounded window, then re-probes
+                w = min(contact_w, remaining)
+                targets_tl, _ = self._targets_timeline(w)
+                p, v = self._run_jit(
+                    self._cast(model.positions),
+                    self._cast(model.velocities), self._cast(fext),
+                    self._cast(targets_tl), num_steps=w,
+                    num_iterations=num_iterations)
+                model.positions = np.asarray(p)
+                model.velocities = np.asarray(v)
+                self.frame += w
+                remaining -= w
+        finally:
+            self._in_sc_window = False
+        # whole-call certificate semantics match run_steps: set only
+        # when tier 1 covered EVERY step of the call
+        self._last_fast_steps = tier1 if tier1 == num_steps else None
+
     def run_steps(self, fext, num_steps, num_iterations=10, record=False):
         """Advance ``num_steps`` steps fully on device (single dispatch).
         Animated positional targets (``user_defined`` frame shifts, e.g.
@@ -2466,6 +2720,15 @@ class AnimSnapBasesSolver:
                 remaining = max(remaining,
                                 len(c["frame_shift"]) - self.frame)
         animated = remaining > 0
+        if (getattr(self, "_resident", None) is not None
+                and self.enable_self_collision == "device"
+                and self._collision_mode == "device"
+                and getattr(self, "self_collision_resident", True)
+                and not getattr(self, "_in_sc_window", False)):
+            # proximity-gated resident serving under the device
+            # self-collision pass (see _run_steps_self_collision)
+            return self._run_steps_self_collision(fext, num_steps,
+                                                  num_iterations)
         if (getattr(self, "_resident", None) is not None
                 and not self.enable_self_collision):
             run_fn, perm, iperm = self._resident
@@ -2602,6 +2865,7 @@ class AnimSnapBasesSolver:
                         warnings.warn("early-exit kernel failed; "
                                       f"disabling tier 1: {e}")
                         self._resident_fast = None
+                        self._sc_fused = None
                         self._resident_fast_kind = None
                         if run_fn is None:
                             # chunked-only resident: tier 1 WAS the
@@ -2734,6 +2998,7 @@ class AnimSnapBasesSolver:
                         # staging profile that just failed — drop it too
                         # rather than paying one more doomed compile
                         self._resident_fast = None
+                        self._sc_fused = None
                         self._resident_fast_kind = None
                         return self.run_steps(fext, num_steps,
                                               num_iterations)

@@ -115,7 +115,9 @@ def main():
                    "resident_kind": solver._resident_kind,
                    "tier1_steps": solver._last_fast_steps,
                    "end_min_y": round(min_y, 2),
-                   "synthetic_basis_r": 48},
+                   "synthetic_basis_r": 48,
+                   "rebase_every": solver._chunked_rebase_every(n),
+                   "floor_exact": solver._chunked_floor_exact(n)},
     }))
 
 

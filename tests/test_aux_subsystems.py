@@ -235,3 +235,39 @@ def test_steiner_refinement_improves_thin_bar_quality():
     Fo = orient_faces_consistently(F)
     w = np.abs(winding_number(V, Fo, TV1[IT1].mean(axis=1)))
     assert (w > 0.5).all()
+
+
+def test_rotating_capture_renders_all_angles(tmp_path):
+    """Headless twin of the reference's rotating polyscope capture
+    (nl_reduction_tests.py:244-341): one PNG per azimuth with selected
+    elements + interpolation vertices drawn."""
+    from animsnapbases_tpu.analysis.viewer import view_rotating_capture
+
+    V, F = cloth_model(5, 5)
+    out = view_rotating_capture(V, F, str(tmp_path / "rot"),
+                                selected=[0, 2, 5], interpol_verts=[1, 9],
+                                num_frames=4, prefix="rot")
+    assert len(out) == 4
+    assert all(os.path.exists(p) for p in out)
+    assert sorted(os.path.basename(p) for p in out)[0] == "rot_000.png"
+
+
+def test_element_selection_all_kinds(tmp_path):
+    """Headless twin of visualize_tet_mesh_elements
+    (nl_reduction_tests.py:344-477): verts/edges/tris/tets variants."""
+    from animsnapbases_tpu.analysis.viewer import view_element_selection
+
+    V, F = cloth_model(4, 4)
+    for kind in ("verts", "edges", "tris"):
+        p = view_element_selection(V, F, [0, 5], element_type=kind,
+                                   out_path=str(tmp_path / f"{kind}.png"))
+        assert os.path.exists(p)
+    # tet variant on a minimal 2-tet mesh
+    Vt = np.array([[0., 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+                   [1, 1, 1]])
+    T = np.array([[0, 1, 2, 3], [1, 2, 3, 4]])
+    p = view_element_selection(Vt, None, [4], element_type="tets", tets=T,
+                               out_path=str(tmp_path / "tets.png"))
+    assert os.path.exists(p)
+    with pytest.raises(ValueError, match="needs a tets"):
+        view_element_selection(Vt, None, [0], element_type="tets")

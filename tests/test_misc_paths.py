@@ -215,3 +215,27 @@ def test_all_example_configs_parse(tmp_path):
         if cfg.get("vertexPos_bases", {}).get(
                 "computeState", {}).get("compute"):
             assert param.vertPos_output_directory
+
+
+def test_export_rotation_captures(tmp_path):
+    """cli.export_rotation_captures renders one PNG per azimuth for the
+    selected interpolation elements (ref main.py:233-243 ->
+    nl_reduction_tests.py:244-341 rotating polyscope capture)."""
+    from test_bases_constraints import make_cc, synthetic_p_tensor
+    from animsnapbases_tpu.cli import export_rotation_captures
+    from animsnapbases_tpu.geometry.procedural import cloth_model
+
+    X = synthetic_p_tensor(e=9)
+    cc = make_cc(tmp_path, X, basis_type="pod", K=6, interpolation="geom",
+                 ele_per_vert=2)
+    V, F = cloth_model(4, 4)      # 9 interior-ish tris not needed; any mesh
+    cc.nonlinearSnapshots.verts = V
+    cc.nonlinearSnapshots.tris = F[:9]
+    cc.compute_pod()
+    cc.geom_block_form_utilizing_differential_operator(
+        error_in_pos_space=False)
+    cc.param.visualize_geom_elements_at_K = 4
+    out_dir = export_rotation_captures(cc.param, cc, num_frames=3)
+    import glob
+    pngs = sorted(glob.glob(os.path.join(out_dir, "*.png")))
+    assert len(pngs) == 3

@@ -1022,3 +1022,137 @@ def test_chunked_floor_bound_grazing_equivalence(pipeline):
         assert int(np.asarray(ka)[0, 0]) == int(np.asarray(kb)[0, 0])
         np.testing.assert_array_equal(np.asarray(Pa), np.asarray(Pb))
         np.testing.assert_array_equal(np.asarray(Va), np.asarray(Vb))
+
+
+def _chunked_build(s, floor_exact, rebase_every=4):
+    from animsnapbases_tpu.ops.pallas_resident import (
+        build_resident_affine_chunked,
+    )
+
+    st = s._resident_state
+    ops = st["ops"]
+    return build_resident_affine_chunked(
+        ops, ops["gather_slices"], ops["layout"], ops["G_allT"],
+        ops["WT_all"], ops["usel_inv"], ops["inv3"], st["U_liftT"],
+        st["ut_acT"], st["M_utac"], st["U_selT"], st["mass_inv"],
+        s.dt, s.model.floor_height, st["n_sel"],
+        rebase_every=rebase_every, interpret=True,
+        eta=getattr(s, "eta", 1.0), floor_bound_skip=True,
+        floor_exact=floor_exact)
+
+
+def test_chunked_floor_exact_free_matches_contact_free(pipeline):
+    """floor_exact=False (no in-kernel exact fallback — the big (r, N)
+    lift slice leaves the kernel entirely) must be bit-identical to the
+    exact build on a floor-clear window: the certified bound clears
+    every step, so neither kernel ever takes its fallback."""
+    basis_dir, pos_path, _ = pipeline
+    s, m = _solver(basis_dir, pos_path, "interpret", floor=True,
+                   rebase_every=4)
+    s.resident_contact_mode = False
+    s.set_dirty()
+    s.prepare(s.args)
+    run_exact = _chunked_build(s, True)
+    run_free = _chunked_build(s, False)
+
+    f = gravity_forces(m)
+    P, V, Fx = _packed_state(s, m, f)
+    rb = np.zeros((1, 3, s.U.shape[1]))
+    Pa, Va, ka = run_exact(P, V, Fx, rb, 10, 6)
+    Pb, Vb, kb = run_free(P, V, Fx, rb, 10, 6)
+    assert int(np.asarray(ka)[0, 0]) == int(np.asarray(kb)[0, 0]) == 10
+    np.testing.assert_array_equal(np.asarray(Pa), np.asarray(Pb))
+    np.testing.assert_array_equal(np.asarray(Va), np.asarray(Vb))
+
+
+def test_chunked_floor_exact_free_exits_conservatively(pipeline):
+    """Near the floor the exact-free kernel exits at or BEFORE the exact
+    build's first clamped step (the interval bound is conservative), and
+    its committed prefix matches the exact build run to the same step."""
+    basis_dir, pos_path, _ = pipeline
+    s, m = _solver(basis_dir, pos_path, "interpret", floor=True,
+                   rebase_every=4)
+    s.resident_contact_mode = False
+    s.set_dirty()
+    s.prepare(s.args)
+    run_exact = _chunked_build(s, True)
+    run_free = _chunked_build(s, False)
+
+    m.positions = m.positions.copy()
+    m.positions[:, 1] -= 2.9             # hover just above the floor
+    f = gravity_forces(m) * 4.0
+    P, V, Fx = _packed_state(s, m, f)
+    rb = np.zeros((1, 3, s.U.shape[1]))
+    Pe, Ve, ke = run_exact(P, V, Fx, rb, 30, 6)
+    Pf, Vf, kf = run_free(P, V, Fx, rb, 30, 6)
+    ke, kf = int(np.asarray(ke)[0, 0]), int(np.asarray(kf)[0, 0])
+    assert 0 < ke < 30                   # the scene genuinely clamps
+    assert 0 <= kf <= ke
+    # committed prefix must be the exact trajectory up to kf
+    Pe2, Ve2, ke2 = run_exact(P, V, Fx, rb, kf, 6)
+    assert int(np.asarray(ke2)[0, 0]) == kf
+    np.testing.assert_array_equal(np.asarray(Pf), np.asarray(Pe2))
+    np.testing.assert_array_equal(np.asarray(Vf), np.asarray(Ve2))
+
+
+def test_chunked_floor_exact_free_run_steps_matches(pipeline):
+    """End-to-end: a solver FORCED exact-free (resident_floor_exact =
+    False) must reproduce the per-frame step loop through contact-free
+    stepping, a floor slam, and the tiered handoff — bound trips exit to
+    a rebase/re-enter or to the contact tier, never skipping or doubling
+    a step."""
+    from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+
+    basis_dir, pos_path, _ = pipeline
+    old = AnimSnapBasesSolver.CHUNKED_TIER1_MIN_VERTS
+    AnimSnapBasesSolver.CHUNKED_TIER1_MIN_VERTS = 4   # force spill tier
+    try:
+        s, m = _solver(basis_dir, pos_path, "interpret", floor=True,
+                       rebase_every=4)
+        s.resident_floor_exact = False
+        s.set_dirty()
+        s.prepare(s.args)
+    finally:
+        AnimSnapBasesSolver.CHUNKED_TIER1_MIN_VERTS = old
+    assert s._resident_fast_kind == "chunked"
+    s_ref, m_ref = _solver(basis_dir, pos_path, "off", floor=True)
+
+    f = gravity_forces(m)
+    s.run_steps(f, 10, num_iterations=6)
+    assert s._last_fast_steps == 10      # floor-clear: no spurious exits
+    s.run_steps(f * 50.0, 20, num_iterations=6)
+    assert s.frame == 30
+    for _ in range(10):
+        s_ref.step(f, num_iterations=6)
+    for _ in range(20):
+        s_ref.step(f * 50.0, num_iterations=6)
+    np.testing.assert_allclose(m.positions, m_ref.positions, atol=1e-6)
+    np.testing.assert_allclose(m.velocities, m_ref.velocities, atol=1e-4)
+
+
+def test_chunked_floor_exact_gate_and_admission():
+    """The exact-free footprint has no (r*mm)*N term: a 2M-vertex model
+    that the exact estimate rejects fits the 72 MB gate, and the solver
+    auto-gates floor_exact by CHUNKED_FLOOR_EXACT_MAX_VERTS with the
+    instance override and the bound-skip interlock respected."""
+    from animsnapbases_tpu.ops.pallas_resident import (
+        estimate_chunked_vmem_bytes,
+    )
+    from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+
+    exact = estimate_chunked_vmem_bytes(2_000_000, 48, 500, 1500, 2000,
+                                        2, 4)
+    free = estimate_chunked_vmem_bytes(2_000_000, 48, 500, 1500, 2000,
+                                       2, 4, floor_exact=False)
+    gate = AnimSnapBasesSolver.RESIDENT_VMEM_LIMIT
+    assert exact > gate
+    assert free <= gate
+
+    s = AnimSnapBasesSolver.__new__(AnimSnapBasesSolver)
+    lim = AnimSnapBasesSolver.CHUNKED_FLOOR_EXACT_MAX_VERTS
+    assert s._chunked_floor_exact(lim) is True
+    assert s._chunked_floor_exact(lim + 1) is False
+    s.resident_floor_exact = False
+    assert s._chunked_floor_exact(100) is False
+    s.resident_floor_bound_skip = False   # interlock: bound off => exact
+    assert s._chunked_floor_exact(lim + 1) is True

@@ -145,15 +145,14 @@ def test_device_mode_run_steps_matches_step():
     np.testing.assert_allclose(m2.positions, m1.positions, atol=1e-9)
 
 
-def test_reduced_device_collision_captured(tmp_path):
-    """Reduced solver: 'device' mode is captured into the jitted step and
-    run_steps matches step()."""
+def _reduced_sc_builder(tmp_path, scale=0.004, mode="device",
+                        resident_tier=None):
     from reduction_helpers import record_and_build_bases
     from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
 
     def make_model():
         V, F = cloth_model(5, 5)
-        V = V.copy() * 0.004
+        V = V.copy() * scale
         V[:, 2] += 0.1 * V[:, 0]
         model = DeformableModel(V, F, masses=np.full(len(V), 10.0),
                                 floor_collision=False)
@@ -173,16 +172,28 @@ def test_reduced_device_collision_captured(tmp_path):
             geom_interpolation_basis_file="basis.npz",
             position_reduced=True, position_num_components=10,
             position_basis_file=pos_path)
-        solver = AnimSnapBasesSolver(args)
+        solver = AnimSnapBasesSolver(args, pallas_mode="interpret")
         model = make_model()
-        solver.enable_self_collision = "device"
+        solver.enable_self_collision = mode
+        if resident_tier is not None:
+            solver.self_collision_resident = resident_tier
         solver.set_model(model)
         solver.prepare(args)
         return solver, model
 
+    return build
+
+
+def test_reduced_device_collision_captured(tmp_path):
+    """Reduced solver: 'device' mode is captured into the jitted step,
+    the resident kernels build (the proximity-gated tier uses them),
+    and run_steps matches step() — at 0.004 scale the clearance
+    (~4x min_dist) certifies the window, the pass is identity, and the
+    f64 interpret-mode resident kernel reproduces the per-step math."""
+    build = _reduced_sc_builder(tmp_path)
     s1, m1 = build()
     assert s1._collision_mode == "device"
-    assert getattr(s1, "_resident", None) is None   # not in-kernel-able
+    assert getattr(s1, "_resident", None) is not None
     s2, m2 = build()
     f = np.zeros_like(m1.positions)
     f[:, 1] = -9.81 * 10.0 * 0.01
@@ -191,3 +202,68 @@ def test_reduced_device_collision_captured(tmp_path):
     s2.run_steps(f, 5, num_iterations=4)
     np.testing.assert_allclose(m2.positions, m1.positions, atol=1e-9)
     assert np.isfinite(m1.positions).all()
+
+
+def test_sc_resident_tier_disabled_restores_old_path(tmp_path):
+    """self_collision_resident=False skips the resident build entirely
+    and serves the exact per-step path (the pre-tier behavior)."""
+    build = _reduced_sc_builder(tmp_path, resident_tier=False)
+    s1, m1 = build()
+    assert getattr(s1, "_resident", None) is None
+    s2, m2 = build()
+    f = np.zeros_like(m1.positions)
+    f[:, 1] = -9.81 * 10.0 * 0.01
+    for _ in range(5):
+        s1.step(f, num_iterations=4)
+    s2.run_steps(f, 5, num_iterations=4)
+    np.testing.assert_allclose(m2.positions, m1.positions, atol=1e-9)
+
+
+def test_sc_resident_tier_serves_clear_windows(tmp_path):
+    """On a cloth whose clearance is ~1000x min_dist the proximity-gated
+    tier must serve the WHOLE call on the resident kernels (certificate
+    set) and match the per-step device-SC path, whose pass is identity
+    throughout (tolerance covers resident-vs-step f32 ordering only)."""
+    build = _reduced_sc_builder(tmp_path, scale=1.0)
+    s1, m1 = build()
+    assert getattr(s1, "_resident", None) is not None
+    s2, m2 = build()
+    f = np.zeros_like(m1.positions)
+    f[:, 1] = -9.81 * 10.0 * 0.001
+    s1.run_steps(f, 12, num_iterations=4)
+    assert s1._last_fast_steps == 12      # tier 1 covered every step
+    for _ in range(12):
+        s2.step(f, num_iterations=4)
+    np.testing.assert_allclose(m1.positions, m2.positions, atol=1e-5)
+    np.testing.assert_allclose(m1.velocities, m2.velocities, atol=1e-4)
+
+
+def test_sc_resident_tier_hands_back_on_proximity(tmp_path):
+    """A cloth whose vertex spacing starts UNDER min_dist is in the
+    proximity regime from step 0: the first window must go to the
+    per-step jit (pass fused, actively pushing), the whole-call tier-1
+    certificate must stay unset, and the result must equal the exact
+    per-step path bit-for-bit."""
+    build = _reduced_sc_builder(tmp_path, scale=0.0008)
+    s1, m1 = build()
+    s2, m2 = build()
+    f = np.zeros_like(m1.positions)
+    f[:, 1] = -9.81 * 10.0 * 0.01
+    s1.run_steps(f, 8, num_iterations=4)
+    assert s1._last_fast_steps is None    # tier 1 never certified
+    for _ in range(8):
+        s2.step(f, num_iterations=4)
+    np.testing.assert_allclose(m1.positions, m2.positions, atol=1e-9)
+
+
+def test_min_clearance_device_matches_host_probe():
+    """The device clearance probe agrees with a host recomputation over
+    the same k-nearest-centroid candidate set."""
+    from animsnapbases_tpu.sim.collisions_device import (
+        min_clearance_device,
+    )
+
+    V, F = _crumpled_cloth()
+    d_dev = float(min_clearance_device(jnp.asarray(V), jnp.asarray(F)))
+    d_host = _min_nonadjacent_distance(V, F)
+    np.testing.assert_allclose(d_dev, d_host, rtol=1e-6)
