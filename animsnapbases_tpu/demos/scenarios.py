@@ -106,6 +106,7 @@ class ScenarioDriver:
                  build_geometry, schedule, stop_frame: int,
                  record_fom_info: bool = False,
                  record_positions: bool = False,
+                 record_screenshots: bool = False,
                  viewer=None):
         self.args = args
         self.object_name = object_name
@@ -115,6 +116,7 @@ class ScenarioDriver:
         self.stop_frame = stop_frame
         self.record_fom_info = record_fom_info
         self.record_positions = record_positions
+        self.record_screenshots = record_screenshots
         self.viewer = viewer
 
         self.model: DeformableModel | None = None
@@ -122,6 +124,7 @@ class ScenarioDriver:
         self.output_path = args.output_dir
         self.record_path = None
         self.pos_dir = None
+        self.shots_dir = None
         self.trajectory: list[np.ndarray] = []
 
     # ------------------------------------------------------------------
@@ -169,6 +172,16 @@ class ScenarioDriver:
                 self.output_path, self.object_name, self.experiment,
                 "position_snapshots", "FOM")
             os.makedirs(self.pos_dir, exist_ok=True)
+        if self.record_screenshots:
+            # per-frame render-to-PNG (ref usr_interface.py:186-188
+            # saves a polyscope screenshot every pre-draw when the
+            # screenshot flag is on); headless so it works in CI / on
+            # display-less hosts — exported from the captured trajectory
+            # at the end of run()
+            self.shots_dir = os.path.join(
+                self.output_path, self.object_name, self.experiment,
+                "screenshots")
+            os.makedirs(self.shots_dir, exist_ok=True)
         self.solver.set_dirty()
 
     # ------------------------------------------------------------------
@@ -211,7 +224,23 @@ class ScenarioDriver:
             self._pre_draw_step()
         if self.record_fom_info and hasattr(self.solver, "flush_recordings"):
             self.solver.flush_recordings()
+        if self.shots_dir is not None:
+            self._export_screenshots()
         return self
+
+    def _export_screenshots(self):
+        """One PNG per simulated frame from the captured trajectory."""
+        import matplotlib.pyplot as plt
+
+        from animsnapbases_tpu.analysis.viewer import _render_mesh
+
+        for i, P in enumerate(self.trajectory):
+            fig = plt.figure(figsize=(6, 6))
+            ax = fig.add_subplot(111, projection="3d")
+            _render_mesh(ax, np.asarray(P), self.model.faces)
+            fig.savefig(os.path.join(self.shots_dir,
+                                     f"screenshot_{i:04d}.png"), dpi=90)
+            plt.close(fig)
 
     def _sync_and_prepare(self):
         """Mass resync + gravity + prepare-if-dirty (shared between the

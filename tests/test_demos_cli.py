@@ -291,3 +291,18 @@ def test_chunked_replay_randomized_schedule(tmp_path, seed):
     assert len(a.trajectory) == len(b.trajectory) == 30
     np.testing.assert_allclose(np.array(b.trajectory),
                                np.array(a.trajectory), atol=1e-8)
+
+
+def test_record_screenshots_exports_pngs(tmp_path):
+    """--record-screenshots renders one PNG per simulated frame (ref
+    usr_interface.py:186-188 per-pre-draw polyscope screenshots)."""
+    import glob
+
+    params, args = small_args(tmp_path, vert_bending_constraint=False)
+    driver = build_scenario("cloth_automated_strain", args,
+                            params=params, record_screenshots=True)
+    driver.run(max_frames=5)
+    assert driver.shots_dir is not None
+    pngs = sorted(glob.glob(os.path.join(driver.shots_dir, "*.png")))
+    assert len(pngs) == len(driver.trajectory) == 5
+    assert os.path.basename(pngs[0]) == "screenshot_0000.png"
