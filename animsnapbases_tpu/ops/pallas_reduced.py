@@ -354,18 +354,27 @@ def prepare_fused_operands(groups: list[dict], U_selT: np.ndarray,
             g_off += gm.shape[0]
         gather_slices.append(slices)
     WT_all = np.concatenate(wt_blocks, axis=1).astype(dtype)
-    G_allT = np.ascontiguousarray(
-        np.concatenate(gather_blocks, axis=0).T).astype(dtype)
+    G_all64 = np.concatenate(gather_blocks, axis=0).astype(np.float64)
+    G_allT = np.ascontiguousarray(G_all64.T).astype(dtype)
     inv64 = np.asarray(inv3, dtype=np.float64)
-    usel_inv = np.stack([inv64[d] @ np.asarray(U_selT[d], dtype=np.float64)
-                         for d in range(3)]).astype(dtype)
+    uselinv64 = np.stack(
+        [inv64[d] @ np.asarray(U_selT[d], dtype=np.float64)
+         for d in range(3)])
+    # the latency-folded iteration loop (see build_fused_reduced_iterations)
+    # carries rb instead of qT and reads the gathered vertex values
+    # directly as Vall = snT_sel G_allT + rb C with C = usel_inv G_allT —
+    # precomposed HERE in f64 (usel_inv itself is deliberately an f64
+    # product: inv(Ar) spans ~10 decades with 1e10 pinned masses)
+    C_allT = np.stack([uselinv64[d] @ G_all64.T
+                       for d in range(3)]).astype(dtype)
     return {
         "layout": layout,
         "gather_slices": gather_slices,
         "flat_arrays": flat_arrays,
         "WT_all": WT_all,
         "G_allT": G_allT,
-        "usel_inv": usel_inv,
+        "usel_inv": uselinv64.astype(dtype),
+        "C_allT": C_allT,
         "inv3": inv64.astype(dtype),
         "dispatch": TERM_DISPATCH,
     }
@@ -380,6 +389,21 @@ def build_fused_reduced_iterations(groups: list[dict], U_selT: np.ndarray,
 
     groups: packed dicts from pack_tris_strain / pack_edge_spring.
     U_selT: (3, r, n_sel); inv3: (3, r, r).
+
+    LATENCY-FOLDED loop (roofline, round 4): the kernels are issue-latency
+    bound — the per-iteration chain of serially-dependent dots sets the
+    step time, not FLOPs (measured 0.56 us/iteration at r=64, MXU
+    utilization 0.16 %).  The loop therefore carries ``rb`` (3, r) and
+    reads the gathered vertex values directly:
+    ``Vall = (snT_sel + rb usel_inv) G_allT = Vc + rb C`` with
+    ``Vc = snT_sel G_allT`` hoisted out of the loop and
+    ``C = usel_inv G_allT`` precomposed on the host in f64 — TWO
+    dependent dots per iteration (rb -> Vall -> pT -> rb) instead of
+    three (qT -> Vall -> pT -> rb -> qT).  Numerically sound where the
+    qT-carried fold is not: rb_const and pT WT still cancel in r-space
+    (the displacement form's stability mechanism) and only the
+    well-scaled gathered values are re-associated; iteration 1 is
+    bit-identical (rb0 = 0).  FLOPs drop too: r*g_total < n_sel*g_total.
     """
     ops = prepare_fused_operands(groups, U_selT, inv3)
     layout = ops["layout"]
@@ -391,7 +415,7 @@ def build_fused_reduced_iterations(groups: list[dict], U_selT: np.ndarray,
     r = np.asarray(inv3).shape[1]
     out_shape = jax.ShapeDtypeStruct((3, r), dtype)
     specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_inputs)]
-    const_inputs = [jnp.asarray(ops["usel_inv"]),
+    const_inputs = [jnp.asarray(ops["C_allT"]),
                     jnp.asarray(ops["inv3"]),
                     jnp.asarray(ops["WT_all"]),
                     jnp.asarray(ops["G_allT"])] + [
@@ -400,22 +424,27 @@ def build_fused_reduced_iterations(groups: list[dict], U_selT: np.ndarray,
     @partial(jax.jit, static_argnames=("num_iterations",))
     def run(snT_sel, rb_const, num_iterations):
         def kernel(*refs):
-            (snT_ref, rbc_ref, uselinv_ref, inv_ref, wt_ref,
+            (snT_ref, rbc_ref, c_ref, inv_ref, wt_ref,
              gall_ref) = refs[:6]
             garrs = [ref[:] for ref in refs[6:n_inputs]]
             out_ref = refs[n_inputs]
 
             snT = snT_ref[:]
             rbc = rbc_ref[:]
-            usel_inv = uselinv_ref[:]
+            C = c_ref[:]
             inv = inv_ref[:]
             WT = wt_ref[:]
             G_allT = gall_ref[:]
 
-            def body(i, carry):
-                qT, _ = carry
-                # one merged gather matmul for every group's vertex reads
-                Vall = _dot(qT, G_allT)                    # (3, g_total)
+            # hoisted: every group's vertex reads of the STEP-CONSTANT
+            # part of qT in one merged gather matmul
+            Vc = _dot(snT, G_allT)                         # (3, g_total)
+
+            def body(i, rb):
+                # gathered vertex values of qT = snT_sel + rb usel_inv,
+                # formed directly (C = usel_inv G_allT precomposed)
+                Vall = Vc + jnp.concatenate(
+                    [_dot(rb[d:d + 1], C[d]) for d in range(3)], axis=0)
                 # selected projection rows of every group, concatenated on
                 # the element axis -> single rhs matmul per dim
                 p_parts = []
@@ -429,17 +458,11 @@ def build_fused_reduced_iterations(groups: list[dict], U_selT: np.ndarray,
                         gathered, arrs, smin, smax, pflips, block))
                 pT = (p_parts[0] if len(p_parts) == 1
                       else jnp.concatenate(p_parts, axis=1))   # (3, m_tot)
-                rb = rbc + jnp.concatenate(
+                return rbc + jnp.concatenate(
                     [_dot(pT[d:d + 1], WT[d]) for d in range(3)], axis=0)
-                # inv is folded into usel_inv: one matmul lifts rb straight
-                # to the selected vertices
-                qT_new = snT + jnp.concatenate(
-                    [_dot(rb[d:d + 1], usel_inv[d]) for d in range(3)],
-                    axis=0)                                   # (3, n_sel)
-                return qT_new, rb
 
             rb0 = jnp.zeros((3, r), dtype=snT.dtype)
-            _, rb = jax.lax.fori_loop(0, num_iterations, body, (snT, rb0))
+            rb = jax.lax.fori_loop(0, num_iterations, body, rb0)
             # final reduced coordinates (inv(Ar) is symmetric: row form ok)
             u = jnp.concatenate(
                 [_dot(rb[d:d + 1], inv[d]) for d in range(3)], axis=0)

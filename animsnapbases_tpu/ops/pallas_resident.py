@@ -77,7 +77,8 @@ def estimate_vmem_bytes(n_verts: int, r: int, n_sel: int, g_total: int,
     big = 2 * 3 * pad(r, mm_sub) * lane_n * mm_bytes
     # P, V, fext, sn — dim-major (3nb, N) state rows
     state = 4 * pad(3 * nb, st_sub) * lane_n * state_bytes
-    small = (3 * pad(r, st_sub) * pad(n_sel, 128)      # U_selT / usel_inv
+    small = (3 * pad(r, st_sub) * pad(n_sel, 128)      # U_selT
+             + 3 * pad(r, st_sub) * pad(g_total, 128)  # C_allT
              + 3 * pad(r, st_sub) * pad(r, 128)        # inv3 / M_utac
              + 3 * pad(m_total, st_sub) * pad(r, 128)  # WT_all
              + pad(n_sel, st_sub) * pad(g_total, 128)  # G_allT
@@ -120,7 +121,8 @@ def estimate_chunked_vmem_bytes(n_verts: int, r: int, n_sel: int,
     # of VMEM at nb=1 instead of 8)
     yrows = pad(3 * nb, st_sub) * lane_n * state_bytes
     small = (3 * pad(3 * nb, st_sub) * pad(n_sel, 128)  # b0s/b1s/fas
-             + 2 * 3 * pad(r, st_sub) * pad(n_sel, 128)  # uselT/usel_inv
+             + 3 * pad(r, st_sub) * pad(n_sel, 128)      # uselT
+             + 3 * pad(r, st_sub) * pad(g_total, 128)    # C_allT
              + 2 * 3 * pad(r, st_sub) * pad(r, 128)      # inv3 / M_utac
              + 3 * pad(m_total, st_sub) * pad(r, 128)    # WT_all
              + pad(n_sel, st_sub) * pad(g_total, 128)    # G_allT
@@ -132,15 +134,35 @@ def estimate_chunked_vmem_bytes(n_verts: int, r: int, n_sel: int,
 
 
 def _make_iteration_loop(layout, gather_slices, term_dispatch, garrs,
-                         WT, G_allT, usel_inv, r, acc, nb=1):
+                         WT, G_allT, C_all, r, acc, nb=1):
     """The hyper-reduced local-global iteration loop shared by the
     resident kernels: iterate(snT_sel (3nb, n_sel), rb_const (3nb, r),
     num_iterations) -> rb (3nb, r).  ``nb`` batched sims ride as
-    dim-major row blocks (rows [d*nb:(d+1)*nb] = dim d of all sims)."""
+    dim-major row blocks (rows [d*nb:(d+1)*nb] = dim d of all sims).
+
+    LATENCY-FOLDED loop (roofline, round 4): these kernels are
+    issue-latency bound — the per-iteration chain of serially-dependent
+    dots sets the step time, not FLOPs (measured 0.56 us/iteration,
+    MXU utilization 0.16 %).  The loop carries ``rb`` and forms the
+    gathered vertex values directly,
+    ``Vall = (snT_sel + rb usel_inv) G_allT = Vc + rb C_all``, with
+    ``Vc = snT_sel G_allT`` hoisted out of the loop and
+    ``C_all = usel_inv G_allT`` precomposed on the host in f64
+    (``prepare_fused_operands``) — TWO dependent dots per iteration
+    (rb -> Vall -> pT -> rb) instead of three.  Numerically sound where
+    a qT-space fold is not: rb_const and pT WT keep cancelling in
+    r-space (the displacement form's f32-stability mechanism — folding
+    usel_inv into WT instead measurably diverges under contact), and
+    only the well-scaled gathered values are re-associated.  Iteration 1
+    is bit-identical to the qT-carried form (rb0 = 0); FLOPs drop too
+    (r*g_total < n_sel*g_total)."""
     def iterate(snT_sel, rb_const, num_iterations):
-        def body(_, inner):
-            qT, _ = inner
-            Vall = _dot(qT, G_allT, acc)
+        Vc = _dot(snT_sel, G_allT, acc)
+
+        def body(_, rb):
+            Vall = Vc + jnp.concatenate(
+                [_dot(rb[d * nb:(d + 1) * nb], C_all[d], acc)
+                 for d in range(3)], axis=0)
             p_parts = []
             off = 0
             for (kind, cnt, smin, smax, pflips, block), slices in \
@@ -152,18 +174,12 @@ def _make_iteration_loop(layout, gather_slices, term_dispatch, garrs,
                     gathered, arrs, smin, smax, pflips, block, nb))
             pT = (p_parts[0] if len(p_parts) == 1
                   else jnp.concatenate(p_parts, axis=1))
-            rb = rb_const + jnp.concatenate(
+            return rb_const + jnp.concatenate(
                 [_dot(pT[d * nb:(d + 1) * nb], WT[d], acc)
                  for d in range(3)], axis=0)
-            qT_new = snT_sel + jnp.concatenate(
-                [_dot(rb[d * nb:(d + 1) * nb], usel_inv[d], acc)
-                 for d in range(3)], axis=0)
-            return qT_new, rb
 
         rb0 = jnp.zeros((3 * nb, r), dtype=snT_sel.dtype)
-        _, rb = jax.lax.fori_loop(0, num_iterations, body,
-                                  (snT_sel, rb0))
-        return rb
+        return jax.lax.fori_loop(0, num_iterations, body, rb0)
 
     return iterate
 
@@ -380,7 +396,7 @@ def _make_runners(_body, const_inputs, flat_arrays):
 
 def build_resident_multistep(iteration_terms, gather_slices, layout,
                              G_allT: np.ndarray, WT_all: np.ndarray,
-                             usel_inv: np.ndarray, inv3: np.ndarray,
+                             inv3: np.ndarray,
                              U_liftT: np.ndarray, ut_acT: np.ndarray,
                              mass_inv: np.ndarray, dt: float,
                              floor: bool, floor_h: float,
@@ -419,7 +435,10 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
         flat_arrays.append(jnp.asarray(g))
     term_dispatch = iteration_terms["dispatch"]
 
-    const_inputs = [jnp.asarray(usel_inv), jnp.asarray(inv3),
+    # C_allT (latency-folded iterate; see _make_iteration_loop) replaces
+    # usel_inv as the staged operand — the loop never lifts to qT
+    const_inputs = [jnp.asarray(iteration_terms["C_allT"]),
+                    jnp.asarray(inv3),
                     jnp.asarray(WT_all), jnp.asarray(G_allT),
                     jnp.asarray(U_liftT), jnp.asarray(ut_acT),
                     jnp.asarray(mass_inv)]
@@ -427,9 +446,9 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
 
     def _body(P0, V0, fext, rb_extra, steps_arr, consts, arrays,
               num_iterations):
-        (usel_inv_a, inv3_a, WT_a, G_a, Ulift_a, utac_a, minv_a) = consts
+        (c_a, inv3_a, WT_a, G_a, Ulift_a, utac_a, minv_a) = consts
         def kernel(*refs):
-            (steps_ref, p_ref, v_ref, f_ref, rbex_ref, uselinv_ref, inv_ref,
+            (steps_ref, p_ref, v_ref, f_ref, rbex_ref, c_ref, inv_ref,
              wt_ref, gall_ref, ulift_ref, utac_ref, minv_ref) = refs[:12]
             garrs = [ref[:] for ref in refs[12:12 + len(flat_arrays)]]
             out_p_ref, out_v_ref = refs[12 + len(flat_arrays):]
@@ -437,7 +456,7 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
             # NOTE: the big (3, r, N) matrices stay as refs and
             # are sliced per dim — loading them wholesale would materialize
             # them on the kernel stack and blow the VMEM budget
-            usel_inv = uselinv_ref[:]
+            C_all = c_ref[:]
             inv = inv_ref[:]
             WT = wt_ref[:]
             G_allT = gall_ref[:]
@@ -456,7 +475,7 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
                     jnp.int32, (3 * nb, n), 0) // nb) == 1
             iterate = _make_iteration_loop(layout, gather_slices,
                                            term_dispatch, garrs, WT,
-                                           G_allT, usel_inv, r, acc, nb)
+                                           G_allT, C_all, r, acc, nb)
 
             def step(i, carry):
                 P, V = carry
@@ -520,7 +539,7 @@ def build_resident_multistep(iteration_terms, gather_slices, layout,
 
 def build_resident_affine(iteration_terms, gather_slices, layout,
                           G_allT: np.ndarray, WT_all: np.ndarray,
-                          usel_inv: np.ndarray, inv3: np.ndarray,
+                          inv3: np.ndarray,
                           U_liftT: np.ndarray, ut_acT: np.ndarray,
                           M_utac: np.ndarray, U_selT: np.ndarray,
                           mass_inv: np.ndarray, dt: float,
@@ -614,7 +633,8 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
     flat_arrays = [jnp.asarray(g) for g in iteration_terms["flat_arrays"]]
     term_dispatch = iteration_terms["dispatch"]
 
-    const_inputs = [jnp.asarray(usel_inv), jnp.asarray(inv3),
+    const_inputs = [jnp.asarray(iteration_terms["C_allT"]),
+                    jnp.asarray(inv3),
                     jnp.asarray(WT_all), jnp.asarray(G_allT),
                     jnp.asarray(U_liftT), jnp.asarray(ut_acT),
                     jnp.asarray(M_utac), jnp.asarray(U_selT),
@@ -624,7 +644,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
     def _body(P0, V0, fext, rb_extra, steps_arr, consts, arrays,
               num_iterations):
         def kernel(*refs):
-            (steps_ref, p_ref, v_ref, f_ref, rbex_ref, uselinv_ref, inv_ref,
+            (steps_ref, p_ref, v_ref, f_ref, rbex_ref, c_ref, inv_ref,
              wt_ref, gall_ref, ulift_ref, utac_ref, mutac_ref, uselt_ref,
              minv_ref) = refs[:14]
             garrs = [ref[:] for ref in refs[14:14 + len(flat_arrays)]]
@@ -639,7 +659,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
                 refs[14 + len(flat_arrays):]
             b0_ref, b1_ref = out_p_ref, out_v_ref
 
-            usel_inv = uselinv_ref[:]
+            C_all = c_ref[:]
             inv = inv_ref[:]
             WT = wt_ref[:]
             G_allT = gall_ref[:]
@@ -649,7 +669,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
             mm_dtype = ulift_ref.dtype
             iterate = _make_iteration_loop(layout, gather_slices,
                                            term_dispatch, garrs, WT,
-                                           G_allT, usel_inv, r, acc, nb)
+                                           G_allT, C_all, r, acc, nb)
             ctx = _make_affine_ctx(p_ref, v_ref, f_ref, minv_ref,
                                    ulift_ref, utac_ref, mutac, uselT,
                                    inv, iterate, b0_ref, b1_ref,
@@ -941,7 +961,7 @@ def build_resident_affine(iteration_terms, gather_slices, layout,
 
 def build_resident_affine_exit(iteration_terms, gather_slices, layout,
                                G_allT: np.ndarray, WT_all: np.ndarray,
-                               usel_inv: np.ndarray, inv3: np.ndarray,
+                               inv3: np.ndarray,
                                U_liftT: np.ndarray, ut_acT: np.ndarray,
                                M_utac: np.ndarray, U_selT: np.ndarray,
                                mass_inv: np.ndarray, dt: float,
@@ -981,7 +1001,8 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
     flat_arrays = [jnp.asarray(g) for g in iteration_terms["flat_arrays"]]
     term_dispatch = iteration_terms["dispatch"]
 
-    const_inputs = [jnp.asarray(usel_inv), jnp.asarray(inv3),
+    const_inputs = [jnp.asarray(iteration_terms["C_allT"]),
+                    jnp.asarray(inv3),
                     jnp.asarray(WT_all), jnp.asarray(G_allT),
                     jnp.asarray(U_liftT), jnp.asarray(ut_acT),
                     jnp.asarray(M_utac), jnp.asarray(U_selT),
@@ -991,7 +1012,7 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
     def _body(P0, V0, fext, rb_extra, steps_arr, consts, arrays,
               num_iterations):
         def kernel(*refs):
-            (steps_ref, p_ref, v_ref, f_ref, rbex_ref, uselinv_ref, inv_ref,
+            (steps_ref, p_ref, v_ref, f_ref, rbex_ref, c_ref, inv_ref,
              wt_ref, gall_ref, ulift_ref, utac_ref, mutac_ref, uselt_ref,
              minv_ref) = refs[:14]
             garrs = [ref[:] for ref in refs[14:14 + len(flat_arrays)]]
@@ -1003,7 +1024,7 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
             # outputs written only at the very end through temporaries)
             b0_ref, b1_ref = out_p_ref, out_v_ref
 
-            usel_inv = uselinv_ref[:]
+            C_all = c_ref[:]
             inv = inv_ref[:]
             WT = wt_ref[:]
             G_allT = gall_ref[:]
@@ -1012,7 +1033,7 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
             t_len = rbex_ref.shape[0] // (3 * nb)
             iterate = _make_iteration_loop(layout, gather_slices,
                                            term_dispatch, garrs, WT,
-                                           G_allT, usel_inv, r, acc, nb)
+                                           G_allT, C_all, r, acc, nb)
             ctx = _make_affine_ctx(p_ref, v_ref, f_ref, minv_ref,
                                    ulift_ref, utac_ref, mutac, uselT,
                                    inv, iterate, b0_ref, b1_ref,
@@ -1105,7 +1126,7 @@ def build_resident_affine_exit(iteration_terms, gather_slices, layout,
 
 def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
                                   G_allT: np.ndarray, WT_all: np.ndarray,
-                                  usel_inv: np.ndarray, inv3: np.ndarray,
+                                  inv3: np.ndarray,
                                   U_liftT: np.ndarray, ut_acT: np.ndarray,
                                   M_utac: np.ndarray, U_selT: np.ndarray,
                                   mass_inv: np.ndarray, dt: float,
@@ -1198,7 +1219,8 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
     flat_arrays = [jnp.asarray(g) for g in iteration_terms["flat_arrays"]]
     term_dispatch = iteration_terms["dispatch"]
 
-    const_inputs = [jnp.asarray(usel_inv), jnp.asarray(inv3),
+    const_inputs = [jnp.asarray(iteration_terms["C_allT"]),
+                    jnp.asarray(inv3),
                     jnp.asarray(WT_all), jnp.asarray(G_allT),
                     jnp.asarray(U_liftT), jnp.asarray(ut_acT),
                     jnp.asarray(M_utac), jnp.asarray(U_selT),
@@ -1212,12 +1234,12 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
       def _chunk_kernel(*refs):
         (sc_ref, yrows_ref, b0s_ref, b1s_ref, fas_ref,
          bu0_ref, bu1_ref, bufa_ref, rbex_ref, ulifty_ref, mutac_ref,
-         uselt_ref, uselinv_ref, inv_ref, wt_ref, gall_ref) = refs[:16]
+         uselt_ref, c_ref, inv_ref, wt_ref, gall_ref) = refs[:16]
         garrs = [ref[:] for ref in refs[16:16 + len(flat_arrays)]]
         (ap_ref, av_ref, wp_ref, wv_ref, k_ref, cl_ref) = \
             refs[16 + len(flat_arrays):]
 
-        usel_inv_v = uselinv_ref[:]
+        C_all_v = c_ref[:]
         inv = inv_ref[:]
         WT = wt_ref[:]
         G_allT_v = gall_ref[:]
@@ -1248,7 +1270,7 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
         mm_dtype = ulifty_ref.dtype
         iterate = _make_iteration_loop(layout, gather_slices,
                                        term_dispatch, garrs, WT,
-                                       G_allT_v, usel_inv_v, r, acc, nb)
+                                       G_allT_v, C_all_v, r, acc, nb)
 
         _col = jax.lax.broadcasted_iota(jnp.int32, (3 * nb, 3), 1)
         fdt = b0s.dtype
@@ -1360,7 +1382,7 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
 
     def _body(P0, V0, fext, rb_extra, steps_arr, consts, arrays,
               num_iterations):
-        (usel_inv_a, inv3_a, WT_a, G_a, Ulift_a, utac_a, mutac_a,
+        (c_a, inv3_a, WT_a, G_a, Ulift_a, utac_a, mutac_a,
          uselt_a, minv_a) = consts
         rb2d = rb_extra.reshape(-1, rb_extra.shape[-1])
         mm_dtype = Ulift_a.dtype
@@ -1461,7 +1483,7 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
             ap, av, wp, wv, k = call(
                 sc, yrows,
                 P[:, :n_sel], V[:, :n_sel], fas, bu0, bu1, bu_fa,
-                rb_chunk, ulift_y, mutac_a, uselt_a, usel_inv_a, inv3_a,
+                rb_chunk, ulift_y, mutac_a, uselt_a, c_a, inv3_a,
                 WT_a, G_a, *arrays)
             k = k[0, 0]
             Pn = (ap[:, 0:1] * P + ap[:, 1:2] * V + ap[:, 2:3] * fa

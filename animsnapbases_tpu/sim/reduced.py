@@ -709,7 +709,7 @@ class AnimSnapBasesSolver:
             # f32 coefficient-drift window, bounded and tiny either way
             self._resident_fast = build_resident_affine_chunked(
                 ops, ops["gather_slices"], ops["layout"],
-                ops["G_allT"], ops["WT_all"], ops["usel_inv"],
+                ops["G_allT"], ops["WT_all"],
                 ops["inv3"], U_liftT, ut_acT, M_utac,
                 U_selT.astype(np_dtype), mass_inv, self.dt,
                 floor_h, n_sel,
@@ -738,7 +738,7 @@ class AnimSnapBasesSolver:
                 self._resident_state["use_affine"] = False
                 run = build_resident_multistep(
                     ops, ops["gather_slices"], ops["layout"],
-                    ops["G_allT"], ops["WT_all"], ops["usel_inv"],
+                    ops["G_allT"], ops["WT_all"],
                     ops["inv3"], U_liftT, ut_acT, mass_inv, self.dt,
                     self.model.floor_collision, self.model.floor_height,
                     n_sel, interpret=interpret,
@@ -751,7 +751,7 @@ class AnimSnapBasesSolver:
             # that), and batched/ensemble rebuilds keep the affine path
             run = build_resident_affine(
                 ops, ops["gather_slices"], ops["layout"],
-                ops["G_allT"], ops["WT_all"], ops["usel_inv"],
+                ops["G_allT"], ops["WT_all"],
                 ops["inv3"], U_liftT, ut_acT, M_utac,
                 U_selT.astype(np_dtype), mass_inv, self.dt,
                 self.model.floor_collision, self.model.floor_height,
@@ -762,7 +762,7 @@ class AnimSnapBasesSolver:
             self._resident_kind = "affine"
             self._resident_fallback = lambda: build_resident_multistep(
                 ops, ops["gather_slices"], ops["layout"],
-                ops["G_allT"], ops["WT_all"], ops["usel_inv"],
+                ops["G_allT"], ops["WT_all"],
                 ops["inv3"], U_liftT, ut_acT, mass_inv, self.dt,
                 self.model.floor_collision, self.model.floor_height,
                 n_sel, interpret=interpret,
@@ -779,7 +779,7 @@ class AnimSnapBasesSolver:
 
             run = build_resident_affine(
                 ops, ops["gather_slices"], ops["layout"],
-                ops["G_allT"], ops["WT_all"], ops["usel_inv"],
+                ops["G_allT"], ops["WT_all"],
                 ops["inv3"], U_liftT, ut_acT, M_utac,
                 U_selT.astype(np_dtype), mass_inv, self.dt,
                 self.model.floor_collision, self.model.floor_height,
@@ -801,7 +801,7 @@ class AnimSnapBasesSolver:
 
                 self._resident_fast = build_resident_affine_exit(
                     ops, ops["gather_slices"], ops["layout"],
-                    ops["G_allT"], ops["WT_all"], ops["usel_inv"],
+                    ops["G_allT"], ops["WT_all"],
                     ops["inv3"], U_liftT, ut_acT, M_utac,
                     U_selT.astype(np_dtype), mass_inv, self.dt,
                     self.model.floor_height, n_sel,
@@ -815,7 +815,7 @@ class AnimSnapBasesSolver:
             # better than the per-step fused fallback (~2.7k)
             self._resident_fallback = lambda: build_resident_multistep(
                 ops, ops["gather_slices"], ops["layout"],
-                ops["G_allT"], ops["WT_all"], ops["usel_inv"],
+                ops["G_allT"], ops["WT_all"],
                 ops["inv3"], U_liftT, ut_acT, mass_inv, self.dt,
                 self.model.floor_collision, self.model.floor_height,
                 n_sel, interpret=interpret,
@@ -825,7 +825,7 @@ class AnimSnapBasesSolver:
         self._resident_fallback = None
         run = build_resident_multistep(
             ops, ops["gather_slices"], ops["layout"],
-            ops["G_allT"], ops["WT_all"], ops["usel_inv"], ops["inv3"],
+            ops["G_allT"], ops["WT_all"], ops["inv3"],
             U_liftT, ut_acT, mass_inv, self.dt,
             self.model.floor_collision, self.model.floor_height,
             n_sel, interpret=interpret, eta=getattr(self, "eta", 1.0))
@@ -895,7 +895,7 @@ class AnimSnapBasesSolver:
             return None
         ops = st["ops"]
         common = (ops, ops["gather_slices"], ops["layout"], ops["G_allT"],
-                  ops["WT_all"], ops["usel_inv"], ops["inv3"],
+                  ops["WT_all"], ops["inv3"],
                   st["U_liftT"], st["ut_acT"])
         if st["use_affine"]:
             run = build_resident_affine(
@@ -1002,7 +1002,7 @@ class AnimSnapBasesSolver:
                    if self.model.floor_collision else -3.0e38)
         run = build_resident_affine_chunked(
             ops, ops["gather_slices"], ops["layout"], ops["G_allT"],
-            ops["WT_all"], ops["usel_inv"], ops["inv3"], st["U_liftT"],
+            ops["WT_all"], ops["inv3"], st["U_liftT"],
             st["ut_acT"], st["M_utac"], st["U_selT"], st["mass_inv"],
             self.dt, floor_h, st["n_sel"],
             rebase_every=self._chunked_rebase_every(st["n"]),

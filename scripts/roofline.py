@@ -13,12 +13,14 @@ Mosaic-issue-latency bound — the analysis behind docs/PERFORMANCE.md's
 Counted work per CONTACT-FREE step, nb sims (from ops shapes):
 
 * iteration loop (x num_iterations, ops/pallas_resident.py
-  ``_make_iteration_loop``): Vall = qT G_allT (2*3nb*n_sel*g_total),
-  rb += pT WT (2*3nb*m_total*r), qT = snT_sel + rb usel_inv
-  (2*3nb*r*n_sel) -> THREE serially-dependent dots per iteration plus
-  O(g_total) elementwise projection math.
-* chunked/affine step shell: snT_sel build (2*3nb*r*n_sel), rb_lin
-  (2*3nb*r*r via M_utac), u = rb inv3 (2*3nb*r*r), O(r) bound +
+  ``_make_iteration_loop``, latency-folded round-4 form): Vall = Vc +
+  rb C_all (2*3nb*r*g_total), rb = rb_const + pT WT
+  (2*3nb*m_total*r) -> TWO serially-dependent dots per iteration plus
+  O(g_total) elementwise projection math.  (The pre-fold loop carried
+  qT: three dependent dots, 2*3nb*n_sel*g_total for the gather.)
+* chunked/affine step shell: Vc = snT_sel G_allT (2*3nb*n_sel*g_total,
+  hoisted out of the iteration loop), snT_sel build (2*3nb*r*n_sel),
+  rb_lin (2*3nb*r*r via M_utac), u = rb inv3 (2*3nb*r*r), O(r) bound +
   coefficient updates.  NO O(N) term — that is the whole point.
 * standard kernel step shell: rb_const = -(U^T A_c) s_n and the lift
   q = s_n + U u touch the (3, r, N) matrices EVERY step:
@@ -60,11 +62,11 @@ def counted_flops(st, nb=1):
     g_total = st["g_total"]
     m_total = st["m_total"]
     n = st["n"]
-    per_iter = (2 * 3 * nb * n_sel * g_total      # gather one-hot matmul
-                + 2 * 3 * nb * m_total * r        # rb  += pT WT
-                + 2 * 3 * nb * r * n_sel          # qT   = .. rb usel_inv
+    per_iter = (2 * 3 * nb * r * g_total          # Vall = Vc + rb C_all
+                + 2 * 3 * nb * m_total * r        # rb   = rb_const + pT WT
                 + 60 * g_total)                   # projection elementwise
-    shell_chunked = (2 * 3 * nb * r * n_sel       # snT_sel
+    shell_chunked = (2 * 3 * nb * n_sel * g_total  # Vc (hoisted gather)
+                     + 2 * 3 * nb * r * n_sel     # snT_sel
                      + 2 * 2 * 3 * nb * r * r     # rb_lin via M_utac + u
                      + 40 * nb * r)               # bound + coeff updates
     shell_standard = (2 * 2 * 3 * nb * r * n      # project(sn) + lift

@@ -180,7 +180,7 @@ def test_resident_standard_damped_match(pipeline):
     ops = st["ops"]
     run = build_resident_multistep(
         ops, ops["gather_slices"], ops["layout"], ops["G_allT"],
-        ops["WT_all"], ops["usel_inv"], ops["inv3"], st["U_liftT"],
+        ops["WT_all"], ops["inv3"], st["U_liftT"],
         st["ut_acT"], st["mass_inv"], s_res.dt,
         m_res.floor_collision, m_res.floor_height, st["n_sel"],
         interpret=True, eta=s_res.eta)

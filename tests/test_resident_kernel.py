@@ -648,7 +648,7 @@ def _tier1_pair(solver, chunk_every=4):
     st = solver._resident_state
     ops = st["ops"]
     common = (ops, ops["gather_slices"], ops["layout"], ops["G_allT"],
-              ops["WT_all"], ops["usel_inv"], ops["inv3"], st["U_liftT"],
+              ops["WT_all"], ops["inv3"], st["U_liftT"],
               st["ut_acT"], st["M_utac"], st["U_selT"], st["mass_inv"],
               solver.dt, solver.model.floor_height, st["n_sel"])
     kw = dict(rebase_every=chunk_every, interpret=True,
@@ -999,7 +999,7 @@ def test_chunked_floor_bound_grazing_equivalence(pipeline):
     st = s._resident_state
     ops = st["ops"]
     common = (ops, ops["gather_slices"], ops["layout"], ops["G_allT"],
-              ops["WT_all"], ops["usel_inv"], ops["inv3"], st["U_liftT"],
+              ops["WT_all"], ops["inv3"], st["U_liftT"],
               st["ut_acT"], st["M_utac"], st["U_selT"], st["mass_inv"],
               s.dt, s.model.floor_height, st["n_sel"])
     kw = dict(rebase_every=4, interpret=True, eta=getattr(s, "eta", 1.0))
@@ -1033,7 +1033,7 @@ def _chunked_build(s, floor_exact, rebase_every=4):
     ops = st["ops"]
     return build_resident_affine_chunked(
         ops, ops["gather_slices"], ops["layout"], ops["G_allT"],
-        ops["WT_all"], ops["usel_inv"], ops["inv3"], st["U_liftT"],
+        ops["WT_all"], ops["inv3"], st["U_liftT"],
         st["ut_acT"], st["M_utac"], st["U_selT"], st["mass_inv"],
         s.dt, s.model.floor_height, st["n_sel"],
         rebase_every=rebase_every, interpret=True,
