@@ -367,6 +367,15 @@ def prepare_fused_operands(groups: list[dict], U_selT: np.ndarray,
     # product: inv(Ar) spans ~10 decades with 1e10 pinned masses)
     C_allT = np.stack([uselinv64[d] @ G_all64.T
                        for d in range(3)]).astype(dtype)
+    # Vc-FOLDED chunked kernel (see build_resident_affine_chunked):
+    # Vc = snT_sel G_allT distributes over snT_sel's affine form as
+    # coeff (prefix G_allT) + wsn (U_selT G_allT) — the second factor
+    # precomposed HERE in f64 so the kernel forms Vc straight from the
+    # reduced coordinates (one fewer dependent dot stage per step, and
+    # neither U_selT nor G_allT remains a kernel operand)
+    UG_allT = np.stack([
+        np.asarray(U_selT[d], dtype=np.float64) @ G_all64.T
+        for d in range(3)]).astype(dtype)
     return {
         "layout": layout,
         "gather_slices": gather_slices,
@@ -375,6 +384,7 @@ def prepare_fused_operands(groups: list[dict], U_selT: np.ndarray,
         "G_allT": G_allT,
         "usel_inv": uselinv64.astype(dtype),
         "C_allT": C_allT,
+        "UG_allT": UG_allT,
         "inv3": inv64.astype(dtype),
         "dispatch": TERM_DISPATCH,
     }

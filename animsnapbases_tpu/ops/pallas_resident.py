@@ -94,7 +94,8 @@ def estimate_chunked_vmem_bytes(n_verts: int, r: int, n_sel: int,
                                 g_total: int, m_total: int,
                                 mm_bytes: int, state_bytes: int,
                                 nb: int = 1,
-                                floor_exact: bool = True) -> int:
+                                floor_exact: bool = True,
+                                fold_vc: bool = True) -> int:
     """TILING-AWARE VMEM footprint of the CHUNKED affine kernel's
     operands (:func:`build_resident_affine_chunked`).
 
@@ -120,15 +121,21 @@ def estimate_chunked_vmem_bytes(n_verts: int, r: int, n_sel: int,
     # (nb, N) arrays each pad nb up to the 8-sublane tile (24 sublanes
     # of VMEM at nb=1 instead of 8)
     yrows = pad(3 * nb, st_sub) * lane_n * state_bytes
-    small = (3 * pad(3 * nb, st_sub) * pad(n_sel, 128)  # b0s/b1s/fas
-             + 3 * pad(r, st_sub) * pad(n_sel, 128)      # uselT
+    # Vc-folded kernels (default) stage the G-composed prefix products
+    # (g_total wide) and precomposed UG instead of the n_sel-wide
+    # prefixes + U_selT, and G_allT leaves the kernel entirely
+    sel_lanes = pad(g_total if fold_vc else n_sel, 128)
+    small = (3 * pad(3 * nb, st_sub) * sel_lanes        # b0s/b1s/fas
+             + 3 * pad(r, st_sub) * sel_lanes            # uselT / UG
              + 3 * pad(r, st_sub) * pad(g_total, 128)    # C_allT
              + 2 * 3 * pad(r, st_sub) * pad(r, 128)      # inv3 / M_utac
              + 3 * pad(m_total, st_sub) * pad(r, 128)    # WT_all
-             + pad(n_sel, st_sub) * pad(g_total, 128)    # G_allT
+             + (0 if fold_vc
+                else pad(n_sel, st_sub) * pad(g_total, 128))  # G_allT
              ) * state_bytes
     temps = (pad(3 * nb, st_sub)
-             * (pad(g_total, 128) + pad(m_total, 128) + pad(n_sel, 128))
+             * (pad(g_total, 128) + pad(m_total, 128)
+                + (0 if fold_vc else pad(n_sel, 128)))
              * state_bytes)
     return big + yrows + small + temps + (1 << 20)
 
@@ -157,7 +164,13 @@ def _make_iteration_loop(layout, gather_slices, term_dispatch, garrs,
     is bit-identical to the qT-carried form (rb0 = 0); FLOPs drop too
     (r*g_total < n_sel*g_total)."""
     def iterate(snT_sel, rb_const, num_iterations):
-        Vc = _dot(snT_sel, G_allT, acc)
+        return iterate.from_vc(_dot(snT_sel, G_allT, acc), rb_const,
+                               num_iterations)
+
+    def _from_vc(Vc, rb_const, num_iterations):
+        """Entry for callers that already hold the hoisted
+        ``Vc = snT_sel G_allT`` (the Vc-folded chunked kernel forms it
+        straight from coefficient state via precomposed operands)."""
 
         def body(_, rb):
             Vall = Vc + jnp.concatenate(
@@ -178,9 +191,10 @@ def _make_iteration_loop(layout, gather_slices, term_dispatch, garrs,
                 [_dot(pT[d * nb:(d + 1) * nb], WT[d], acc)
                  for d in range(3)], axis=0)
 
-        rb0 = jnp.zeros((3 * nb, r), dtype=snT_sel.dtype)
+        rb0 = jnp.zeros((3 * nb, r), dtype=Vc.dtype)
         return jax.lax.fori_loop(0, num_iterations, body, rb0)
 
+    iterate.from_vc = _from_vc
     return iterate
 
 
@@ -1135,7 +1149,8 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
                                   interpret: bool = False, nb: int = 1,
                                   eta: float = 1.0,
                                   floor_bound_skip: bool = True,
-                                  floor_exact: bool = True):
+                                  floor_exact: bool = True,
+                                  fold_vc: bool = True):
     """CHUNKED tier-1 affine kernel: rebase and materialization move OUT
     of the Pallas kernel into an XLA ``while_loop`` around it, so the
     kernel carries only COEFFICIENT state.
@@ -1203,6 +1218,21 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
     serves the window on a contact-capable path.  Near-floor scenes pay
     extra exits, so large floor-clear serving gates this on, small or
     contact-grazing models keep the in-kernel exact check.
+
+    ``fold_vc`` (default on): the per-step shell is also issue-latency
+    bound, and its longest dependent chain was
+    wsn -> snT_sel (3 dots + n_sel-wide coefficient combos) -> the
+    hoisted ``Vc = snT_sel G_allT`` dot.  Distributing G_allT over the
+    affine form gives ``Vc = a0 (b0s G) + a1 (b1s G) + a2 (fas G)
+    + sum_d wsn_d (U_selT[d] G)``: the prefix products become per-chunk
+    XLA dots in the while-loop body, ``UG = U_selT G`` is precomposed on
+    the host in f64 (``prepare_fused_operands``), and the kernel forms
+    Vc straight from the reduced coordinates — one fewer dependent dot
+    stage and one fewer (3nb, n_sel) temp per step, with neither
+    ``U_selT`` nor ``G_allT`` staged into the kernel at all.  Same
+    re-association argument as the iteration fold: only well-scaled
+    gathered vertex values are re-ordered (the r-space rb cancellation
+    is untouched).
     """
     assert floor_exact or floor_bound_skip, \
         "floor_exact=False requires the certified floor bound"
@@ -1219,30 +1249,51 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
     flat_arrays = [jnp.asarray(g) for g in iteration_terms["flat_arrays"]]
     term_dispatch = iteration_terms["dispatch"]
 
+    if fold_vc:
+        # precomposed U_selT @ G_allT (f64 on host; see docstring) —
+        # replaces U_selT as the kernel's wsn -> gathered-values map.
+        # Fallback for callers holding a pre-UG operand dict.
+        UG = iteration_terms.get("UG_allT")
+        if UG is None:
+            g64 = np.asarray(G_allT, dtype=np.float64)
+            UG = np.stack([
+                np.asarray(U_selT[d], dtype=np.float64) @ g64
+                for d in range(3)]).astype(np.asarray(U_selT).dtype)
+        sel_map = UG
+    else:
+        sel_map = U_selT
+
     const_inputs = [jnp.asarray(iteration_terms["C_allT"]),
                     jnp.asarray(inv3),
                     jnp.asarray(WT_all), jnp.asarray(G_allT),
                     jnp.asarray(U_liftT), jnp.asarray(ut_acT),
-                    jnp.asarray(M_utac), jnp.asarray(U_selT),
+                    jnp.asarray(M_utac), jnp.asarray(sel_map),
                     jnp.asarray(mass_inv)]
 
     # kernel inputs: SMEM scalars + the sliced operands (no (3, N) state,
-    # no full lift/projection matrices)
-    n_kernel_vmem = 9 + 6 + len(flat_arrays)
+    # no full lift/projection matrices; the Vc fold also drops G_allT
+    # from the kernel — it survives only as an XLA-body operand)
+    n_kernel_vmem = 9 + (5 if fold_vc else 6) + len(flat_arrays)
 
     def _make_chunk_kernel(num_iterations):
       def _chunk_kernel(*refs):
+        # with fold_vc the b0s/b1s/fas slots carry the G-composed
+        # (3nb, g_total) prefix products and uselt the precomposed UG —
+        # the in-kernel expressions are IDENTICAL either way, only the
+        # operand meaning (and the iterate entry point) changes
+        nfix = 15 if fold_vc else 16
         (sc_ref, yrows_ref, b0s_ref, b1s_ref, fas_ref,
          bu0_ref, bu1_ref, bufa_ref, rbex_ref, ulifty_ref, mutac_ref,
-         uselt_ref, c_ref, inv_ref, wt_ref, gall_ref) = refs[:16]
-        garrs = [ref[:] for ref in refs[16:16 + len(flat_arrays)]]
+         uselt_ref, c_ref, inv_ref, wt_ref) = refs[:15]
+        gall_ref = None if fold_vc else refs[15]
+        garrs = [ref[:] for ref in refs[nfix:nfix + len(flat_arrays)]]
         (ap_ref, av_ref, wp_ref, wv_ref, k_ref, cl_ref) = \
-            refs[16 + len(flat_arrays):]
+            refs[nfix + len(flat_arrays):]
 
         C_all_v = c_ref[:]
         inv = inv_ref[:]
         WT = wt_ref[:]
-        G_allT_v = gall_ref[:]
+        G_allT_v = None if fold_vc else gall_ref[:]
         mutac = mutac_ref[:]
         uselT = uselt_ref[:]
         bu0 = bu0_ref[:]
@@ -1359,13 +1410,16 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
                                         mutac[d], acc)
                                    for d in range(3)], axis=0))
                     rb_const = rb_ex - rb_lin
-                    snT_sel = (asn[:, 0:1] * b0s + asn[:, 1:2] * b1s
-                               + asn[:, 2:3] * fas
-                               + jnp.concatenate(
-                                   [_dot(wsn[d * nb:(d + 1) * nb],
-                                         uselT[d], acc)
-                                    for d in range(3)], axis=0))
-                    rb = iterate(snT_sel, rb_const, num_iterations)
+                    # fold_vc: this IS Vc (g_total-wide, via the
+                    # G-composed operands); otherwise it is snT_sel
+                    sn_or_vc = (asn[:, 0:1] * b0s + asn[:, 1:2] * b1s
+                                + asn[:, 2:3] * fas
+                                + jnp.concatenate(
+                                    [_dot(wsn[d * nb:(d + 1) * nb],
+                                          uselT[d], acc)
+                                     for d in range(3)], axis=0))
+                    rb = (iterate.from_vc if fold_vc else iterate)(
+                        sn_or_vc, rb_const, num_iterations)
                     u = jnp.concatenate(
                         [_dot(rb[d * nb:(d + 1) * nb], inv[d], acc)
                          for d in range(3)], axis=0)
@@ -1389,6 +1443,10 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
         fa = dt2 * fext * minv_a                       # (3nb, N)
         fay = fa[nb:2 * nb]
         fas = fa[:, :n_sel]
+        if fold_vc:
+            # G-composed prefix products (see docstring): fa's once per
+            # call, the anchors' once per chunk (in body below)
+            fas = _dot(fas, G_a, acc)
         # exact-free kernels never read the lift's y-slice: stage a tiny
         # dummy instead of the (r, N) operand (24 MB at 250k verts —
         # per-chunk VMEM staging AND the dominant admission term)
@@ -1480,11 +1538,20 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
                  (done32 - off).reshape(1, 1)], axis=1)
             yrows = jnp.concatenate(
                 [P[nb:2 * nb], V[nb:2 * nb], fay], axis=0)
-            ap, av, wp, wv, k = call(
-                sc, yrows,
-                P[:, :n_sel], V[:, :n_sel], fas, bu0, bu1, bu_fa,
-                rb_chunk, ulift_y, mutac_a, uselt_a, c_a, inv3_a,
-                WT_a, G_a, *arrays)
+            b0pre = P[:, :n_sel]
+            b1pre = V[:, :n_sel]
+            if fold_vc:
+                b0pre = _dot(b0pre, G_a, acc)
+                b1pre = _dot(b1pre, G_a, acc)
+                ap, av, wp, wv, k = call(
+                    sc, yrows, b0pre, b1pre, fas, bu0, bu1, bu_fa,
+                    rb_chunk, ulift_y, mutac_a, uselt_a, c_a, inv3_a,
+                    WT_a, *arrays)
+            else:
+                ap, av, wp, wv, k = call(
+                    sc, yrows, b0pre, b1pre, fas, bu0, bu1, bu_fa,
+                    rb_chunk, ulift_y, mutac_a, uselt_a, c_a, inv3_a,
+                    WT_a, G_a, *arrays)
             k = k[0, 0]
             Pn = (ap[:, 0:1] * P + ap[:, 1:2] * V + ap[:, 2:3] * fa
                   + lift(wp))

@@ -1041,6 +1041,44 @@ def _chunked_build(s, floor_exact, rebase_every=4):
         floor_exact=floor_exact)
 
 
+def test_chunked_fold_vc_matches_unfolded(pipeline):
+    """The Vc-folded kernel (default) re-associates only the hoisted
+    gathered-values product — its trajectory must match the unfolded
+    build to f32 re-association tolerance across a rebase boundary, with
+    identical committed step counts."""
+    from animsnapbases_tpu.ops.pallas_resident import (
+        build_resident_affine_chunked,
+    )
+
+    basis_dir, pos_path, _ = pipeline
+    s, m = _solver(basis_dir, pos_path, "interpret", floor=True,
+                   rebase_every=4)
+    s.resident_contact_mode = False
+    s.set_dirty()
+    s.prepare(s.args)
+    st = s._resident_state
+    ops = st["ops"]
+    common = (ops, ops["gather_slices"], ops["layout"], ops["G_allT"],
+              ops["WT_all"], ops["inv3"], st["U_liftT"],
+              st["ut_acT"], st["M_utac"], st["U_selT"], st["mass_inv"],
+              s.dt, s.model.floor_height, st["n_sel"])
+    kw = dict(rebase_every=4, interpret=True, eta=getattr(s, "eta", 1.0))
+    run_fold = build_resident_affine_chunked(*common, fold_vc=True, **kw)
+    run_plain = build_resident_affine_chunked(*common, fold_vc=False, **kw)
+
+    f = gravity_forces(m)
+    P, V, Fx = _packed_state(s, m, f)
+    rb = np.zeros((1, 3, s.U.shape[1]))
+    Pa, Va, ka = run_fold(P, V, Fx, rb, 10, 6)
+    Pb, Vb, kb = run_plain(P, V, Fx, rb, 10, 6)
+    assert int(np.asarray(ka)[0, 0]) == int(np.asarray(kb)[0, 0]) == 10
+    scale = np.abs(np.asarray(Pb)).max()
+    np.testing.assert_allclose(np.asarray(Pa), np.asarray(Pb),
+                               atol=2e-5 * max(scale, 1.0))
+    np.testing.assert_allclose(np.asarray(Va), np.asarray(Vb),
+                               atol=2e-4 * max(scale, 1.0))
+
+
 def test_chunked_floor_exact_free_matches_contact_free(pipeline):
     """floor_exact=False (no in-kernel exact fallback — the big (r, N)
     lift slice leaves the kernel entirely) must be bit-identical to the
