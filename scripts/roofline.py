@@ -18,10 +18,14 @@ Counted work per CONTACT-FREE step, nb sims (from ops shapes):
   (2*3nb*m_total*r) -> TWO serially-dependent dots per iteration plus
   O(g_total) elementwise projection math.  (The pre-fold loop carried
   qT: three dependent dots, 2*3nb*n_sel*g_total for the gather.)
-* chunked/affine step shell: Vc = snT_sel G_allT (2*3nb*n_sel*g_total,
-  hoisted out of the iteration loop), snT_sel build (2*3nb*r*n_sel),
-  rb_lin (2*3nb*r*r via M_utac), u = rb inv3 (2*3nb*r*r), O(r) bound +
-  coefficient updates.  NO O(N) term — that is the whole point.
+* chunked/affine step shell (Vc-folded round-4 form): Vc formed
+  straight from the reduced coordinates through the G-composed
+  operands — affine combos over g_total-wide prefixes + wsn UG
+  (2*3nb*r*g_total; UG = U_selT G_allT precomposed on the host, so
+  the old hoisted 2*3nb*n_sel*g_total gather AND the snT_sel build
+  are gone), rb_lin (2*3nb*r*r via M_utac), u = rb inv3
+  (2*3nb*r*r), O(r) bound + coefficient updates.  NO O(N) term —
+  that is the whole point.
 * standard kernel step shell: rb_const = -(U^T A_c) s_n and the lift
   q = s_n + U u touch the (3, r, N) matrices EVERY step:
   2*2*3nb*r*N flops and (with bf16 storage) 2*3*r*N*2 bytes of VMEM
@@ -65,8 +69,8 @@ def counted_flops(st, nb=1):
     per_iter = (2 * 3 * nb * r * g_total          # Vall = Vc + rb C_all
                 + 2 * 3 * nb * m_total * r        # rb   = rb_const + pT WT
                 + 60 * g_total)                   # projection elementwise
-    shell_chunked = (2 * 3 * nb * n_sel * g_total  # Vc (hoisted gather)
-                     + 2 * 3 * nb * r * n_sel     # snT_sel
+    shell_chunked = (2 * 3 * nb * r * g_total     # Vc = ... + wsn UG
+                     + 6 * 3 * nb * g_total       # affine prefix combos
                      + 2 * 2 * 3 * nb * r * r     # rb_lin via M_utac + u
                      + 40 * nb * r)               # bound + coeff updates
     shell_standard = (2 * 2 * 3 * nb * r * n      # project(sn) + lift
@@ -136,9 +140,10 @@ def main():
     flops_step = 10 * per_iter + shell_c
     achieved = flops_step * rate10
     mfu = achieved / PEAK_BF16_FLOPS * 100
-    # issue floor: 3 serially-dependent dots per iteration; the measured
-    # per-DOT latency is slope/3 (lower bound on any same-shape chain)
-    per_dot_us = slope / 3.0
+    # issue floor: the latency-folded loop has TWO serially-dependent
+    # dots per iteration; the measured per-DOT latency is slope/2
+    # (lower bound on any same-shape chain)
+    per_dot_us = slope / 2.0
 
     print(json.dumps({
         "metric": "flagship_mfu_pct",
