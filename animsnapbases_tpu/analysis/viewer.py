@@ -132,7 +132,8 @@ def view_rotating_capture(verts, tris, out_dir: str, selected=None,
                           interpol_verts=None, element_kind: str = "tris",
                           num_frames: int = 24, prefix: str = "frame",
                           elev: float = 18.0,
-                          element_color=(0.5, 0.8, 0.5)) -> list[str]:
+                          element_color=(0.5, 0.8, 0.5),
+                          edges=None) -> list[str]:
     """Rotating-camera screenshot export of a mesh with (optionally) the
     selected interpolation elements highlighted — headless twin of the
     reference's polyscope rotation capture (nl_reduction_tests.py:
@@ -141,9 +142,12 @@ def view_rotating_capture(verts, tris, out_dir: str, selected=None,
     screenshot ``num_frames`` angles).  Writes
     ``{prefix}_{i:03d}.png`` per azimuth and returns the paths.
 
-    ``selected``: indices into ``tris`` (or the edge array for
-    ``element_kind='edges'``) to highlight; ``interpol_verts``: vertex
-    indices drawn as a point cloud (the DEIM/geom pick set)."""
+    ``tris`` always renders the background surface.  ``selected``:
+    indices into ``tris`` — or, for ``element_kind='edges'``, into the
+    (m, 2) ``edges`` array (pass it separately so the background mesh
+    still draws; with ``edges=None`` the highlight falls back to each
+    selected triangle's first edge).  ``interpol_verts``: vertex indices
+    drawn as a point cloud (the DEIM/geom pick set)."""
     verts = np.asarray(verts)
     os.makedirs(out_dir, exist_ok=True)
     written = []
@@ -156,7 +160,8 @@ def view_rotating_capture(verts, tris, out_dir: str, selected=None,
         if selected is not None and len(selected):
             sel = np.asarray(selected, dtype=int)
             if element_kind == "edges":
-                for e in np.asarray(tris)[sel] if tris is not None else []:
+                src = edges if edges is not None else tris
+                for e in np.asarray(src)[sel] if src is not None else []:
                     seg = verts[np.asarray(e[:2], dtype=int)]
                     ax.plot(seg[:, 0], seg[:, 1], seg[:, 2],
                             color=element_color, lw=2)

@@ -72,19 +72,23 @@ def closest_point_on_triangle(p, a, b, c):
 MAX_PAIRS = 150_000_000
 
 
-def resolve_self_collision_device(q, faces, min_dist: float = 0.001,
-                                  stiffness: float = 1.0, k: int = 5,
-                                  max_pairs: int = MAX_PAIRS):
-    """Vertex-vs-nearest-triangles pushout, fully on device.
+def _candidate_distances(q, faces, k: int, max_pairs: int, what: str):
+    """Shared candidate pipeline: k-nearest-centroid triangles per vertex
+    and the exact closest-point distances to them.
 
-    q (n, 3) float, faces (m, 3) int.  Returns corrected positions.
-    """
+    Returns ``(delta (n, k, 3), d (n, k), own (n, k))``.  BOTH the
+    pushout pass and the clearance probe MUST go through this helper:
+    the resident serving tier's certificate ("the pass is the identity
+    exactly when the probed clearance is >= min_dist") is sound only
+    while the probe and the pass test the SAME candidate set with the
+    same metric — tuning k, the centroid metric, or the pair gate in one
+    without the other silently breaks certified windows."""
     n = q.shape[0]
     m = faces.shape[0]
     if n * m > max_pairs:
         raise ValueError(
-            f"device self-collision materializes an (n={n}, m={m}) "
-            f"distance matrix ({n * m * 4 / 1e9:.1f} GB) — beyond the "
+            f"device {what} materializes an (n={n}, m={m}) distance "
+            f"matrix ({n * m * 4 / 1e9:.1f} GB) — beyond the "
             f"{max_pairs / 1e6:.0f}M-pair gate.  Use the host resolvers "
             f"(enable_self_collision=True) for meshes this large.")
     k = min(k, m)
@@ -105,6 +109,18 @@ def resolve_self_collision_device(q, faces, min_dist: float = 0.001,
         q, tri[:, :, 0], tri[:, :, 1], tri[:, :, 2])        # (n, k, 3)
     delta = q[:, None, :] - closest
     d = jnp.linalg.norm(delta, axis=-1)                     # (n, k)
+    return delta, d, own
+
+
+def resolve_self_collision_device(q, faces, min_dist: float = 0.001,
+                                  stiffness: float = 1.0, k: int = 5,
+                                  max_pairs: int = MAX_PAIRS):
+    """Vertex-vs-nearest-triangles pushout, fully on device.
+
+    q (n, 3) float, faces (m, 3) int.  Returns corrected positions.
+    """
+    delta, d, own = _candidate_distances(q, faces, k, max_pairs,
+                                         "self-collision")
     push = (~own) & (d > 1e-8) & (d < min_dist)
     corr = (stiffness * (min_dist - d) / jnp.maximum(d, 1e-12))[..., None] \
         * delta * push[..., None]
@@ -114,33 +130,15 @@ def resolve_self_collision_device(q, faces, min_dist: float = 0.001,
 def min_clearance_device(q, faces, k: int = 5,
                          max_pairs: int = MAX_PAIRS):
     """Minimum vertex-to-nearest-non-own-triangle distance over the SAME
-    candidate set the pushout pass tests (k nearest centroids per
-    vertex).  The pass :func:`resolve_self_collision_device` is the
+    candidate set the pushout pass tests (shared helper
+    :func:`_candidate_distances` — the sharing IS the correctness
+    argument).  The pass :func:`resolve_self_collision_device` is the
     IDENTITY exactly when this clearance is >= its ``min_dist`` — the
     proximity-gated resident serving tier (reduced.py
     ``_run_steps_self_collision``) uses that equivalence to certify
     windows where skipping the per-step pass changes nothing."""
-    n = q.shape[0]
-    m = faces.shape[0]
-    if n * m > max_pairs:
-        raise ValueError(
-            f"device clearance probe materializes an (n={n}, m={m}) "
-            f"distance matrix — beyond the {max_pairs / 1e6:.0f}M-pair "
-            f"gate.")
-    k = min(k, m)
-    cent = q[faces].mean(axis=1)
-    d2 = (jnp.sum(q * q, axis=1)[:, None]
-          + jnp.sum(cent * cent, axis=1)[None, :]
-          - 2.0 * q @ cent.T)
-    _, idx = jax.lax.top_k(-d2, k)
-    cand = faces[idx]
-    own = jnp.any(cand == jnp.arange(n)[:, None, None], axis=-1)
-    tri = q[cand]
-    closest = jax.vmap(jax.vmap(closest_point_on_triangle,
-                                in_axes=(None, 0, 0, 0)),
-                       in_axes=(0, 0, 0, 0))(
-        q, tri[:, :, 0], tri[:, :, 1], tri[:, :, 2])
-    d = jnp.linalg.norm(q[:, None, :] - closest, axis=-1)
+    _, d, own = _candidate_distances(q, faces, k, max_pairs,
+                                     "clearance probe")
     return jnp.where(own, jnp.inf, d).min()
 
 

@@ -957,6 +957,22 @@ class AnimSnapBasesSolver:
         return (4096 if n > self.CHUNKED_FLOOR_EXACT_MAX_VERTS
                 else 1024)
 
+    def _chunked_rb_chunk_bytes(self, nb: int, T_rb: int, r: int,
+                                itemsize: int) -> int:
+        """VMEM bytes a CHUNKED kernel stages for ONE chunk's rb rows,
+        matching what build_resident_affine_chunked actually loads: the
+        per-step rows are padded from 3nb to an 8-sublane-aligned stride,
+        the r columns pad to the 128-lane tile, and the slice length is
+        ``min(rebase_every, T)`` — the gate must count the padded/real
+        cadence, not the unpadded 1024-row default (round-4 review
+        finding: a 4096-cadence animated ensemble undercounted 4-10x and
+        blew scoped VMEM at dispatch)."""
+        n = self.model.n_verts
+        S = min(self._chunked_rebase_every(n), max(1, int(T_rb)))
+        stride = -(-3 * nb // 8) * 8
+        lanes = -(-r // 128) * 128
+        return S * stride * lanes * itemsize
+
     def _build_resident_batched_chunked(self, nb: int):
         """Batched CHUNKED affine runner: ``nb`` independent sims of this
         prepared model stepped as dim-major (3nb, N) COEFFICIENT state in
@@ -1719,9 +1735,8 @@ class AnimSnapBasesSolver:
         # full timeline stays in HBM — so the allowance compares the
         # CHUNK bytes, not the window bytes
         T_rb = rb_full.shape[0]
-        S = min(int(getattr(self, "resident_rebase_every",
-                            None) or 1024), max(1, T_rb))
-        chunk_bytes = S * 3 * B * r * st["np_dtype"].itemsize
+        chunk_bytes = self._chunked_rb_chunk_bytes(
+            B, T_rb, r, st["np_dtype"].itemsize)
         if chunk_bytes > self._rb_allowance(
                 self.batched_chunked_budget(
                     st, B, floor_exact=self._chunked_floor_exact(
@@ -2079,10 +2094,9 @@ class AnimSnapBasesSolver:
         # branch on shared_rb, not per_sim, so the re-slice below never
         # indexes the dimension axis
         T_rb = rb_full.shape[0] if shared_rb else rb_full.shape[1]
-        S = min(int(getattr(self, "resident_rebase_every",
-                            None) or 1024), max(1, T_rb))
         # per-DEVICE staged chunk bytes (see the single-chip variant)
-        chunk_bytes = S * 3 * Bl * r * st["np_dtype"].itemsize
+        chunk_bytes = self._chunked_rb_chunk_bytes(
+            Bl, T_rb, r, st["np_dtype"].itemsize)
         if chunk_bytes > self._rb_allowance(
                 self.batched_chunked_budget(
                     st, Bl, floor_exact=self._chunked_floor_exact(
@@ -2165,6 +2179,7 @@ class AnimSnapBasesSolver:
         # clean full-budget serve, so a recovered ensemble climbs back
         # to whole-call probes within a few turns.
         probe_cap = None
+        cadence = self._chunked_rebase_every(st["n"])
         while remaining > 0:
             # resume at schedule row t0: clamped fixed-length re-slice
             # (same semantics/compile-stability as the local variant)
@@ -2172,7 +2187,7 @@ class AnimSnapBasesSolver:
             rb_win = rb_full[idx] if shared_rb else rb_full[:, idx]
             rb_dev = self._cast(rb_win)
             budget = (remaining if probe_cap is None
-                      else min(remaining, max(probe_cap, S)))
+                      else min(remaining, max(probe_cap, cadence)))
             for _ in range(4):            # probe + up to 3 re-probes
                 steps_arr = jnp.asarray([[budget]], dtype=jnp.int32)
                 try:
@@ -2497,10 +2512,11 @@ class AnimSnapBasesSolver:
         Returns ``fn(P, V, Fx, rb, total, num_iterations) -> (P', V',
         done)`` on packed (3, N) state, stopping at the first window the
         certificate can't admit (proximity) or the kernel exits early
-        (floor contact); cached per prepare."""
+        (floor contact); cached per prepare (``False`` = a previous
+        dispatch Mosaic-failed; don't rebuild)."""
         cached = getattr(self, "_sc_fused", None)
         if cached is not None:
-            return cached
+            return cached or None
         fast = getattr(self, "_resident_fast", None)
         res = getattr(self, "_resident", None)
         if fast is None or res is None:
@@ -2519,7 +2535,7 @@ class AnimSnapBasesSolver:
         cap = float(getattr(self, "self_collision_window_cap", 4096))
         dt = self.dt
 
-        def loop(P0, V0, Fx, rb, total, num_iterations):
+        def loop(P0, V0, Fx, rb, total, consts, arrays, num_iterations):
             def cond(c):
                 _, _, done, stop = c
                 return jnp.logical_and(done < total,
@@ -2538,8 +2554,8 @@ class AnimSnapBasesSolver:
                 stop = w < 1
                 steps_arr = jnp.maximum(w, 0).reshape(1, 1)
                 # w=0 runs the kernel as an exact identity (k=0)
-                P2, V2, k = fast.raw(P, V, Fx, rb, steps_arr,
-                                     num_iterations)
+                P2, V2, k = fast.body(P, V, Fx, rb, steps_arr,
+                                      consts, arrays, num_iterations)
                 k = k[0, 0]
                 # an in-window early exit (floor contact) also hands
                 # control back to the host tiers
@@ -2552,8 +2568,19 @@ class AnimSnapBasesSolver:
                  jnp.zeros((), dtype=bool)))
             return P, V, done
 
-        self._sc_fused = jax.jit(loop,
-                                 static_argnames=("num_iterations",))
+        # the kernel's const operands (multi-MB (3, r, N) matrices) must
+        # be TRACED args of this jit, not closure constants — baking
+        # them in embeds them in the HLO (slow lowering, bloated
+        # persistent-cache entries, cache key varies with values); see
+        # the run.body/run.operands note in ops/pallas_resident.py
+        jitted = jax.jit(loop, static_argnames=("num_iterations",))
+        consts, arrays = fast.operands
+
+        def call(P0, V0, Fx, rb, total, num_iterations):
+            return jitted(P0, V0, Fx, rb, total, consts, arrays,
+                          num_iterations=num_iterations)
+
+        self._sc_fused = call
         return self._sc_fused
 
     def _run_steps_self_collision(self, fext, num_steps, num_iterations):
@@ -2614,11 +2641,23 @@ class AnimSnapBasesSolver:
                         model.velocities[perm].T))
                     Fx = self._cast(np.ascontiguousarray(
                         np.asarray(fext)[perm].T))
-                    Pf, Vf, done = fused(
-                        P, V, Fx, self._cast(rb),
-                        jnp.asarray(remaining, dtype=jnp.int32),
-                        num_iterations=num_iterations)
-                    done = int(done)
+                    try:
+                        Pf, Vf, done = fused(
+                            P, V, Fx, self._cast(rb),
+                            jnp.asarray(remaining, dtype=jnp.int32),
+                            num_iterations=num_iterations)
+                        done = int(done)
+                    except Exception as e:
+                        # a Mosaic compile rejection must downgrade like
+                        # every other tier-1 call site, not crash the run
+                        import warnings
+
+                        warnings.warn(
+                            "fused self-collision loop failed; serving "
+                            f"via host-probed windows: {e}")
+                        self._sc_fused = False   # don't rebuild/retry
+                        fused = None
+                        continue
                     model.positions = np.asarray(
                         Pf, dtype=float).T[iperm]
                     model.velocities = np.asarray(

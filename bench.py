@@ -383,13 +383,15 @@ def build_reduced_solver(meta, dtype):
     return solver, model
 
 
-def aot_compile_probe(solver, model, num_iterations):
+def aot_compile_probe(solver, model, num_iterations, num_steps=1):
     """Time the CLIENT-side lower+compile of the resident kernel (AOT, no
     dispatch).  The executable lands in the persistent compilation cache,
     so the first run_steps afterwards is a compile-cache HIT — its
     wall-clock then measures the server-side first-dispatch load (program
-    upload + tunnel) alone.  Returns seconds or None (no resident
-    kernel)."""
+    upload + tunnel) alone.  ``num_steps`` is traced as a dynamic trip
+    count, so it does not change the compiled program — it is accepted so
+    callers (scripts/prewarm.py) can state the production chunk length.
+    Returns seconds or None (no resident kernel)."""
     res = getattr(solver, "_resident", None)
     if res is None:
         return None
@@ -400,10 +402,10 @@ def aot_compile_probe(solver, model, num_iterations):
     rb = solver._cast(np.zeros((1, 3, r)))
     t0 = time.perf_counter()
     try:
-        run_fn.aot_compile(P, Z, Z, rb, 1, num_iterations)
+        run_fn.aot_compile(P, Z, Z, rb, num_steps, num_iterations)
         fast = getattr(solver, "_resident_fast", None)
         if fast is not None:       # tier-1 early-exit kernel (lean builds)
-            fast.aot_compile(P, Z, Z, rb, 1, num_iterations)
+            fast.aot_compile(P, Z, Z, rb, num_steps, num_iterations)
     except Exception as e:
         log(f"[bench] AOT compile probe failed ({e}); cold start will "
             f"mix compile + dispatch")

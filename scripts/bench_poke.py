@@ -94,8 +94,9 @@ def main():
     # gravity over a 16k-step chunk droops the under-iterated soft body
     # onto the floor, which would mix contact handling into what is meant
     # to measure the animated-target schedule.  The poke constraint
-    # (wi=1e7 z-shift on one vertex) keeps every step consuming a
-    # different target.
+    # (wi=1e5 z-shift on one vertex — see the wi note above; 1e7
+    # resonantly diverges over long windows) keeps every step consuming
+    # a different target.
     model.velocities = bench.ring_down_excitation(
         model, scale=0.5 * bench.EXCITE_SCALE)
     f = np.zeros_like(model.positions)

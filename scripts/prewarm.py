@@ -63,7 +63,6 @@ def main():
 
     # client compile of the resident kernel at the production chunk
     # length (fills the persistent cache for future processes)
-    t0 = time.perf_counter()
     compile_s = bench.aot_compile_probe(solver, model, 10,
                                         num_steps=args.steps)
     timings["client_compile_s"] = (round(compile_s, 1)

@@ -67,3 +67,20 @@ def test_bench_main_end_to_end(bench, capsys, monkeypatch):
     # a scene change must invalidate the cache fingerprint
     monkeypatch.setattr(bench, "HANG_SHIFT", bench.HANG_SHIFT + 1.0)
     assert bench.run_fom_and_bases()["scene"] != meta1["scene"]
+
+
+def test_aot_compile_probe_accepts_chunk_length():
+    """scripts/prewarm.py passes num_steps=<production chunk> — the
+    probe must accept it (round-4 review finding: the kwarg mismatch
+    made the whole prewarm utility crash with TypeError)."""
+    import inspect
+
+    sys.path.insert(0, "/root/repo")
+    mod = importlib.import_module("bench")
+    sig = inspect.signature(mod.aot_compile_probe)
+    assert "num_steps" in sig.parameters
+    # and the probe still gates cleanly with no resident kernel
+    class NoResident:
+        _resident = None
+    assert mod.aot_compile_probe(NoResident(), None, 10,
+                                 num_steps=180000) is None

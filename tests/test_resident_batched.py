@@ -795,3 +795,30 @@ def test_batched_chunked_sharded_desync_contact(pipeline):
             np.asarray(m_ref.positions)[:, 1]
             <= m_ref.floor_height + 1e-9)
     assert floored, "test scene never touched the floor"
+
+
+def test_chunked_rb_chunk_bytes_counts_padding_and_cadence():
+    """The rb VMEM gate must count what the chunked kernel actually
+    stages per chunk: min(rebase cadence, T) steps x 8-sublane-aligned
+    row stride x 128-lane-padded columns (round-4 review finding: the
+    unpadded 1024-row default undercounted a 4096-cadence animated
+    ensemble 4-10x)."""
+    from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+
+    s = object.__new__(AnimSnapBasesSolver)
+
+    class M:
+        n_verts = 250000          # past the large-N gate: cadence 4096
+    s.model = M()
+    # B=8 sims: 3*8=24 rows/step -> stride 24 (already 8-aligned);
+    # r=48 -> 128 lanes; T large -> S = 4096
+    assert s._chunked_rb_chunk_bytes(8, 100000, 48, 4) == \
+        4096 * 24 * 128 * 4
+    # short shared timeline: S = T
+    assert s._chunked_rb_chunk_bytes(8, 16, 48, 4) == 16 * 24 * 128 * 4
+    # solo rows pad 3 -> 8
+    assert s._chunked_rb_chunk_bytes(1, 1, 48, 4) == 1 * 8 * 128 * 4
+    # explicit override wins over the size default
+    s.resident_rebase_every = 256
+    assert s._chunked_rb_chunk_bytes(8, 100000, 48, 4) == \
+        256 * 24 * 128 * 4

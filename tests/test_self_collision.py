@@ -267,3 +267,31 @@ def test_min_clearance_device_matches_host_probe():
     d_dev = float(min_clearance_device(jnp.asarray(V), jnp.asarray(F)))
     d_host = _min_nonadjacent_distance(V, F)
     np.testing.assert_allclose(d_dev, d_host, rtol=1e-6)
+
+
+def test_sc_fused_failure_downgrades_to_host_windows(tmp_path):
+    """A compile/dispatch failure in the fused probe+window loop must
+    downgrade to the host-probed window path (and cache the failure so
+    it is not rebuilt), not crash run_steps — Mosaic rejects on real TPU
+    what interpret mode allows, and every other tier-1 call site already
+    degrades (round-4 review finding)."""
+    build = _reduced_sc_builder(tmp_path, scale=1.0)
+    s1, m1 = build()
+    assert getattr(s1, "_resident", None) is not None
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic Mosaic rejection")
+
+    s1._sc_fused = boom                   # poison the cached fused loop
+    s2, m2 = build()
+    f = np.zeros_like(m1.positions)
+    f[:, 1] = -9.81 * 10.0 * 0.001
+    with pytest.warns(UserWarning, match="fused self-collision"):
+        s1.run_steps(f, 12, num_iterations=4)
+    assert s1._sc_fused is False          # failure cached, no rebuild
+    assert s1._sc_fused_runner() is None
+    for _ in range(12):
+        s2.step(f, num_iterations=4)
+    # host-window serving is the same math (clear windows skip the pass)
+    np.testing.assert_allclose(m1.positions, m2.positions, atol=1e-5)
+    assert np.isfinite(m1.positions).all()
