@@ -18,6 +18,21 @@ import jax.numpy as jnp
 _EPS = 1e-30
 
 
+def _grad_safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt with a ZERO (instead of inf) derivative at x <= 0.
+
+    Values are bit-identical to ``jnp.sqrt`` for x > 0 and 0 otherwise
+    (callers clamp negatives anyway).  Needed for reverse-mode AD through
+    degenerate spectra: the SVD-based projections are smooth functions of
+    F even when singular values coincide (e.g. an element exactly at rest,
+    F = I), but ``sqrt'(0) = inf`` poisons the whole backward pass with
+    inf * 0 = NaN — the double-``where`` keeps the untaken branch's
+    cotangent finite (see ``sim/diff.py``)."""
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)),
+                     jnp.zeros_like(x))
+
+
 # ---------------------------------------------------------------------------
 # symmetric eigendecomposition via cyclic Jacobi
 # ---------------------------------------------------------------------------
@@ -69,7 +84,7 @@ def jacobi_eigh2(S: jnp.ndarray):
     a, b, d = S[0, 0], S[0, 1], S[1, 1]
     tr = a + d
     diff = a - d
-    rad = jnp.sqrt(diff * diff + 4.0 * b * b)
+    rad = _grad_safe_sqrt(diff * diff + 4.0 * b * b)
     w0 = 0.5 * (tr + rad)
     w1 = 0.5 * (tr - rad)
     c, s = _jacobi_rotation(a, d, b)
@@ -101,7 +116,10 @@ def _orthonormal_u(B: jnp.ndarray, sigma: jnp.ndarray):
         v = B[:, i]
         for pc in cols:
             v = v - (v @ pc) * pc
-        vn = jnp.linalg.norm(v)
+        # grad-safe norm: a fully-degenerate element (F = 0 -> B = 0)
+        # otherwise NaNs the backward pass through norm'(0) even though
+        # the where below discards the branch (0 * NaN = NaN)
+        vn = _grad_safe_sqrt((v * v).sum())
         ok = (sigma[i] > thresh) & (vn > _EPS)
         # fallback: the basis vector least aligned with previous columns
         scores = jnp.zeros(n, dtype=B.dtype)
@@ -110,7 +128,7 @@ def _orthonormal_u(B: jnp.ndarray, sigma: jnp.ndarray):
         alt = cand[:, jnp.argmin(scores)]
         for pc in cols:
             alt = alt - (alt @ pc) * pc
-        alt = alt / jnp.maximum(jnp.linalg.norm(alt), _EPS)
+        alt = alt / jnp.maximum(_grad_safe_sqrt((alt * alt).sum()), _EPS)
         cols.append(jnp.where(ok, v / jnp.maximum(vn, _EPS), alt))
     return jnp.stack(cols, axis=1)
 
@@ -121,7 +139,7 @@ def svd3x3(F: jnp.ndarray):
     usual sign ambiguity)."""
     S = F.T @ F
     w, V = jacobi_eigh3(S)
-    sigma = jnp.sqrt(jnp.maximum(w, 0.0))
+    sigma = _grad_safe_sqrt(w)
     U = _orthonormal_u(F @ V, sigma)
     return U, sigma, V.T
 
@@ -130,7 +148,7 @@ def svd2x2(F: jnp.ndarray):
     """SVD of a 2x2 matrix (descending non-negative singular values)."""
     S = F.T @ F
     w, V = jacobi_eigh2(S)
-    sigma = jnp.sqrt(jnp.maximum(w, 0.0))
+    sigma = _grad_safe_sqrt(w)
     U = _orthonormal_u(F @ V, sigma)
     return U, sigma, V.T
 

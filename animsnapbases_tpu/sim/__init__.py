@@ -8,3 +8,4 @@ jit-compiled functional steps."""
 from animsnapbases_tpu.sim.model import DeformableModel
 from animsnapbases_tpu.sim.solver import Solver
 from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
+from animsnapbases_tpu.sim.diff import DiffReducedSim, fit_scales

@@ -87,22 +87,32 @@ def build_global_matrix(model: DeformableModel, dt: float):
         shape=(3 * n, 3 * n))
 
 
-def build_constraint_dim_coo(model: DeformableModel):
-    """COO triplets of the per-dim *constraint* block ``A_c`` (N, N).
+def group_dim_triplets(g):
+    """One group's per-dim (N, N) LHS block as COO triplets.
 
     Every group's LHS couples equal dims only with per-dim-identical values
     (ref ``Simulators.py:559-613`` builds the same Kronecker-lifted pattern),
-    so the d=0 entries fully describe the block:
-    ``A_d = A_c + diag(mass/dt^2)`` for every dim d.
-    """
+    so the d=0 entries fully describe the block.  Single source of that
+    layout assumption — used by :func:`build_constraint_dim_coo` and the
+    differentiable per-group operators (``sim/diff.py``)."""
+    if g.lhs_rows is None or len(g.lhs_rows) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), np.empty(0)
+    m = (g.lhs_rows % 3 == 0) & (g.lhs_cols % 3 == 0)
+    return g.lhs_rows[m] // 3, g.lhs_cols[m] // 3, g.lhs_vals[m]
+
+
+def build_constraint_dim_coo(model: DeformableModel):
+    """COO triplets of the per-dim *constraint* block ``A_c`` (N, N):
+    ``A_d = A_c + diag(mass/dt^2)`` for every dim d (see
+    :func:`group_dim_triplets`)."""
     rows, cols, vals = [], [], []
     for g in model.groups.values():
-        if g.lhs_rows is None or len(g.lhs_rows) == 0:
-            continue
-        m = (g.lhs_rows % 3 == 0) & (g.lhs_cols % 3 == 0)
-        rows.append(g.lhs_rows[m] // 3)
-        cols.append(g.lhs_cols[m] // 3)
-        vals.append(g.lhs_vals[m])
+        r, c, v = group_dim_triplets(g)
+        if len(r):
+            rows.append(r)
+            cols.append(c)
+            vals.append(v)
     if not rows:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), np.empty(0)
