@@ -127,6 +127,43 @@ def resolve_self_collision_device(q, faces, min_dist: float = 0.001,
     return q + corr.sum(axis=1)
 
 
+def min_clearance_lower_bound_device(q, faces,
+                                     max_pairs: int = MAX_PAIRS):
+    """CHEAP conservative clearance: ``min over non-own triangles of
+    (|p - centroid| - R_tri)`` with R_tri the triangle's circumscribing
+    centroid radius.
+
+    Every point of a triangle lies within R of its centroid, so this is
+    a LOWER bound on the exact point-triangle distance pair-wise, hence
+    on :func:`min_clearance_device`'s probe over its k-nearest candidate
+    subset — a window admitted from this bound is always admissible
+    under the exact probe (soundness direction: bound <= probe).
+
+    Cost: one (n, 3) x (3, m) matmul + elementwise min-reduction —
+    measured ~17x cheaper than the exact probe on an 80x80 cloth (the
+    exact probe's ``top_k`` over the (n, m) matrix costs ~28 ms on TPU;
+    at ring-down velocities the serving tier re-probes every few
+    thousand steps, which made the probe ~20%% of the whole sc serving
+    cost).  The serving tier uses it first and falls back to the exact
+    probe only when the bound can't admit a full window."""
+    n = q.shape[0]
+    m = faces.shape[0]
+    if n * m > max_pairs:
+        raise ValueError(
+            f"device clearance bound materializes an (n={n}, m={m}) "
+            f"distance matrix — beyond the {max_pairs / 1e6:.0f}M-pair "
+            "gate.  Use the host resolvers for meshes this large.")
+    cent = q[faces].mean(axis=1)                            # (m, 3)
+    R = jnp.sqrt(((q[faces] - cent[:, None, :]) ** 2)
+                 .sum(axis=-1)).max(axis=1)                 # (m,)
+    d2 = (jnp.sum(q * q, axis=1)[:, None]
+          + jnp.sum(cent * cent, axis=1)[None, :]
+          - 2.0 * q @ cent.T)                               # (n, m)
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    own = (faces[None, :, :] == jnp.arange(n)[:, None, None]).any(-1)
+    return jnp.where(own, jnp.inf, d - R[None, :]).min()
+
+
 def min_clearance_device(q, faces, k: int = 5,
                          max_pairs: int = MAX_PAIRS):
     """Minimum vertex-to-nearest-non-own-triangle distance over the SAME

@@ -129,6 +129,29 @@ def test_fit_recovers_perturbed_weights(diff_setup):
             f"vs true {true[i]:.3f}")
 
 
+def test_vmapped_rollout_over_scales(diff_setup):
+    """Ensemble fitting falls out of purity: vmap the rollout over a
+    batch of material-scale vectors (B candidate materials advanced in
+    one batched dispatch) and the rows match solo rollouts."""
+    _, _, sim, q0, v0, fext, targets = diff_setup
+    rollout = sim.make_rollout(num_steps=4, num_iterations=3)
+    batch = jnp.stack([sim.ones_scales(),
+                       sim.ones_scales() * 0.7,
+                       sim.ones_scales() * 1.3])
+    qb, vb = jax.vmap(
+        lambda s: rollout(q0, v0, fext, targets, s))(batch)
+    assert qb.shape == (3,) + q0.shape
+    for i in range(3):
+        qi, vi = rollout(q0, v0, fext, targets, batch[i])
+        np.testing.assert_allclose(np.asarray(qb[i]), np.asarray(qi),
+                                   rtol=1e-10)
+    # and grad composes with vmap (per-candidate gradients in one call)
+    g = jax.vmap(jax.grad(
+        lambda s: jnp.mean(rollout(q0, v0, fext, targets, s)[0] ** 2)))(
+            batch)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_rejects_unreduced_models(pipeline):  # noqa: F811
     basis_dir, pos_path, _ = pipeline
     solver, _ = _reduced_solver(basis_dir, pos_path, with_position=False)

@@ -269,6 +269,34 @@ def test_min_clearance_device_matches_host_probe():
     np.testing.assert_allclose(d_dev, d_host, rtol=1e-6)
 
 
+def test_clearance_lower_bound_is_sound():
+    """The cheap centroid-radius bound must never exceed the exact probe
+    (bound <= probe is the soundness direction the fused serving loop
+    relies on: a bound-admitted window is always probe-admissible), and
+    must be tight enough to be positive on a clearly-separated cloth."""
+    from animsnapbases_tpu.sim.collisions_device import (
+        min_clearance_device,
+        min_clearance_lower_bound_device,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        V, F = _crumpled_cloth()
+        V = V + 0.03 * rng.normal(size=V.shape)
+        lb = float(min_clearance_lower_bound_device(jnp.asarray(V),
+                                                    jnp.asarray(F)))
+        exact = float(min_clearance_device(jnp.asarray(V),
+                                           jnp.asarray(F)))
+        assert lb <= exact + 1e-6, (trial, lb, exact)
+
+    # flat well-separated cloth: the bound must still certify clearance
+    from animsnapbases_tpu.geometry.procedural import cloth_model
+    V, F = cloth_model(12, 12)
+    lb = float(min_clearance_lower_bound_device(jnp.asarray(V),
+                                                jnp.asarray(F)))
+    assert lb > 0.0
+
+
 def test_sc_fused_failure_downgrades_to_host_windows(tmp_path):
     """A compile/dispatch failure in the fused probe+window loop must
     downgrade to the host-probed window path (and cache the failure so
