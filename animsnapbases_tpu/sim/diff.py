@@ -35,6 +35,15 @@ Intended for OFFLINE fitting/design loops (typically CPU x64 or a single
 chip), not the serving path: the self-collision pass is not applied, and
 per-step ``jax.checkpoint`` keeps reverse-mode memory at O(T * state)
 instead of O(T * state * iterations).
+
+PRECISION CAVEAT (r4 advisor): ``jnp.linalg.solve`` on ``Ar`` runs in
+the working dtype.  With pinned vertices ``Ar`` carries 1e10/dt^2 mass
+terms (cond ~1e9-1e10) — exactly the regime the production path avoids
+by inverting in host f64 (``sim/reduced.py`` prefactorization
+rationale).  On CPU the default x64 keeps this accurate; under
+``--tpu`` (f32) rollouts and gradients on models WITH mass pins may be
+silently inaccurate — gradient parity is only verified on CPU x64.
+Prefer CPU for fitting pinned models, or unpin before fitting on-device.
 """
 
 from __future__ import annotations

@@ -2534,16 +2534,25 @@ class AnimSnapBasesSolver:
         faces_j = jnp.asarray(iperm[np.asarray(self.model.faces)])
         min_dist = float(getattr(self, "self_collision_min_dist", 0.001))
         cap = float(getattr(self, "self_collision_window_cap", 4096))
+        # staleness guard (r4 advisor finding): the carried budget
+        # iterates the 2x-velocity-growth HEURISTIC — if it (rather than
+        # the sound fresh lower bound) keeps admitting windows, a
+        # heuristic violation could otherwise survive indefinitely.
+        # Force the exact probe after K consecutive budget-admitted
+        # windows so a miss is bounded to K windows.
+        max_carry = int(getattr(self, "self_collision_budget_windows", 8))
         dt = self.dt
 
         def loop(P0, V0, Fx, rb, total, consts, arrays, num_iterations):
+            dtype = P0.dtype
+
             def cond(c):
-                _, _, done, stop, _ = c
+                _, _, done, stop, _, _ = c
                 return jnp.logical_and(done < total,
                                        jnp.logical_not(stop))
 
             def body(c):
-                P, V, done, _, budget = c
+                P, V, done, _, budget, nb = c
                 Pt = P.T.astype(jnp.float32)
                 # clearance BUDGET carried across windows: the exact
                 # top_k probe costs ~28 ms on an 80x80 cloth (it was
@@ -2554,19 +2563,30 @@ class AnimSnapBasesSolver:
                 # is just that bound iterated), and (b) refreshes it
                 # with the ~17x-cheaper centroid-radius lower bound
                 # (sound: bound <= exact distance pair-wise).  The exact
-                # probe runs ONLY when both leave the budget under one
-                # step — and is then authoritative for the stop
-                # (proximity) decision.
+                # probe runs when both leave the budget under one step —
+                # and every `max_carry` consecutive budget-admitted
+                # windows (see above) — and is then authoritative for
+                # the stop (proximity) decision.
                 bound = (min_clearance_lower_bound_device(Pt, faces_j)
-                         - min_dist)
+                         - min_dist).astype(dtype)
+                carried = budget
                 budget = jnp.maximum(budget, bound)
                 vmax = jnp.sqrt((V * V).sum(axis=0)).max()
                 denom = 4.0 * dt * jnp.maximum(vmax, 1e-12)
+                need_exact = jnp.logical_or(budget < denom,
+                                            nb >= max_carry)
                 clearance = jax.lax.cond(
-                    budget >= denom,
+                    need_exact,
+                    lambda p: (min_clearance_device(p, faces_j)
+                               - min_dist).astype(dtype),
                     lambda p: budget,
-                    lambda p: min_clearance_device(p, faces_j) - min_dist,
                     Pt)
+                # count consecutive windows where the CARRIED term (the
+                # heuristic) is what admitted, not the fresh sound bound
+                by_carry = jnp.logical_and(jnp.logical_not(need_exact),
+                                           carried > bound)
+                nb = jnp.where(need_exact, 0,
+                               jnp.where(by_carry, nb + 1, 0))
                 w = jnp.floor(clearance / denom)
                 w = jnp.clip(jnp.nan_to_num(w, nan=0.0), 0.0, cap)
                 w = jnp.minimum(w.astype(jnp.int32),
@@ -2577,17 +2597,19 @@ class AnimSnapBasesSolver:
                 P2, V2, k = fast.body(P, V, Fx, rb, steps_arr,
                                       consts, arrays, num_iterations)
                 k = k[0, 0]
-                budget = clearance - k.astype(jnp.float32) * denom
+                budget = (clearance
+                          - k.astype(dtype) * denom).astype(dtype)
                 # an in-window early exit (floor contact) also hands
                 # control back to the host tiers
                 return (P2, V2, done + k,
-                        jnp.logical_or(stop, k < w), budget)
+                        jnp.logical_or(stop, k < w), budget, nb)
 
-            P, V, done, _, _ = jax.lax.while_loop(
+            P, V, done, _, _, _ = jax.lax.while_loop(
                 cond, body,
                 (P0, V0, jnp.zeros((), dtype=jnp.int32),
                  jnp.zeros((), dtype=bool),
-                 jnp.zeros((), dtype=jnp.float32)))
+                 jnp.zeros((), dtype=dtype),
+                 jnp.zeros((), dtype=jnp.int32)))
             return P, V, done
 
         # the kernel's const operands (multi-MB (3, r, N) matrices) must

@@ -58,7 +58,11 @@ def make_model():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tpu", action="store_true",
-                    help="run on the default backend instead of CPU x64")
+                    help="run on the default backend instead of CPU x64 "
+                         "(CAVEAT: f32 — the r x r solves carry 1e10 "
+                         "pinned-mass terms, cond ~1e9-1e10; gradients "
+                         "on pinned models may be inaccurate, parity is "
+                         "only verified on CPU x64; see sim/diff.py)")
     ap.add_argument("--steps", type=int, default=150, help="Adam steps")
     ap.add_argument("--horizon", type=int, default=16,
                     help="fitted trajectory length (sim steps)")

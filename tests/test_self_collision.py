@@ -190,6 +190,8 @@ def test_reduced_device_collision_captured(tmp_path):
     and run_steps matches step() — at 0.004 scale the clearance
     (~4x min_dist) certifies the window, the pass is identity, and the
     f64 interpret-mode resident kernel reproduces the per-step math."""
+    import warnings
+
     build = _reduced_sc_builder(tmp_path)
     s1, m1 = build()
     assert s1._collision_mode == "device"
@@ -199,7 +201,13 @@ def test_reduced_device_collision_captured(tmp_path):
     f[:, 1] = -9.81 * 10.0 * 0.01
     for _ in range(5):
         s1.step(f, num_iterations=4)
-    s2.run_steps(f, 5, num_iterations=4)
+    with warnings.catch_warnings():
+        # the fused loop must trace and serve — a downgrade warning
+        # here means the equivalence test covers the fallback, not the
+        # shipping path (round-4 review finding: x64 dtype leak)
+        warnings.simplefilter("error", UserWarning)
+        s2.run_steps(f, 5, num_iterations=4)
+    assert callable(s2._sc_fused)         # fused loop built, not poisoned
     np.testing.assert_allclose(m2.positions, m1.positions, atol=1e-9)
     assert np.isfinite(m1.positions).all()
 
@@ -224,13 +232,18 @@ def test_sc_resident_tier_serves_clear_windows(tmp_path):
     tier must serve the WHOLE call on the resident kernels (certificate
     set) and match the per-step device-SC path, whose pass is identity
     throughout (tolerance covers resident-vs-step f32 ordering only)."""
+    import warnings
+
     build = _reduced_sc_builder(tmp_path, scale=1.0)
     s1, m1 = build()
     assert getattr(s1, "_resident", None) is not None
     s2, m2 = build()
     f = np.zeros_like(m1.positions)
     f[:, 1] = -9.81 * 10.0 * 0.001
-    s1.run_steps(f, 12, num_iterations=4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        s1.run_steps(f, 12, num_iterations=4)
+    assert callable(s1._sc_fused)         # fused loop served, no fallback
     assert s1._last_fast_steps == 12      # tier 1 covered every step
     for _ in range(12):
         s2.step(f, num_iterations=4)
@@ -244,12 +257,17 @@ def test_sc_resident_tier_hands_back_on_proximity(tmp_path):
     per-step jit (pass fused, actively pushing), the whole-call tier-1
     certificate must stay unset, and the result must equal the exact
     per-step path bit-for-bit."""
+    import warnings
+
     build = _reduced_sc_builder(tmp_path, scale=0.0008)
     s1, m1 = build()
     s2, m2 = build()
     f = np.zeros_like(m1.positions)
     f[:, 1] = -9.81 * 10.0 * 0.01
-    s1.run_steps(f, 8, num_iterations=4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        s1.run_steps(f, 8, num_iterations=4)
+    assert callable(s1._sc_fused)         # fused loop traced (then stopped)
     assert s1._last_fast_steps is None    # tier 1 never certified
     for _ in range(8):
         s2.step(f, num_iterations=4)
@@ -295,6 +313,30 @@ def test_clearance_lower_bound_is_sound():
     lb = float(min_clearance_lower_bound_device(jnp.asarray(V),
                                                 jnp.asarray(F)))
     assert lb > 0.0
+
+
+def test_sc_budget_staleness_guard_every_window_matches(tmp_path):
+    """self_collision_budget_windows=0 forces the exact probe at EVERY
+    window (the staleness guard's strictest setting).  On a clear scene
+    the exact probe and the budget-carry heuristic admit the same
+    windows, so the trajectory must match the default bit-for-bit —
+    and the guard path itself must trace (no downgrade warning)."""
+    import warnings
+
+    build = _reduced_sc_builder(tmp_path, scale=1.0)
+    s1, m1 = build()
+    s2, m2 = build()
+    s2.self_collision_budget_windows = 0
+    s2._sc_fused = None                   # rebuild with the new K
+    f = np.zeros_like(m1.positions)
+    f[:, 1] = -9.81 * 10.0 * 0.001
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        s1.run_steps(f, 12, num_iterations=4)
+        s2.run_steps(f, 12, num_iterations=4)
+    assert callable(s1._sc_fused) and callable(s2._sc_fused)
+    assert s2._last_fast_steps == 12
+    np.testing.assert_allclose(m1.positions, m2.positions, atol=0)
 
 
 def test_sc_fused_failure_downgrades_to_host_windows(tmp_path):
