@@ -452,6 +452,47 @@ def cloth_snapshots(args, record_fom_info=False, params=None,
                           record_fom_info=record_fom_info, **kw)
 
 
+def _volumetric_mesh_geometry(mesh_name):
+    """Surface ``<mesh>.obj`` -> tet mesh through the repo
+    tetrahedralizer (the reference wraps tetgen for exactly this,
+    Constraint_projections.py:692-707).  Looks in ``args.mesh_data_dir``
+    (default: the reference data mount), with a coarse volumetric bar as
+    the zero-egress fallback so tests run without the mount."""
+    def build(args):
+        data_dir = getattr(args, "mesh_data_dir",
+                           "/root/reference/data") or ""
+        path = os.path.join(data_dir, mesh_name + ".obj")
+        if os.path.exists(path):
+            from animsnapbases_tpu.geometry.volume import tetrahedralize
+            from animsnapbases_tpu.io.meshes import load_obj
+
+            V, F = load_obj(path)
+            TV, IT, FB = tetrahedralize(V, F)
+            return TV, FB, IT
+        V, T, F, _ = bar_model(10, 5, 5)
+        return V, F, T
+    return build
+
+
+def _mesh_gfall(mesh_name, stop_frame):
+    """Gravity-fall recording scenario for a volumetric mesh: no pins,
+    drop onto the floor under gravity with tet strain — the experiment
+    behind the reference's ``<mesh>_gFall`` example configs
+    (config/examples/{bunny,armadillo}_gFall_*.json)."""
+    def scenario(args, record_fom_info=False, params=None, **kw):
+        return ScenarioDriver(args, mesh_name, f"{mesh_name}_gFall",
+                              _volumetric_mesh_geometry(mesh_name), {},
+                              stop_frame=stop_frame,
+                              record_fom_info=record_fom_info, **kw)
+    scenario.__name__ = f"{mesh_name}_gFall"
+    return scenario
+
+
+bunny_gfall = _mesh_gfall("bunny", stop_frame=200)      # 200: the pos
+# pipeline reads pos_0..pos_198 (numFrames 100 x increment 2)
+armadillo_gfall = _mesh_gfall("armadillo", stop_frame=144)
+
+
 SCENARIOS = {
     "bar_automated_deformationgradient": bar_automated_deformationgradient,
     "cloth_automated_bend_spring_strain": cloth_automated_bend_spring_strain,
@@ -459,6 +500,8 @@ SCENARIOS = {
     "cloth_automated_bend": cloth_automated_bend,
     "cloth_automated_spring": cloth_automated_spring,
     "cloth_snapshots": cloth_snapshots,
+    "bunny_gFall": bunny_gfall,
+    "armadillo_gFall": armadillo_gfall,
     "testing": cloth_snapshots,
 }
 

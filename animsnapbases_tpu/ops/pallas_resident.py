@@ -1150,7 +1150,9 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
                                   eta: float = 1.0,
                                   floor_bound_skip: bool = True,
                                   floor_exact: bool = True,
-                                  fold_vc: bool = True):
+                                  fold_vc: bool = True,
+                                  static_rb: bool = True,
+                                  sqrt_free_bound: bool = True):
     """CHUNKED tier-1 affine kernel: rebase and materialization move OUT
     of the Pallas kernel into an XLA ``while_loop`` around it, so the
     kernel carries only COEFFICIENT state.
@@ -1233,6 +1235,24 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
     re-association argument as the iteration fold: only well-scaled
     gathered vertex values are re-ordered (the r-space rb cancellation
     is untouched).
+
+    Round-5 per-step-shell cuts (the roofline intercept decomposition,
+    scripts/roofline_intercept.py — the shell costs as much as ~4
+    iterations at the default 10):
+
+    * ``static_rb`` (default on): when the rb schedule is a single
+      static row (t_len == 1 — every constant-force scene: flagship,
+      bridge, cloth, contact, ensembles), the per-step dynamic VMEM
+      load ``rbex_ref[pl.ds(...)]`` is hoisted out of the step loop
+      entirely; animated schedules (t_len > 1) keep the per-step load.
+      Pure load hoist — bit-identical values.
+    * ``sqrt_free_bound`` (default on): the O(r) floor bound compares
+      squared magnitudes (``m*m < (1.25*umax)^2 * ||wsn_y||^2`` with an
+      ``m < 0`` escape) instead of materializing ``||wsn_y||`` with a
+      dependent ``sqrt``.  Algebraically the same test; f32 rounding at
+      the compare differs in the last ulp, which only moves WHEN the
+      exact check / rebase-exit runs (the 25 % slack term dwarfs it) —
+      never the committed state on floor_exact builds.
     """
     assert floor_exact or floor_bound_skip, \
         "floor_exact=False requires the certified floor bound"
@@ -1319,6 +1339,11 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
         stride = -(-3 * nb // 8) * 8
         t_len = rbex_ref.shape[0] // stride
         mm_dtype = ulifty_ref.dtype
+        # static-force schedules (t_len == 1): ONE rb row serves every
+        # step — load it here, outside the step loop, instead of a
+        # per-step dynamic VMEM load (see docstring)
+        rb_static = (rbex_ref[:][:3 * nb]
+                     if static_rb and t_len == 1 else None)
         iterate = _make_iteration_loop(layout, gather_slices,
                                        term_dispatch, garrs, WT,
                                        G_allT_v, C_all_v, r, acc, nb)
@@ -1368,12 +1393,23 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
                                     a1 * ymx[nb:2 * nb])
                         + jnp.where(a2 >= 0, a2 * ymn[2 * nb:3 * nb],
                                     a2 * ymx[2 * nb:3 * nb]))
-                    wn = jnp.sqrt(jnp.sum(wsn_y * wsn_y, axis=1,
-                                          keepdims=True))
-                    slack = (0.25 * wn * umax
-                             + 1e-6 * (1.0 + jnp.abs(lb_aff)))
-                    lb = lb_aff - wn * umax - slack
-                    maybe = jnp.any(lb < floor_h)
+                    if sqrt_free_bound:
+                        # lb_aff - 1.25*wn*umax - eps < floor_h, with
+                        # wn = ||wsn_y||, tested on squared magnitudes
+                        # (one fewer dependent VPU op per step)
+                        wn2 = jnp.sum(wsn_y * wsn_y, axis=1,
+                                      keepdims=True)
+                        m = (lb_aff - floor_h
+                             - 1e-6 * (1.0 + jnp.abs(lb_aff)))
+                        c2 = (1.25 * umax) * (1.25 * umax)
+                        maybe = jnp.any((m < 0) | (m * m < c2 * wn2))
+                    else:
+                        wn = jnp.sqrt(jnp.sum(wsn_y * wsn_y, axis=1,
+                                              keepdims=True))
+                        slack = (0.25 * wn * umax
+                                 + 1e-6 * (1.0 + jnp.abs(lb_aff)))
+                        lb = lb_aff - wn * umax - slack
+                        maybe = jnp.any(lb < floor_h)
                     if floor_exact:
                         cl_ref[0] = 0
 
@@ -1400,9 +1436,11 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
 
                 @pl.when(jnp.logical_not(clamped))
                 def _free():
-                    rb_ex = rbex_ref[pl.ds(
-                        stride * jnp.minimum(start + i, t_len - 1),
-                        stride)][:3 * nb]
+                    rb_ex = (rb_static if rb_static is not None
+                             else rbex_ref[pl.ds(
+                                 stride * jnp.minimum(start + i,
+                                                      t_len - 1),
+                                 stride)][:3 * nb])
                     rb_lin = (asn[:, 0:1] * bu0 + asn[:, 1:2] * bu1
                               + asn[:, 2:3] * bu_fa
                               + jnp.concatenate(

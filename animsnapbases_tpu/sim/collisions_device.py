@@ -66,10 +66,20 @@ def closest_point_on_triangle(p, a, b, c):
     return out
 
 
-# hard gate on the O(n*m) candidate-distance matrix: above this the pass
-# would allocate GBs inside the jitted step — fail loudly instead (the
-# host KD-tree resolvers handle big meshes)
+# budget on the O(n*m) candidate-distance SLAB: above this the (n, m)
+# matrix is computed in row blocks of <= MAX_PAIRS pairs each (exact —
+# top_k and min-reductions are row-independent) instead of materialized
+# whole, so production-scale meshes run on device with bounded
+# temporaries instead of failing the old hard gate (round-5: the gate
+# capped the device tier at ~12k verts on cloth-density meshes)
 MAX_PAIRS = 150_000_000
+
+
+def _block_rows(n: int, m: int, max_pairs: int) -> int:
+    """Rows per slab so rows*m <= max_pairs (>=8, sublane-aligned)."""
+    rows = max(8, int(max_pairs // max(m, 1)))
+    rows = min(n, rows - rows % 8 if rows % 8 and rows > 8 else rows)
+    return max(1, rows)
 
 
 def _candidate_distances(q, faces, k: int, max_pairs: int, what: str):
@@ -81,23 +91,34 @@ def _candidate_distances(q, faces, k: int, max_pairs: int, what: str):
     the resident serving tier's certificate ("the pass is the identity
     exactly when the probed clearance is >= min_dist") is sound only
     while the probe and the pass test the SAME candidate set with the
-    same metric — tuning k, the centroid metric, or the pair gate in one
-    without the other silently breaks certified windows."""
+    same metric — tuning k, the centroid metric, or the pair budget in
+    one without the other silently breaks certified windows."""
     n = q.shape[0]
     m = faces.shape[0]
-    if n * m > max_pairs:
-        raise ValueError(
-            f"device {what} materializes an (n={n}, m={m}) distance "
-            f"matrix ({n * m * 4 / 1e9:.1f} GB) — beyond the "
-            f"{max_pairs / 1e6:.0f}M-pair gate.  Use the host resolvers "
-            f"(enable_self_collision=True) for meshes this large.")
     k = min(k, m)
     cent = q[faces].mean(axis=1)                            # (m, 3)
-    # squared centroid distances via the matmul identity (MXU-friendly)
-    d2 = (jnp.sum(q * q, axis=1)[:, None]
-          + jnp.sum(cent * cent, axis=1)[None, :]
-          - 2.0 * q @ cent.T)                               # (n, m)
-    _, idx = jax.lax.top_k(-d2, k)                          # (n, k)
+    cc = jnp.sum(cent * cent, axis=1)[None, :]              # (1, m)
+    if n * m > max_pairs:
+        # row-blocked candidate selection: identical per-row top_k (rows
+        # are independent), but only a (rows, m) slab lives at a time —
+        # this is what admits >=25k-vert meshes to the device tier
+        rows = _block_rows(n, m, max_pairs)
+        nblk = -(-n // rows)
+        qp = jnp.pad(q, ((0, nblk * rows - n), (0, 0)))
+
+        def block(qi):
+            d2 = (jnp.sum(qi * qi, axis=1)[:, None] + cc
+                  - 2.0 * qi @ cent.T)                      # (rows, m)
+            return jax.lax.top_k(-d2, k)[1]
+
+        idx = jax.lax.map(block, qp.reshape(nblk, rows, 3))
+        idx = idx.reshape(-1, k)[:n]                        # (n, k)
+    else:
+        # squared centroid distances via the matmul identity
+        # (MXU-friendly), one slab
+        d2 = (jnp.sum(q * q, axis=1)[:, None] + cc
+              - 2.0 * q @ cent.T)                           # (n, m)
+        _, idx = jax.lax.top_k(-d2, k)                      # (n, k)
 
     cand = faces[idx]                                       # (n, k, 3)
     own = jnp.any(cand == jnp.arange(n)[:, None, None], axis=-1)  # (n, k)
@@ -148,16 +169,29 @@ def min_clearance_lower_bound_device(q, faces,
     probe only when the bound can't admit a full window."""
     n = q.shape[0]
     m = faces.shape[0]
-    if n * m > max_pairs:
-        raise ValueError(
-            f"device clearance bound materializes an (n={n}, m={m}) "
-            f"distance matrix — beyond the {max_pairs / 1e6:.0f}M-pair "
-            "gate.  Use the host resolvers for meshes this large.")
     cent = q[faces].mean(axis=1)                            # (m, 3)
     R = jnp.sqrt(((q[faces] - cent[:, None, :]) ** 2)
                  .sum(axis=-1)).max(axis=1)                 # (m,)
-    d2 = (jnp.sum(q * q, axis=1)[:, None]
-          + jnp.sum(cent * cent, axis=1)[None, :]
+    cc = jnp.sum(cent * cent, axis=1)[None, :]
+    if n * m > max_pairs:
+        # row-blocked (exact: a global min of per-slab mins).  Padded
+        # rows sit at 1e18 so their distances dominate every real one.
+        rows = _block_rows(n, m, max_pairs)
+        nblk = -(-n // rows)
+        pad = nblk * rows - n
+        qp = jnp.pad(q, ((0, pad), (0, 0)), constant_values=1e18)
+        vi = jnp.arange(nblk * rows).reshape(nblk, rows)
+
+        def block(args):
+            qi, vii = args
+            d2 = (jnp.sum(qi * qi, axis=1)[:, None] + cc
+                  - 2.0 * qi @ cent.T)
+            d = jnp.sqrt(jnp.maximum(d2, 0.0))
+            own = (faces[None, :, :] == vii[:, None, None]).any(-1)
+            return jnp.where(own, jnp.inf, d - R[None, :]).min()
+
+        return jax.lax.map(block, (qp.reshape(nblk, rows, 3), vi)).min()
+    d2 = (jnp.sum(q * q, axis=1)[:, None] + cc
           - 2.0 * q @ cent.T)                               # (n, m)
     d = jnp.sqrt(jnp.maximum(d2, 0.0))
     own = (faces[None, :, :] == jnp.arange(n)[:, None, None]).any(-1)

@@ -717,7 +717,8 @@ class AnimSnapBasesSolver:
                 interpret=interpret, eta=getattr(self, "eta", 1.0),
                 floor_bound_skip=getattr(
                     self, "resident_floor_bound_skip", True),
-                floor_exact=self._chunked_floor_exact(n))
+                floor_exact=self._chunked_floor_exact(n),
+                **getattr(self, "resident_chunked_opts", {}))
             self._resident_fast_kind = "chunked"
             self._resident_fallback = None
             if chunked_only:
@@ -1026,7 +1027,8 @@ class AnimSnapBasesSolver:
             eta=getattr(self, "eta", 1.0),
             floor_bound_skip=getattr(
                 self, "resident_floor_bound_skip", True),
-            floor_exact=self._chunked_floor_exact(st["n"]))
+            floor_exact=self._chunked_floor_exact(st["n"]),
+            **getattr(self, "resident_chunked_opts", {}))
         self._resident_batched[key] = run
         return run
 

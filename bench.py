@@ -342,7 +342,13 @@ def certify_floor_clear(positions, velocities=None):
     return end_min_y
 
 
-def build_reduced_solver(meta, dtype):
+def build_reduced_solver(meta, dtype, pos_modes=None, constr_modes=None,
+                         oversample=None):
+    """Flagship reduced solver from the cached artifacts.  The optional
+    overrides truncate the CACHED bases (columns of the stored POD /
+    prefixes of the stored DEIM selection) — the accuracy-speed Pareto
+    sweep (scripts/pareto.py) varies them without rebuilding artifacts;
+    defaults reproduce the flagship configuration exactly."""
     from animsnapbases_tpu.config.sim_config import default_sim_args
     from animsnapbases_tpu.sim.reduced import AnimSnapBasesSolver
 
@@ -353,18 +359,21 @@ def build_reduced_solver(meta, dtype):
     args.dt = DT
     args.damping = DAMPING
     args.constraint_projection_basis_type = "deim_pod_vectorized"
-    n_modes = min(30, CONSTR_MODES)
+    n_modes = (min(30, CONSTR_MODES) if constr_modes is None
+               else constr_modes)
     args.tri_strain_reduced = True
     args.tri_strain_num_components = n_modes
     args.edge_spring_reduced = True
     args.edge_spring_num_components = n_modes
     # oversampled DEIM (4/3 x points) keeps the hyper-reduced local-global
     # iteration contractive at the full 10 iterations/step
-    args.deim_oversample = 4.0 / 3.0
+    args.deim_oversample = (4.0 / 3.0 if oversample is None
+                            else oversample)
     args.geom_interpolation_basis_dir = meta["basis_dir"]
     args.geom_interpolation_basis_file = "basis.npz"
     args.position_reduced = True
-    args.position_num_components = POS_MODES
+    args.position_num_components = (POS_MODES if pos_modes is None
+                                    else pos_modes)
     args.position_basis_file = meta["pos_path"]
 
     import jax.numpy as _jnp

@@ -15,6 +15,18 @@ Scene: the cloth hangs from one fixed side in a damped near-rest state
 admits long windows).  The contrast number (``per_step_fused``) is the
 SAME scene timed with ``self_collision_resident=False`` — the exact
 pre-tier behavior — measured in-process so tunnel load cancels.
+
+Round-5 additions (VERDICT r4 item 5 — production scale):
+
+* ``SC_ROWS=160`` runs a 25,600-vertex cloth, past the old 150M-pair
+  hard gate — served by the row-blocked exact probe
+  (``collisions_device._candidate_distances``).
+* The exact probe and the cheap centroid-radius lower bound are timed
+  directly (ms per call at this N).
+* ``SC_CAPS`` sweeps the window cap: time/step vs 1/cap fits the
+  per-window overhead (probe + loop turn) and the asymptotic tier-1
+  rate — the probe-cost-vs-window-length column.
+
 Prints ONE JSON line.
 """
 
@@ -32,6 +44,8 @@ ROWS = int(os.environ.get("SC_ROWS", "80"))
 CHUNK = int(os.environ.get("SC_CHUNK", "60000"))
 CHUNK_SLOW = int(os.environ.get("SC_CHUNK_SLOW", "2000"))
 TRIALS = int(os.environ.get("SC_TRIALS", "3"))
+CAPS = tuple(int(c) for c in os.environ.get(
+    "SC_CAPS", "2048,8192,32768").split(",") if c)
 
 
 def log(*a):
@@ -122,6 +136,54 @@ def main():
         f"end clearance {clearance:.4f} (min_dist 0.001)")
     assert finite and clearance > 0.001
 
+    # --- probe cost at this N (exact top_k probe vs cheap bound) -----
+    import jax
+
+    from animsnapbases_tpu.sim.collisions_device import (
+        min_clearance_device,
+        min_clearance_lower_bound_device,
+    )
+
+    _, perm, iperm = solver._resident
+    faces_j = jnp.asarray(iperm[np.asarray(model.faces)])
+    Pt = jnp.asarray(model.positions[perm], dtype=jnp.float32)
+    probe_j = jax.jit(lambda p: min_clearance_device(p, faces_j))
+    bound_j = jax.jit(
+        lambda p: min_clearance_lower_bound_device(p, faces_j))
+    probe_ms, bound_ms = [], []
+    jax.block_until_ready(probe_j(Pt))          # compile
+    jax.block_until_ready(bound_j(Pt))
+    for _ in range(5):
+        t0 = time.time()
+        jax.block_until_ready(probe_j(Pt))
+        probe_ms.append((time.time() - t0) * 1e3)
+        t0 = time.time()
+        jax.block_until_ready(bound_j(Pt))
+        bound_ms.append((time.time() - t0) * 1e3)
+    probe_ms, bound_ms = min(probe_ms), min(bound_ms)
+    blocked = n * len(F) > 150_000_000
+    log(f"[bench_sc] exact probe {probe_ms:.1f} ms, lower bound "
+        f"{bound_ms:.1f} ms per call (n*m={n * len(F) / 1e6:.0f}M, "
+        f"{'row-blocked' if blocked else 'single-slab'})")
+
+    # --- probe overhead vs window length: sweep the window cap -------
+    # time/step = tier1_us + overhead_us_per_window / cap  (the damped
+    # near-rest scene admits full caps, so windows == cap steps)
+    cap_rates = {}
+    for cap in CAPS:
+        solver.self_collision_window_cap = cap
+        solver._sc_fused = None           # rebuild the fused loop
+        solver.run_steps(fext, 200, num_iterations=10)   # compile
+        cap_rates[cap] = timed(min(CHUNK, cap * 8), max(2, TRIALS - 1))
+    solver.self_collision_window_cap = 32768
+    solver._sc_fused = None
+    xs = np.array([1.0 / c for c in CAPS])
+    ys = np.array([1e6 / cap_rates[c] for c in CAPS])   # us/step
+    ov_slope, tier1_us = np.polyfit(xs, ys, 1)
+    log(f"[bench_sc] window-cap fit: {tier1_us:.2f} us/step asymptote "
+        f"+ {ov_slope:.0f} us/window overhead "
+        f"(~{ov_slope / 1e3:.1f} ms/window incl. probe+loop turn)")
+
     # contrast: the exact pre-tier path (pass fused into every step),
     # measured in-process on a shorter window (it is ~2 orders slower)
     log("[bench_sc] per-step fused path (pre-tier behavior):")
@@ -143,6 +205,14 @@ def main():
                    "speedup_vs_per_step": round(best / slow, 1),
                    "end_clearance": round(float(clearance), 4),
                    "window_cap": 32768,
+                   "probe_ms": round(probe_ms, 2),
+                   "bound_ms": round(bound_ms, 2),
+                   "probe_blocked": blocked,
+                   "cap_sweep_steps_per_sec": {
+                       str(c): round(cap_rates[c], 1) for c in CAPS},
+                   "overhead_us_per_window": round(float(ov_slope), 1),
+                   "tier1_us_per_step_asymptote": round(float(tier1_us),
+                                                        3),
                    "synthetic_basis_r": 32},
     }))
 

@@ -818,6 +818,68 @@ def test_chunked_kernel_windowed_matches(pipeline):
     np.testing.assert_allclose(np.asarray(Vc), np.asarray(Ve), atol=1e-4)
 
 
+def test_chunked_shell_opts_bit_identical(pipeline):
+    """Round-5 per-step-shell cuts (static-rb load hoist + sqrt-free
+    floor bound) must be BIT-identical to the r04 shell: on static-force
+    windows (hoist active), on near-floor trajectories (the bound trips,
+    the exact check decides — so a last-ulp compare difference cannot
+    move state), and on animated schedules (hoist inert, the per-step
+    dynamic rb path still serves)."""
+    from animsnapbases_tpu.ops.pallas_resident import (
+        build_resident_affine_chunked,
+    )
+
+    basis_dir, pos_path, _ = pipeline
+    s, m = _solver(basis_dir, pos_path, "interpret", floor=True,
+                   rebase_every=4)
+    s.resident_contact_mode = False
+    s.set_dirty()
+    s.prepare(s.args)
+    st = s._resident_state
+    ops = st["ops"]
+    common = (ops, ops["gather_slices"], ops["layout"], ops["G_allT"],
+              ops["WT_all"], ops["inv3"], st["U_liftT"],
+              st["ut_acT"], st["M_utac"], st["U_selT"], st["mass_inv"],
+              s.dt, s.model.floor_height, st["n_sel"])
+    kw = dict(rebase_every=4, interpret=True,
+              eta=getattr(s, "eta", 1.0))
+    new = build_resident_affine_chunked(*common, **kw)
+    old = build_resident_affine_chunked(*common, static_rb=False,
+                                        sqrt_free_bound=False, **kw)
+
+    f = gravity_forces(m)
+    r = s.U.shape[1]
+    rb1 = np.zeros((1, 3, r))
+    # 1) static-force contact-free window across rebase boundaries
+    P, V, Fx = _packed_state(s, m, f)
+    Pn, Vn, kn = new(P, V, Fx, rb1, 10, 6)
+    Po, Vo, ko = old(P, V, Fx, rb1, 10, 6)
+    assert int(np.asarray(kn)[0, 0]) == int(np.asarray(ko)[0, 0]) == 10
+    np.testing.assert_array_equal(np.asarray(Pn), np.asarray(Po))
+    np.testing.assert_array_equal(np.asarray(Vn), np.asarray(Vo))
+    # 2) near-floor: the bound trips, the exact check + early exit decide
+    m.positions = m.positions.copy()
+    m.positions[:, 1] -= 2.9
+    P, V, Fx = _packed_state(s, m, f * 4.0)
+    Pn, Vn, kn = new(P, V, Fx, rb1, 30, 6)
+    Po, Vo, ko = old(P, V, Fx, rb1, 30, 6)
+    kn, ko = int(np.asarray(kn)[0, 0]), int(np.asarray(ko)[0, 0])
+    assert 0 < kn < 30 and kn == ko       # same first clamped step
+    np.testing.assert_array_equal(np.asarray(Pn), np.asarray(Po))
+    np.testing.assert_array_equal(np.asarray(Vn), np.asarray(Vo))
+    # 3) animated schedule (t_len > 1): hoist inert, dynamic rb loads
+    m.positions = m.positions.copy()
+    m.positions[:, 1] += 2.9
+    P, V, Fx = _packed_state(s, m, f)
+    rng = np.random.default_rng(7)
+    rb_full = rng.normal(scale=1e-3, size=(16, 3, r))
+    Pn, Vn, kn = new.windowed(P, V, Fx, rb_full, 2, 8, 7, 6)
+    Po, Vo, ko = old.windowed(P, V, Fx, rb_full, 2, 8, 7, 6)
+    assert int(np.asarray(kn)[0, 0]) == int(np.asarray(ko)[0, 0]) == 7
+    np.testing.assert_array_equal(np.asarray(Pn), np.asarray(Po))
+    np.testing.assert_array_equal(np.asarray(Vn), np.asarray(Vo))
+
+
 def test_beyond_gate_estimates_separate():
     """The chunked kernel's coefficient-only footprint is what admits
     beyond-gate models: at 250k verts / r=48 / bf16 matmuls the

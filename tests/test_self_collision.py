@@ -98,13 +98,31 @@ def test_self_collision_gate_characterization():
     assert d_dev > 4e-4                 # resolver holds ~min_dist apart
 
 
-def test_device_collision_size_gate():
-    """Beyond the O(n*m) pair gate the device pass must fail loudly, not
-    OOM opaquely inside jit."""
+def test_device_collision_blocked_matches_unblocked():
+    """Beyond the pair budget the (n, m) candidate matrix is computed in
+    row-blocked slabs (round-5: replaces the old hard ValueError gate) —
+    the pass, the exact probe, and the cheap lower bound must all return
+    IDENTICAL results blocked vs whole, since per-row top_k and min
+    reductions are row-independent."""
+    from animsnapbases_tpu.sim.collisions_device import (
+        min_clearance_device,
+        min_clearance_lower_bound_device,
+    )
+
     V, F = _crumpled_cloth()
-    with pytest.raises(ValueError, match="distance matrix"):
-        resolve_self_collision_device(jnp.asarray(V), jnp.asarray(F),
-                                      max_pairs=10)
+    q, f = jnp.asarray(V), jnp.asarray(F)
+    m = int(f.shape[0])
+    tiny = 16 * m                      # forces ~16-row slabs
+    np.testing.assert_array_equal(
+        np.asarray(resolve_self_collision_device(q, f)),
+        np.asarray(resolve_self_collision_device(q, f, max_pairs=tiny)))
+    np.testing.assert_array_equal(
+        np.asarray(min_clearance_device(q, f)),
+        np.asarray(min_clearance_device(q, f, max_pairs=tiny)))
+    np.testing.assert_array_equal(
+        np.asarray(min_clearance_lower_bound_device(q, f)),
+        np.asarray(min_clearance_lower_bound_device(q, f,
+                                                    max_pairs=tiny)))
 
 
 def test_collide_cache_invalidated_on_set_model():
