@@ -64,7 +64,7 @@ EXPERIMENTS = {
 }
 
 
-def record_experiment(name, max_frames=None):
+def record_experiment(name, max_frames=None, out_dir=None):
     from animsnapbases_tpu.config.sim_config import SimConfig
     from animsnapbases_tpu.demos.scenarios import build_scenario
 
@@ -73,7 +73,14 @@ def record_experiment(name, max_frames=None):
     args = params.build_args("Cloth" if name.startswith("cloth")
                              else "Bar")
     args.solver = "Solver"                    # FOM recording
-    args.output_dir = os.path.join(REPO, "output")
+    args.output_dir = out_dir or os.path.join(REPO, "output")
+    # FOM semantics: the demo JSONs carry replay-time reduction blocks,
+    # but the recording grammar must be the FOM one
+    # (constraint_projection/FOM/<groups>_wi..._, no reduced_ tags)
+    for flag in ("vert_bending_reduced", "edge_spring_reduced",
+                 "tri_strain_reduced", "tet_strain_reduced",
+                 "tet_deformation_reduced", "position_reduced"):
+        setattr(args, flag, False)
     for k, v in overrides.items():
         setattr(args, k, v)
     driver = build_scenario(name, args, record_fom_info=True,
