@@ -125,50 +125,87 @@ def main():
             log(f"[intercept] warm {name}/it={it}: "
                 f"{time.perf_counter() - t0:.1f}s")
 
+    def time_cell(run, it):
+        """One timed CHUNK; exits (exact-free bound trips, floor) are
+        RE-ENTERED from the returned state — exactly run_steps' serving
+        loop, so per-step cost includes the exit/rebase dispatches the
+        variant actually pays.  Returns (us_per_step or None, exits)."""
+        import jax
+
+        done, exits = 0, 0
+        P, V = P0, V0
+        t0 = time.perf_counter()
+        while done < CHUNK:
+            Pn, Vn, k = run(P, V, Fx, rb, CHUNK - done, it)
+            k = int(np.asarray(k)[0, 0])
+            if k == 0:
+                return None, exits        # bound can't clear post-rebase
+            done += k
+            if done < CHUNK:
+                exits += 1
+            P, V = Pn, Vn
+        jax.block_until_ready(Pn)
+        return (time.perf_counter() - t0) / CHUNK * 1e6, exits
+
     # interleaved timing: round-robin over (variant, it) cells so
     # tunnel-load drift hits every cell equally; best-of-ROUNDS per cell
     best = {name: {it: np.inf for it in ITER_COUNTS}
             for name in runners}
+    cell_exits = {name: {} for name in runners}
     for rnd in range(ROUNDS):
         for name, run in runners.items():
             for it in ITER_COUNTS:
-                t0 = time.perf_counter()
-                _, _, k = run(P0, V0, Fx, rb, CHUNK, it)
-                k = int(np.asarray(k)[0, 0])
-                dt_us = (time.perf_counter() - t0) / CHUNK * 1e6
-                assert k == CHUNK, \
-                    f"{name}/it={it} left tier 1 at step {k}"
-                best[name][it] = min(best[name][it], dt_us)
+                dt_us, exits = time_cell(run, it)
+                cell_exits[name][it] = exits
+                if dt_us is None:
+                    best[name][it] = None
+                    continue
+                if best[name][it] is not None:
+                    best[name][it] = min(best[name][it] or np.inf, dt_us)
         log(f"[intercept] round {rnd + 1}/{ROUNDS} done")
 
-    its = np.array(ITER_COUNTS, dtype=float)
+    its_all = np.array(ITER_COUNTS, dtype=float)
     table = {}
     for name in runners:
-        ts = np.array([best[name][it] for it in ITER_COUNTS])
-        slope, intercept = np.polyfit(its, ts, 1)
+        pts = [(it, best[name][it]) for it in ITER_COUNTS
+               if best[name][it] not in (None, np.inf)]
+        slope = intercept = None
+        if len(pts) >= 2:
+            xs = np.array([p[0] for p in pts], dtype=float)
+            ys = np.array([p[1] for p in pts])
+            slope, intercept = np.polyfit(xs, ys, 1)
+        b10 = best[name].get(10)
         table[name] = {
-            "us_per_step": {str(k): round(v, 3)
+            "us_per_step": {str(k): (round(v, 3) if v not in
+                                     (None, np.inf) else None)
                             for k, v in best[name].items()},
-            "slope_us_per_iteration": round(float(slope), 4),
-            "intercept_us_per_step": round(float(intercept), 4),
-            "steps_per_sec_at_10": round(1e6 / best[name][10], 1),
+            "exits": {str(k): v for k, v in cell_exits[name].items()},
+            "slope_us_per_iteration": (round(float(slope), 4)
+                                       if slope is not None else None),
+            "intercept_us_per_step": (round(float(intercept), 4)
+                                      if intercept is not None else None),
+            "steps_per_sec_at_10": (round(1e6 / b10, 1)
+                                    if b10 not in (None, np.inf)
+                                    else None),
         }
-        log(f"[intercept] {name:>15}: slope {slope:.3f} "
-            f"intercept {intercept:.3f} "
-            f"({1e6 / best[name][10]:,.0f} steps/s @10)")
+        log(f"[intercept] {name:>15}: slope {slope} "
+            f"intercept {intercept} "
+            f"(@10: {table[name]['steps_per_sec_at_10']})")
 
-    i05 = table["r05"]["intercept_us_per_step"]
-    i04 = table["r04_shell"]["intercept_us_per_step"]
+    def icept(name):
+        return table[name]["intercept_us_per_step"]
+
+    def diff(a, b):
+        return (round(a - b, 4)
+                if a is not None and b is not None else None)
+
+    i05, i04 = icept("r05"), icept("r04_shell")
     attribution = {
-        "rb_gather_us": round(
-            table["dyn_rb"]["intercept_us_per_step"] - i05, 4),
-        "bound_sqrt_us": round(
-            table["sqrt_bound"]["intercept_us_per_step"] - i05, 4),
-        "exact_check_vs_bound_us": round(
-            table["exact_per_step"]["intercept_us_per_step"] - i05, 4),
-        "untaken_exact_branch_us": round(
-            i05 - table["exact_free"]["intercept_us_per_step"], 4),
-        "r04_to_r05_shell_cut_us": round(i04 - i05, 4),
+        "rb_gather_us": diff(icept("dyn_rb"), i05),
+        "bound_sqrt_us": diff(icept("sqrt_bound"), i05),
+        "exact_check_vs_bound_us": diff(icept("exact_per_step"), i05),
+        "untaken_exact_branch_us": diff(i05, icept("exact_free")),
+        "r04_to_r05_shell_cut_us": diff(i04, i05),
     }
 
     print(json.dumps({
@@ -176,7 +213,8 @@ def main():
         "value": i05,
         "unit": "us/step (shell, extrapolated to 0 iterations)",
         # headroom vs the r04 shell: >1 means the round-5 cuts pay
-        "vs_baseline": round(i04 / i05, 3) if i05 > 0 else None,
+        "vs_baseline": (round(i04 / i05, 3)
+                        if i05 and i04 is not None else None),
         "detail": {
             "variants": table,
             "attribution_us": attribution,
