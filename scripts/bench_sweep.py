@@ -106,6 +106,11 @@ def main():
     ap.add_argument("--max-frames", type=int, default=None,
                     help="cap recording length (test scale)")
     ap.add_argument("--configs", nargs="*", default=None)
+    ap.add_argument("--tpu", action="store_true",
+                    help="let phase-2 subprocesses use the default "
+                         "backend (default: pass --cpu — the reference "
+                         "sweep is CPU-only, and this keeps the sweep "
+                         "off a chip another bench may be holding)")
     args = ap.parse_args()
 
     import jax
@@ -126,9 +131,10 @@ def main():
     for cfg in cfgs:
         base = os.path.basename(cfg)
         t0 = time.perf_counter()
-        proc = subprocess.run(
-            [sys.executable, "main.py", "--config_file", cfg],
-            cwd=REPO, capture_output=True, text=True)
+        cmd = [sys.executable, "main.py", "--config_file", cfg]
+        if not args.tpu:
+            cmd.append("--cpu")
+        proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
         wall = time.perf_counter() - t0
         ok = proc.returncode == 0
         n_ok += ok
