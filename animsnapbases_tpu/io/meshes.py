@@ -65,7 +65,10 @@ def load_obj(path: str):
     Polygon faces are fan-triangulated; v/vt/vn indices use the position."""
     verts = []
     faces = []
-    with open(path) as f:
+    # errors="replace": OBJ headers in the wild carry non-UTF-8 comment
+    # bytes (the reference's armadillo.obj has a latin-1 (c) sign); the
+    # v/f records themselves are ASCII
+    with open(path, errors="replace") as f:
         for line in f:
             if line.startswith("v "):
                 parts = line.split()
@@ -92,7 +95,7 @@ def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
 
 def load_ply(path: str):
     """Minimal ASCII PLY reader (positions + triangle faces)."""
-    with open(path) as f:
+    with open(path, errors="replace") as f:
         if f.readline().strip() != "ply":
             raise ValueError(f"not a PLY file: {path}")
         fmt = f.readline().split()

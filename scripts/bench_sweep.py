@@ -64,11 +64,35 @@ EXPERIMENTS = {
 }
 
 
+def _recording_complete(name, want_pos, out_dir):
+    """True if a previous run already left this experiment's snapshots
+    (grammar-independent: any FOM group dir with a *_p.npz under the
+    experiment, plus position frames when the config consumes them) —
+    lets a crashed sweep resume without re-recording the slow
+    tetrahedralized scenes."""
+    import glob as _glob
+
+    p = _glob.glob(os.path.join(out_dir, "*", name, "constraint_projection",
+                                "FOM", "*", "*_p.npz"))
+    if not p:
+        return False
+    if want_pos:
+        pos = _glob.glob(os.path.join(out_dir, "*", name,
+                                      "position_snapshots", "FOM", "*"))
+        if not pos:
+            return False
+    return True
+
+
 def record_experiment(name, max_frames=None, out_dir=None):
     from animsnapbases_tpu.config.sim_config import SimConfig
     from animsnapbases_tpu.demos.scenarios import build_scenario
 
     cfg_file, overrides, want_pos = EXPERIMENTS[name]
+    if _recording_complete(name, want_pos,
+                           out_dir or os.path.join(REPO, "output")):
+        log(f"[sweep] recording for {name} already present — skipping")
+        return 0.0
     params = SimConfig(os.path.join(REPO, "configs", "demos", cfg_file))
     args = params.build_args("Cloth" if name.startswith("cloth")
                              else "Bar")

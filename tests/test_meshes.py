@@ -49,6 +49,17 @@ def test_obj_with_texture_normals(tmp_path):
     np.testing.assert_array_equal(f, [[0, 1, 2]])
 
 
+def test_obj_non_utf8_comment(tmp_path):
+    # OBJ headers in the wild carry latin-1 bytes (the reference's
+    # armadillo.obj has a (c) sign, 0xa9) — the loader must not choke
+    path = tmp_path / "copyright.obj"
+    path.write_bytes(b"# \xa9 some artist\nv 0 0 0\nv 1 0 0\nv 0 1 0\n"
+                     b"f 1 2 3\n")
+    v, f = meshes.load_obj(str(path))
+    assert v.shape == (3, 3)
+    np.testing.assert_array_equal(f, [[0, 1, 2]])
+
+
 def test_ply_ascii(tmp_path):
     path = tmp_path / "tri.ply"
     path.write_text(
