@@ -199,6 +199,33 @@ def main():
         w.writerows(rows)
     log(f"[pareto] wrote {csv_path}")
 
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(6.4, 4.2))
+        pts = [x for x in rows if x.get("spd_steps_per_sec")
+               and x.get("acc_rel_l2")]
+        xs = [x["acc_rel_l2"] * 100 for x in pts]
+        ys = [x["spd_steps_per_sec"] / 1e3 for x in pts]
+        ax.scatter(xs, ys, zorder=3)
+        for x, y, p in zip(xs, ys, pts):
+            ax.annotate(p["tag"], (x, y), textcoords="offset points",
+                        xytext=(6, 4), fontsize=8)
+        ax.set_xlabel("mean on-mesh rel-L2 error (%)")
+        ax.set_ylabel("certified throughput (k steps/s)")
+        ax.set_title("bunny reduced-PD: accuracy vs speed "
+                     "(48-frame replay / 60k-step ring-down)")
+        ax.grid(True, alpha=0.3)
+        png_path = os.path.join(out_dir, "pareto.png")
+        fig.savefig(png_path, dpi=130, bbox_inches="tight")
+        plt.close(fig)
+        log(f"[pareto] wrote {png_path}")
+    except Exception as e:                      # plot is a nicety
+        log(f"[pareto] plot skipped: {e}")
+
     measured = [x for x in rows if x.get("spd_steps_per_sec")]
     result = {
         "metric": "pareto_points_measured",
