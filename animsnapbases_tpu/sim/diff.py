@@ -48,6 +48,8 @@ Prefer CPU for fitting pinned models, or unpin before fitting on-device.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 import scipy.sparse
 
@@ -309,6 +311,7 @@ def fit_scales(sim: DiffReducedSim, q0, v0, fext, targets_seq,
         log_s = optax.apply_updates(log_s, updates)
         if log_every and i % log_every == 0:
             print(f"  fit step {i:4d}  loss {float(loss):.3e}  "
-                  f"scales {np.exp(np.asarray(log_s)).round(4)}")
+                  f"scales {np.exp(np.asarray(log_s)).round(4)}",
+                  file=sys.stderr)
     history.append(float(loss_fn(log_s)))
     return jnp.exp(log_s), history
