@@ -119,8 +119,12 @@ def estimate_chunked_vmem_bytes(n_verts: int, r: int, n_sel: int,
            else 8 * 128 * mm_bytes)
     # b0y/b1y/fay packed as ONE (3nb, N) operand — three separate
     # (nb, N) arrays each pad nb up to the 8-sublane tile (24 sublanes
-    # of VMEM at nb=1 instead of 8)
-    yrows = pad(3 * nb, st_sub) * lane_n * state_bytes
+    # of VMEM at nb=1 instead of 8).  Exact-free kernels receive only
+    # the packed (6nb, 1) per-sim min/max (the XLA body reduces the
+    # y-rows outside): NO O(N) operand at all — admission is then
+    # HBM-bound (the lift matrices), not VMEM-bound
+    yrows = (pad(3 * nb, st_sub) * lane_n * state_bytes if floor_exact
+             else pad(6 * nb, st_sub) * 128 * state_bytes)
     # Vc-folded kernels (default) stage the G-composed prefix products
     # (g_total wide) and precomposed UG instead of the n_sel-wide
     # prefixes + U_selT, and G_allT leaves the kernel entirely
@@ -1211,9 +1215,16 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
     This deletes the only textual use of the big (r, N) lift slice from
     the step loop — Mosaic staging pressure from untaken branches that
     reference large refs measurably taxes the hot loop at >=100k
-    vertices (the same effect that size-gates the contact mode) — and
-    drops the kernel's dominant VMEM operand, so admission scales as
-    ~16*N bytes instead of ~(r*mm+16)*N (multi-million verts at f32).
+    vertices (the same effect that size-gates the contact mode) — and,
+    since round 5, the packed y-rows as well: the only thing the
+    exact-free kernel needs from them is the per-sim min/max for the
+    bound, which f32 computes exactly (order-independent), so the XLA
+    body reduces the unpadded (3nb, N) array and ships a (6nb, 1)
+    operand.  The exact-free kernel then has NO O(N) operand at all
+    (admission is HBM-bound, not VMEM-bound): the (8, N)-padded VMEM
+    staging of the y-rows (64 MB at 2M vertices, f32) was what pushed
+    a 1,999,396-vertex cloth 10 MB past the scoped-VMEM ceiling even
+    though the operand-only estimate passed the 72 MB gate.
     Semantics stay exact: the caller re-enters after a REBASE, whose
     fresh anchors make the first-step bound as tight as it can be
     (wsn=0); if even that trips (k=0), run_steps' existing fall-through
@@ -1320,14 +1331,26 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
         bu1 = bu1_ref[:]
         bu_fa = bufa_ref[:]
         yr = yrows_ref[:]
-        b0y = yr[:nb]
-        b1y = yr[nb:2 * nb]
-        fay = yr[2 * nb:3 * nb]
-        if floor_bound_skip:
-            # once per chunk: per-sim min/max of the packed y-rows for
-            # the O(r) certified floor bound (see docstring)
-            ymn = jnp.min(yr, axis=1, keepdims=True)    # (3nb, 1)
-            ymx = jnp.max(yr, axis=1, keepdims=True)
+        if floor_bound_skip and not floor_exact:
+            # exact-free kernels never materialize the y-rows: the only
+            # reduction they need — per-sim min/max for the O(r) bound —
+            # is exact (order-independent), so the XLA body computes it
+            # on the unpadded (3nb, N) array and ships just the packed
+            # (6nb, 1) result; the kernel then has NO O(N) operand at
+            # all (the 2M-vertex cloth's (8, N)-padded staging of this
+            # ref was what blew the scoped-VMEM ceiling)
+            ymn = yr[:3 * nb]                           # (3nb, 1)
+            ymx = yr[3 * nb:6 * nb]
+            b0y = b1y = fay = None
+        else:
+            b0y = yr[:nb]
+            b1y = yr[nb:2 * nb]
+            fay = yr[2 * nb:3 * nb]
+            if floor_bound_skip:
+                # once per chunk: per-sim min/max of the packed y-rows
+                # for the O(r) certified floor bound (see docstring)
+                ymn = jnp.min(yr, axis=1, keepdims=True)    # (3nb, 1)
+                ymx = jnp.max(yr, axis=1, keepdims=True)
         b0s = b0s_ref[:]
         b1s = b1s_ref[:]
         fas = fas_ref[:]
@@ -1576,6 +1599,13 @@ def build_resident_affine_chunked(iteration_terms, gather_slices, layout,
                  (done32 - off).reshape(1, 1)], axis=1)
             yrows = jnp.concatenate(
                 [P[nb:2 * nb], V[nb:2 * nb], fay], axis=0)
+            if floor_bound_skip and not floor_exact:
+                # exact-free mode: ship only the packed per-sim min/max
+                # (see the kernel-side note) — f32 min/max is exact, so
+                # this is bit-identical to the in-kernel reduction
+                yrows = jnp.concatenate(
+                    [jnp.min(yrows, axis=1, keepdims=True),
+                     jnp.max(yrows, axis=1, keepdims=True)], axis=0)
             b0pre = P[:, :n_sel]
             b1pre = V[:, :n_sel]
             if fold_vc:
